@@ -1,0 +1,779 @@
+"""Vendored jsoup-like DOM on top of stdlib ``html.parser``.
+
+This sandbox cannot install selectolax/lxml/bs4, so the extraction layer
+ships its own small DOM with jsoup-compatible text semantics
+(``ownText``/``text`` whitespace rules of jsoup 1.7.1, the version pinned by
+the reference's pom.xml) and a CSS-lite selector engine covering exactly the
+selector features the reference uses (see /root/reference
+ArticleTextExtractor.java, OutputFormatter.java).
+
+jsoup semantics replicated here (citations into /root/reference):
+- ``Element.ownText``/``text`` whitespace normalization: jsoup
+  StringUtil.normaliseWhitespace collapses space/tab/\n/\f/\r runs; NBSP is
+  preserved (SHelper.innerTrim strips it later, SHelper.java:87).
+- block-tag set: jsoup 1.7.1 Tag.java blockTags (used by
+  OutputFormatter.appendTextSkipHidden, OutputFormatter.java:243).
+- attribute/tag selector matching is case-insensitive; class/id selectors
+  case-sensitive; ``:contains``/``:containsOwn`` lowercase both sides.
+- ``select`` includes the root element itself (jsoup Selector semantics,
+  relied on by getNodes, ArticleTextExtractor.java:3273).
+
+This is an independent implementation: parse-tree construction uses Python's
+html.parser with a pragmatic HTML5-ish implied-end-tag model, not a port of
+jsoup's tree builder.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+# --- tag classification -----------------------------------------------------
+
+VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr "
+    "basefont frame isindex keygen".split()
+)
+
+# jsoup 1.7.1 Tag.java blockTags
+BLOCK_TAGS = frozenset(
+    "html head body frameset script noscript style meta link title frame "
+    "noframes section nav aside hgroup header footer p h1 h2 h3 h4 h5 h6 "
+    "ul ol pre div blockquote hr address figure figcaption form fieldset "
+    "ins del s dl dt dd li table caption thead tfoot tbody colgroup col tr "
+    "th td video audio canvas details menu plaintext article summary".split()
+)
+
+HEAD_TAGS = frozenset("title meta link base style script noscript template".split())
+
+# start tag T implicitly closes an open <p>
+_P_CLOSERS = frozenset(
+    "address article aside blockquote center details dialog dir div dl dt dd "
+    "fieldset figcaption figure footer form h1 h2 h3 h4 h5 h6 header hgroup "
+    "hr main menu nav ol p pre section summary table ul li".split()
+)
+
+_WS_RUN = re.compile(r"[ \t\n\f\r]+")
+
+
+def normalise_whitespace(s: str) -> str:
+    """jsoup StringUtil.normaliseWhitespace: collapse ws runs to one space."""
+    return _WS_RUN.sub(" ", s)
+
+
+def java_trim(s: str) -> str:
+    """Java String.trim(): strip chars <= U+0020 from both ends."""
+    start, end = 0, len(s)
+    while start < end and s[start] <= " ":
+        start += 1
+    while end > start and s[end - 1] <= " ":
+        end -= 1
+    return s[start:end]
+
+
+# --- nodes -------------------------------------------------------------------
+
+
+class TextNode:
+    __slots__ = ("data", "parent")
+
+    def __init__(self, data: str, parent: "Element | None" = None):
+        self.data = data
+        self.parent = parent
+
+    def text(self) -> str:
+        return normalise_whitespace(self.data)
+
+    # Node.attr on text nodes: always empty (reference OutputFormatter.java:222
+    # calls attr("class")/attr("style") on Node)
+    def attr(self, key: str) -> str:
+        return ""
+
+    def has_attr(self, key: str) -> bool:
+        return False
+
+    def clone(self, parent=None) -> "TextNode":
+        return TextNode(self.data, parent)
+
+    def __repr__(self):
+        return f"TextNode({self.data[:30]!r})"
+
+
+class Element:
+    __slots__ = ("tag", "attrs", "child_nodes", "parent", "_doc")
+
+    def __init__(self, tag: str, attrs: dict | None = None, parent=None, doc=None):
+        self.tag = tag
+        self.attrs = attrs if attrs is not None else {}
+        self.child_nodes: list = []
+        self.parent = parent
+        self._doc = doc
+
+    # -- basic accessors ------------------------------------------------------
+
+    def tag_name(self) -> str:
+        return self.tag
+
+    @property
+    def is_block(self) -> bool:
+        return self.tag in BLOCK_TAGS
+
+    def attr(self, key: str) -> str:
+        key = key.lower()
+        if key.startswith("abs:"):
+            return self.abs_url(key[4:])
+        return self.attrs.get(key, "")
+
+    def abs_url(self, key: str) -> str:
+        val = self.attrs.get(key, "")
+        if not val:
+            return ""
+        base = self.base_uri()
+        if not base:
+            # jsoup returns "" when no base and value is relative
+            return val if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:", val) else ""
+        try:
+            from .shelper import java_url_resolve  # jsoup absUrl uses java.net.URL
+            return java_url_resolve(base, val)
+        except ValueError:
+            return ""
+
+    def base_uri(self) -> str:
+        d = self._doc
+        return d.base_uri_str if d is not None else ""
+
+    def has_attr(self, key: str) -> bool:
+        return key.lower() in self.attrs
+
+    def set_attr(self, key: str, value: str) -> None:
+        self.attrs[key.lower()] = value
+
+    def remove_attr(self, key: str) -> None:
+        self.attrs.pop(key.lower(), None)
+
+    def id(self) -> str:
+        return self.attrs.get("id", "")
+
+    def class_name(self) -> str:
+        return self.attrs.get("class", "")
+
+    def class_names(self) -> list[str]:
+        return self.attrs.get("class", "").split()
+
+    def has_class(self, name: str) -> bool:
+        return name in self.class_names()
+
+    @property
+    def children(self) -> list["Element"]:
+        return [c for c in self.child_nodes if isinstance(c, Element)]
+
+    def first_element_child(self):
+        for c in self.child_nodes:
+            if isinstance(c, Element):
+                return c
+        return None
+
+    def append_child(self, node) -> None:
+        node.parent = self
+        self.child_nodes.append(node)
+
+    def remove(self) -> None:
+        """Detach from parent (jsoup Node.remove)."""
+        if self.parent is not None:
+            try:
+                self.parent.child_nodes.remove(self)
+            except ValueError:
+                pass
+            self.parent = None
+
+    def empty(self) -> None:
+        self.child_nodes = []
+
+    # -- text extraction (jsoup 1.7.1 semantics) -------------------------------
+
+    def own_text(self) -> str:
+        accum: list[str] = []
+        for child in self.child_nodes:
+            if isinstance(child, TextNode):
+                _append_normalised(accum, child, self)
+            elif isinstance(child, Element) and child.tag == "br":
+                _append_space_if_needed(accum)
+        return java_trim("".join(accum))
+
+    def text(self) -> str:
+        accum: list[str] = []
+        self._text(accum)
+        return java_trim("".join(accum))
+
+    def _text(self, accum: list[str]) -> None:
+        if self.tag == "br":
+            _append_space_if_needed(accum)
+        for child in self.child_nodes:
+            if isinstance(child, TextNode):
+                _append_normalised(accum, child, self)
+            else:
+                if accum and child.is_block and not _last_is_space(accum):
+                    accum.append(" ")
+                child._text(accum)
+
+    # -- traversal -------------------------------------------------------------
+
+    def iter_descendants(self):
+        """Yield self and all descendant Elements in document order."""
+        stack = [self]
+        while stack:
+            el = stack.pop()
+            yield el
+            stack.extend(reversed(el.children))
+
+    def get_elements_by_tag(self, tag: str) -> "Elements":
+        tag = tag.lower()
+        return Elements(el for el in self.iter_descendants() if el.tag == tag)
+
+    def select(self, query: str) -> "Elements":
+        return select(query, self)
+
+    def select_first(self, query: str):
+        res = select(query, self, first_only=True)
+        return res[0] if res else None
+
+    # -- serialization ----------------------------------------------------------
+
+    def outer_html(self) -> str:
+        out: list[str] = []
+        self._html(out)
+        return "".join(out)
+
+    def _html(self, out: list[str]) -> None:
+        out.append("<")
+        out.append(self.tag)
+        for k, v in self.attrs.items():
+            out.append(f' {k}="{_escape_attr(v)}"')
+        if self.tag in VOID_TAGS and not self.child_nodes:
+            out.append(" />")
+            return
+        out.append(">")
+        raw = self.tag in ("script", "style")
+        for child in self.child_nodes:
+            if isinstance(child, TextNode):
+                out.append(child.data if raw else _escape_text(child.data))
+            else:
+                child._html(out)
+        out.append(f"</{self.tag}>")
+
+    def html(self) -> str:
+        out: list[str] = []
+        raw = self.tag in ("script", "style")
+        for child in self.child_nodes:
+            if isinstance(child, TextNode):
+                out.append(child.data if raw else _escape_text(child.data))
+            else:
+                child._html(out)
+        return "".join(out)
+
+    def __str__(self):
+        return self.outer_html()
+
+    def __repr__(self):
+        return f"<{self.tag} id={self.id()!r} class={self.class_name()!r}>"
+
+    # -- cloning ----------------------------------------------------------------
+
+    def clone(self, parent=None, doc=None) -> "Element":
+        el = Element(self.tag, dict(self.attrs), parent, doc)
+        el.child_nodes = [c.clone(el) if isinstance(c, TextNode) else c.clone(el, doc)
+                          for c in self.child_nodes]
+        return el
+
+
+def _append_space_if_needed(accum: list[str]) -> None:
+    if accum and not _last_is_space(accum):
+        accum.append(" ")
+
+
+def _last_is_space(accum: list[str]) -> bool:
+    return bool(accum) and accum[-1].endswith(" ")
+
+
+def _append_normalised(accum: list[str], tn: TextNode, parent) -> None:
+    text = tn.data
+    if parent is None or parent.tag not in ("pre", "textarea"):
+        text = normalise_whitespace(text)
+        if _last_is_space(accum) and text.startswith(" "):
+            text = text[1:]
+    if text:
+        accum.append(text)
+
+
+def _escape_attr(v: str) -> str:
+    return v.replace("&", "&amp;").replace('"', "&quot;")
+
+
+def _escape_text(v: str) -> str:
+    return v.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+class Document(Element):
+    __slots__ = ("base_uri_str",)
+
+    def __init__(self, base_uri: str = ""):
+        super().__init__("#root")
+        self.base_uri_str = base_uri or ""
+        self._doc = self
+
+    def title(self) -> str:
+        for el in self.iter_descendants():
+            if el.tag == "title":
+                return java_trim(el.text())
+        return ""
+
+    def head(self):
+        return self.select_first("head")
+
+    def body(self):
+        return self.select_first("body")
+
+    def clone(self, parent=None, doc=None) -> "Document":
+        d = Document(self.base_uri_str)
+        d.child_nodes = [c.clone(d) if isinstance(c, TextNode) else c.clone(d, d)
+                         for c in self.child_nodes]
+        return d
+
+
+class Elements(list):
+    """A list of Element with jsoup Elements-style helpers."""
+
+    def first(self):
+        return self[0] if self else None
+
+    def attr(self, key: str) -> str:
+        for el in self:
+            if key.startswith("abs:") or el.has_attr(key):
+                v = el.attr(key)
+                if key.startswith("abs:"):
+                    if v:
+                        return v
+                    continue
+                return v
+        return ""
+
+    def text(self) -> str:
+        return " ".join(el.text() for el in self)
+
+    def select(self, query: str) -> "Elements":
+        seen = set()
+        out = Elements()
+        for el in self:
+            for m in select(query, el):
+                if id(m) not in seen:
+                    seen.add(id(m))
+                    out.append(m)
+        return out
+
+    def parents(self) -> "Elements":
+        seen = set()
+        out = Elements()
+        for el in self:
+            p = el.parent
+            while isinstance(p, Element) and p.tag != "#root":
+                if id(p) not in seen:
+                    seen.add(id(p))
+                    out.append(p)
+                p = p.parent
+        return out
+
+
+# --- parser -------------------------------------------------------------------
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self, base_uri: str):
+        super().__init__(convert_charrefs=True)
+        self.doc = Document(base_uri)
+        self.html_el = Element("html", {}, self.doc, self.doc)
+        self.head_el = Element("head", {}, self.html_el, self.doc)
+        self.body_el = Element("body", {}, self.html_el, self.doc)
+        self.doc.child_nodes.append(self.html_el)
+        self.html_el.child_nodes.extend([self.head_el, self.body_el])
+        self.in_body = False
+        # open-element stack; parents for new nodes
+        self.stack: list[Element] = []
+
+    # current insertion point
+    def _top(self) -> Element:
+        if self.stack:
+            return self.stack[-1]
+        return self.body_el if self.in_body else self.head_el
+
+    def handle_starttag(self, tag, attrs):
+        self._insert(tag, attrs, self_closing=False)
+
+    def handle_startendtag(self, tag, attrs):
+        self._insert(tag, attrs, self_closing=True)
+
+    def _insert(self, tag, attrs, self_closing):
+        if tag in ("html", "head", "body"):
+            target = {"html": self.html_el, "head": self.head_el, "body": self.body_el}[tag]
+            for k, v in attrs:
+                k = k.lower()
+                if k not in target.attrs:
+                    target.attrs[k] = v if v is not None else ""
+            if tag == "body":
+                self.in_body = True
+                self.stack = []
+            return
+
+        if not self.in_body and tag not in HEAD_TAGS:
+            self.in_body = True
+            self.stack = []
+
+        self._implied_end(tag)
+
+        adict = {}
+        for k, v in attrs:
+            k = k.lower()
+            if k not in adict:
+                adict[k] = v if v is not None else ""
+        el = Element(tag, adict, None, self.doc)
+        self._top().append_child(el)
+
+        if tag not in VOID_TAGS and not self_closing:
+            self.stack.append(el)
+
+    def _implied_end(self, tag):
+        """Close elements implied-closed by the incoming start tag."""
+        if not self.stack:
+            return
+        if tag in _P_CLOSERS:
+            self._close_nearest("p", stop_at=("table", "td", "th"))
+        if tag == "li":
+            self._close_nearest("li", stop_at=("ul", "ol", "table"))
+        elif tag in ("dd", "dt"):
+            self._close_nearest("dd", stop_at=("dl",))
+            self._close_nearest("dt", stop_at=("dl",))
+        elif tag == "tr":
+            self._close_nearest("tr", stop_at=("table",))
+        elif tag in ("td", "th"):
+            self._close_nearest("td", stop_at=("tr", "table"))
+            self._close_nearest("th", stop_at=("tr", "table"))
+        elif tag in ("thead", "tbody", "tfoot"):
+            for t in ("thead", "tbody", "tfoot", "tr", "td", "th"):
+                self._close_nearest(t, stop_at=("table",))
+        elif tag == "option":
+            self._close_nearest("option", stop_at=("select",))
+
+    def _close_nearest(self, tag, stop_at=()):
+        for i in range(len(self.stack) - 1, -1, -1):
+            t = self.stack[i].tag
+            if t == tag:
+                del self.stack[i:]
+                return
+            if t in stop_at:
+                return
+
+    def handle_endtag(self, tag):
+        if tag in ("html", "head", "body"):
+            if tag in ("head", "body") or tag == "html":
+                if not self.in_body and tag == "head":
+                    self.in_body = True
+                self.stack = []
+            return
+        for i in range(len(self.stack) - 1, -1, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # unmatched end tag: ignore
+
+    def handle_data(self, data):
+        if not self.in_body and not self.stack:
+            if data.strip():
+                self.in_body = True
+            else:
+                return
+        top = self._top()
+        # merge adjacent text nodes
+        if top.child_nodes and isinstance(top.child_nodes[-1], TextNode):
+            top.child_nodes[-1].data += data
+        else:
+            top.append_child(TextNode(data))
+
+    def handle_comment(self, data):
+        pass
+
+    def handle_decl(self, decl):
+        pass
+
+    def handle_pi(self, data):
+        pass
+
+    def unknown_decl(self, data):
+        pass
+
+
+def parse(html: str, base_uri: str = "") -> Document:
+    """Parse HTML into a Document (analog of Jsoup.parse(html, baseUri))."""
+    tb = _TreeBuilder(base_uri)
+    try:
+        tb.feed(html)
+        tb.close()
+    except Exception:
+        # html.parser is already error-tolerant; belt and braces
+        pass
+    return tb.doc
+
+
+# --- CSS-lite selector engine ---------------------------------------------------
+#
+# Supported (everything the reference queries use):
+#   tag  *  .class  #id
+#   [attr] [attr=v] [attr*=v] [attr^=v] [attr$=v]
+#   compound selectors, groups (,), combinators: descendant, >, ~, +
+#   :contains(x) :containsOwn(x) :has(sel) :first-of-type
+
+_SEL_CACHE: dict[str, list] = {}
+
+
+class _Simple:
+    __slots__ = ("tag", "classes", "ids", "attrs", "pseudos")
+
+    def __init__(self):
+        self.tag = None
+        self.classes: list[str] = []
+        self.ids: list[str] = []
+        self.attrs: list[tuple[str, str, str]] = []  # (key, op, value)
+        self.pseudos: list[tuple[str, object]] = []
+
+    def matches(self, el: Element) -> bool:
+        if self.tag is not None and el.tag != self.tag:
+            return False
+        if self.classes:
+            cls = el.class_names()
+            for c in self.classes:
+                if c not in cls:
+                    return False
+        for i in self.ids:
+            if el.id() != i:
+                return False
+        for key, op, value in self.attrs:
+            if op == "":
+                if not el.has_attr(key):
+                    return False
+            else:
+                av = el.attr(key).lower()
+                if op == "=":
+                    if av != value:
+                        return False
+                elif op == "*=":
+                    if value not in av:
+                        return False
+                elif op == "^=":
+                    if not av.startswith(value):
+                        return False
+                elif op == "$=":
+                    if not av.endswith(value):
+                        return False
+                elif op == "~=":
+                    if value not in av.split():
+                        return False
+        for name, arg in self.pseudos:
+            if name == "contains":
+                if arg not in el.text().lower():
+                    return False
+            elif name == "containsown":
+                if arg not in el.own_text().lower():
+                    return False
+            elif name == "has":
+                found = False
+                for chain in arg:
+                    for d in el.iter_descendants():
+                        if d is el:
+                            continue
+                        if _match_chain(chain, d, el):
+                            found = True
+                            break
+                    if found:
+                        break
+                if not found:
+                    return False
+            elif name == "first-of-type":
+                p = el.parent
+                if isinstance(p, Element):
+                    for sib in p.children:
+                        if sib.tag == el.tag:
+                            if sib is not el:
+                                return False
+                            break
+            elif name == "last-of-type":
+                p = el.parent
+                if isinstance(p, Element):
+                    last = None
+                    for sib in p.children:
+                        if sib.tag == el.tag:
+                            last = sib
+                    if last is not el:
+                        return False
+            elif name == "first-child":
+                p = el.parent
+                if isinstance(p, Element) and p.first_element_child() is not el:
+                    return False
+        return True
+
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<comb>\s*[>~+]\s*|\s+)            # combinator
+  | (?P<tag>\*|[a-zA-Z][\w-]*)           # tag or *
+  | \.(?P<cls>[\w-]+)
+  | \#(?P<id>[\w-]+)
+  | \[(?P<attr>[^\]]*)\]
+  | :(?P<pseudo>[\w-]+)(?:\((?P<parg>(?:[^()]|\([^()]*\))*)\))?
+    """,
+    re.VERBOSE,
+)
+
+_ATTR_RE = re.compile(r"^\s*([\w:.\-|]+)\s*(?:([*^$~]?=)\s*(.*?)\s*)?$", re.DOTALL)
+
+
+def _parse_group(query: str) -> list[list]:
+    """Parse a selector group into a list of chains.
+
+    Chain = [simple0, comb1, simple1, ...]; combs in {' ', '>', '~', '+'}.
+    """
+    chains = []
+    for part in _split_top_commas(query):
+        part = part.strip()
+        if not part:
+            continue
+        chain: list = []
+        pos = 0
+        cur = _Simple()
+        started = False
+        pending_comb = None
+        while pos < len(part):
+            m = _TOKEN_RE.match(part, pos)
+            if not m:
+                raise ValueError(f"bad selector: {query!r} at {part[pos:]!r}")
+            pos = m.end()
+            if m.group("comb") is not None:
+                comb = m.group("comb").strip() or " "
+                if started:
+                    pending_comb = comb
+                continue
+            if pending_comb is not None:
+                chain.append(cur)
+                chain.append(pending_comb)
+                cur = _Simple()
+                pending_comb = None
+            started = True
+            if m.group("tag") is not None:
+                t = m.group("tag").lower()
+                cur.tag = None if t == "*" else t
+            elif m.group("cls") is not None:
+                cur.classes.append(m.group("cls"))
+            elif m.group("id") is not None:
+                cur.ids.append(m.group("id"))
+            elif m.group("attr") is not None:
+                am = _ATTR_RE.match(m.group("attr"))
+                if am:
+                    key = am.group(1).lower()
+                    op = am.group(2) or ""
+                    val = (am.group(3) or "").strip("'\"").lower()
+                    cur.attrs.append((key, op, val))
+            elif m.group("pseudo") is not None:
+                name = m.group("pseudo").lower()
+                arg = m.group("parg")
+                if name in ("contains", "containsown"):
+                    cur.pseudos.append((name, (arg or "").strip().lower()))
+                elif name == "has":
+                    cur.pseudos.append((name, _parse_group(arg or "")))
+                else:
+                    cur.pseudos.append((name, None))
+        if started:
+            chain.append(cur)
+        if chain:
+            chains.append(chain)
+    return chains
+
+
+def _split_top_commas(query: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in query:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+def _match_chain(chain: list, el: Element, root: Element) -> bool:
+    """Match chain right-to-left with root-bounded ancestor walks."""
+    i = len(chain) - 1
+    if not chain[i].matches(el):
+        return False
+
+    def match_rest(i: int, el: Element) -> bool:
+        if i <= 0:
+            return True
+        comb = chain[i - 1]
+        target_idx = i - 2
+        if comb == ">":
+            p = el.parent
+            if isinstance(p, Element) and chain[target_idx].matches(p):
+                return match_rest(target_idx, p)
+            return False
+        if comb == " ":
+            p = el.parent
+            while isinstance(p, Element):
+                if chain[target_idx].matches(p) and match_rest(target_idx, p):
+                    return True
+                if p is root:
+                    break
+                p = p.parent
+            return False
+        if comb == "~":
+            p = el.parent
+            if not isinstance(p, Element):
+                return False
+            for sib in p.children:
+                if sib is el:
+                    break
+                if chain[target_idx].matches(sib) and match_rest(target_idx, sib):
+                    return True
+            return False
+        if comb == "+":
+            p = el.parent
+            if not isinstance(p, Element):
+                return False
+            prev = None
+            for sib in p.children:
+                if sib is el:
+                    break
+                prev = sib
+            if prev is not None and chain[target_idx].matches(prev):
+                return match_rest(target_idx, prev)
+            return False
+        return False
+
+    return match_rest(i, el)
+
+
+def select(query: str, root: Element, first_only: bool = False) -> Elements:
+    chains = _SEL_CACHE.get(query)
+    if chains is None:
+        chains = _parse_group(query)
+        _SEL_CACHE[query] = chains
+    out = Elements()
+    for el in root.iter_descendants():
+        for chain in chains:
+            if _match_chain(chain, el, root):
+                out.append(el)
+                if first_only:
+                    return out
+                break
+    return out

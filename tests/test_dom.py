@@ -1,0 +1,163 @@
+"""Vendored DOM: parsing, jsoup text semantics, CSS-lite selectors."""
+
+from snacktory_spark.dom import parse
+from snacktory_spark.formatter import OutputFormatter
+
+
+def test_basic_tree():
+    doc = parse("<html><head><title>T</title></head><body><p>hi</p></body></html>")
+    assert doc.title() == "T"
+    body = doc.body()
+    assert [c.tag for c in body.children] == ["p"]
+    assert body.children[0].text() == "hi"
+
+
+def test_implicit_head_body():
+    doc = parse("<title>T</title><meta name='x' content='y'><p>content</p>")
+    assert doc.title() == "T"
+    assert doc.select("head meta[name=x]").attr("content") == "y"
+    ps = doc.select("body p")
+    assert len(ps) == 1 and ps[0].text() == "content"
+
+
+def test_implied_p_close():
+    doc = parse("<body><p>one<p>two<div>three</div></body>")
+    body = doc.body()
+    assert [c.tag for c in body.children] == ["p", "p", "div"]
+    assert body.children[0].text() == "one"
+
+
+def test_li_close():
+    doc = parse("<ul><li>a<li>b<li>c</ul>")
+    lis = parse("<ul><li>a<li>b<li>c</ul>").select("li")
+    assert [li.text() for li in lis] == ["a", "b", "c"]
+    assert doc.select("ul")[0].children[0].tag == "li"
+
+
+def test_own_text_vs_text():
+    doc = parse("<div>own <b>bold</b> tail</div>")
+    div = doc.select("div")[0]
+    assert div.own_text() == "own tail"
+    assert div.text() == "own bold tail"
+
+
+def test_text_block_spacing():
+    doc = parse("<div><p>one</p><p>two</p></div>")
+    assert doc.select("div")[0].text() == "one two"
+
+
+def test_br_space():
+    doc = parse("<p>a<br>b</p>")
+    assert doc.select("p")[0].text() == "a b"
+
+
+def test_whitespace_normalization():
+    doc = parse("<p>a\n   b\t c</p>")
+    assert doc.select("p")[0].text() == "a b c"
+
+
+def test_nbsp_preserved():
+    doc = parse("<p>a&nbsp;b</p>")
+    assert doc.select("p")[0].text() == "a b"
+
+
+def test_entities():
+    doc = parse("<p>&amp; &lt;x&gt; &quot;q&quot;</p>")
+    assert doc.select("p")[0].text() == '& <x> "q"'
+
+
+def test_select_class_id_attr():
+    doc = parse('<div class="a b" id="main"><span data-x="Q">s</span></div>')
+    assert len(doc.select(".a")) == 1
+    assert len(doc.select(".b")) == 1
+    assert len(doc.select("#main")) == 1
+    assert len(doc.select("div.a#main")) == 1
+    assert len(doc.select("[data-x]")) == 1
+    assert len(doc.select("[data-x=q]")) == 1  # attr values case-insensitive
+    assert len(doc.select("span[data-x*=Q]")) == 1
+    assert doc.select("div > span")[0].text() == "s"
+    assert len(doc.select(".c")) == 0
+
+
+def test_select_descendant_and_sibling():
+    doc = parse("<div><h2>head</h2><p>a</p><p>b</p><ul><li>x</li></ul></div>")
+    assert len(doc.select("div p")) == 2
+    assert len(doc.select("h2 ~ p")) == 2
+    assert len(doc.select("h2 + p")) == 1
+    assert len(doc.select("p + p")) == 1
+    assert len(doc.select("div li")) == 1
+
+
+def test_select_contains():
+    doc = parse("<div><p>Related Stories: foo</p><p>other</p></div>")
+    assert len(doc.select("p:contains(related stories:)")) == 1
+    assert len(doc.select("p:containsOwn(other)")) == 1
+    assert len(doc.select("div:has(p)")) == 1
+    assert len(doc.select("p:has(b)")) == 0
+
+
+def test_select_groups_document_order():
+    doc = parse("<div><em>1</em><p>2</p><ul><li>3</li></ul></div>")
+    tags = [e.tag for e in doc.select("p, ol, em, ul, li")]
+    assert tags == ["em", "p", "ul", "li"]
+
+
+def test_select_includes_self():
+    doc = parse("<div><p>x</p></div>")
+    p = doc.select("p")[0]
+    assert p.select("p") == [p]
+
+
+def test_first_of_type():
+    doc = parse("<body><h1>first</h1><h1>second</h1></body>")
+    els = doc.select("h1:first-of-type")
+    assert len(els) == 1 and els[0].text() == "first"
+
+
+def test_script_style_raw():
+    doc = parse("<script>if (a<b) { x(); }</script><p>t</p>")
+    scripts = doc.select("script")
+    assert len(scripts) == 1
+    assert "a<b" in scripts[0].html()
+
+
+def test_remove():
+    doc = parse("<div><span id='kill'>x</span>keep</div>")
+    doc.select("#kill")[0].remove()
+    assert doc.select("div")[0].text() == "keep"
+    assert len(doc.select("#kill")) == 0
+
+
+def test_clone_independent():
+    doc = parse("<div><p>x</p></div>")
+    c = doc.clone()
+    c.select("p")[0].remove()
+    assert len(doc.select("p")) == 1
+    assert len(c.select("p")) == 0
+
+
+def test_abs_href():
+    doc = parse('<a href="/x">l</a>', "http://example.com/dir/page.html")
+    assert doc.select("a")[0].attr("abs:href") == "http://example.com/x"
+    doc2 = parse('<a href="y.html">l</a>', "http://example.com/dir/page.html")
+    assert doc2.select("a")[0].attr("abs:href") == "http://example.com/dir/y.html"
+
+
+def test_output_formatter_skip_hidden():
+    """OutputFormatterTest.java:29-36."""
+    doc = parse('<div><div style="display:none">xy</div>test</div>')
+    f = OutputFormatter()
+    sb = []
+    f.append_text_skip_hidden(doc, sb)
+    assert "".join(sb) == "test"
+
+
+def test_duplicate_attrs_first_wins():
+    doc = parse('<p class="a" class="b">x</p>')
+    assert doc.select("p")[0].class_name() == "a"
+
+
+def test_table_structure():
+    doc = parse("<table><tr><td>a<td>b<tr><td>c</table>")
+    assert len(doc.select("tr")) == 2
+    assert len(doc.select("td")) == 3
