@@ -1,0 +1,264 @@
+"""Semi-automated port of the reference's JUnit golden tests.
+
+Parses ArticleTextExtractorTest.java, extracts per-test (fixture, url,
+assertions), runs our extractor on each, and writes a pass/fail report to
+scripts/golden_report.json. Passing cases can then be promoted into
+tests/golden_cases.py; failing ones document divergences to fix.
+
+Only the common assertion shapes are recognized; tests with bespoke logic
+are listed as 'unparsed'.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from snacktory_spark.converter import read_file_as_string
+from snacktory_spark.dates import format_date_utc, parse_with_patterns, _tokenize_java_pattern
+from snacktory_spark.extractor import extract
+
+TEST_JAVA = "/root/reference/src/test/java/de/jetwick/snacktory/ArticleTextExtractorTest.java"
+RES_DIR = "/root/reference/src/test/resources/de/jetwick/snacktory"
+REF = "/root/reference"
+
+# compareDates parses expected with these patterns (test file :3689-3700)
+_EXPECTED_DATE_TOKENS = [_tokenize_java_pattern(p) for p in [
+    "yyyy-MM-dd",
+    "yyyy-MM-dd HH:mm",
+    "yyyy-MM-dd HH:mm:ss",
+    "yyyy-MM-dd HH:mm:ssz",
+    "yyyy-MM-dd HH:mm:ss Z",
+    "yyyy-MM-dd HH:mm:ss X",
+]]
+
+
+def _java_str(lit: str) -> str:
+    """Decode a Java string literal body."""
+    out = []
+    i = 0
+    while i < len(lit):
+        c = lit[i]
+        if c == "\\" and i + 1 < len(lit):
+            n = lit[i + 1]
+            if n == "n":
+                out.append("\n")
+            elif n == "t":
+                out.append("\t")
+            elif n == "r":
+                out.append("\r")
+            elif n == "u":
+                out.append(chr(int(lit[i + 2:i + 6], 16)))
+                i += 6
+                continue
+            else:
+                out.append(n)
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+_STR = r'"((?:[^"\\]|\\.)*)"'
+
+
+def split_methods(src: str):
+    """Yield (name, body, is_commented) for each @Test method."""
+    for m in re.finditer(r"@Test\s+public void (\w+)\(\) throws Exception \{", src):
+        start = m.end()
+        depth = 1
+        i = start
+        while i < len(src) and depth > 0:
+            if src[i] == "{":
+                depth += 1
+            elif src[i] == "}":
+                depth -= 1
+            i += 1
+        yield m.group(1), src[start:i - 1]
+
+
+def parse_method(name: str, body: str):
+    case = {"name": name, "asserts": [], "unparsed": []}
+
+    m = re.search(r'getResourceAsStream\(' + _STR + r'\)', body)
+    if m:
+        case["fixture"] = os.path.join(RES_DIR, _java_str(m.group(1)))
+    else:
+        m = re.search(r'readFileAsString\(' + _STR + r'\)', body)
+        if m:
+            case["fixture"] = os.path.join(REF, _java_str(m.group(1)))
+        else:
+            case["unparsed"].append("no fixture")
+            return case
+
+    m = re.search(r'\.setUrl\(' + _STR + r'\)', body)
+    if m:
+        case["url"] = _java_str(m.group(1))
+
+    if "extractCanonical" in body:
+        case["mode"] = "canonical"
+        case["use_external"] = "true)" in body.split("extractCanonical", 1)[1][:200]
+
+    getters = {
+        "getTitle": "title", "getText": "text", "getAuthorName": "author",
+        "getRawAuthorName": "raw_author",
+        "getAuthorDescription": "author_desc", "getImageUrl": "image",
+        "getCanonicalUrl": "canonical", "getFaviconUrl": "favicon",
+        "getVideoUrl": "video", "getRssUrl": "rss", "getDescription": "description",
+        "getLanguage": "language", "getUrl": "url_out", "getDomain": "domain",
+        "getTopPrivateDomain": "top_private_domain", "getType": "type",
+        "getSitename": "sitename", "getDateString": "date_string",
+    }
+
+    for am in re.finditer(r'assertEquals\((?:[^,()"]*,\s*)?' + _STR + r',\s*res\.(\w+)\(\)\)', body):
+        g = getters.get(am.group(2))
+        if g:
+            case["asserts"].append(("equals", g, _java_str(am.group(1))))
+        else:
+            case["unparsed"].append(am.group(0)[:80])
+
+    for am in re.finditer(r'res\.(\w+)\(\)\.(startsWith|endsWith|contains|equals)\(' + _STR + r'\)', body):
+        g = getters.get(am.group(1))
+        if g:
+            # determine whether assertTrue or assertFalse context
+            case["asserts"].append((am.group(2), g, _java_str(am.group(3))))
+        else:
+            case["unparsed"].append(am.group(0)[:80])
+
+    for am in re.finditer(r'compareDates\(' + _STR + r',\s*res\.getDate\(\)\)', body):
+        case["asserts"].append(("date", "date", _java_str(am.group(1))))
+
+    for am in re.finditer(r'assertEquals\(Arrays\.asList\((.*?)\),\s*res\.getKeywords\(\)\)', body, re.DOTALL):
+        kws = [_java_str(s) for s in re.findall(_STR, am.group(1))]
+        case["asserts"].append(("keywords", "keywords", kws))
+
+    if re.search(r'assertTrue\(res\.getKeywords\(\)\.isEmpty\(\)\)', body):
+        case["asserts"].append(("keywords", "keywords", []))
+
+    for am in re.finditer(r'assertEquals\((\d+),\s*res\.getLinks\(\)\.size\(\)\)', body):
+        case["asserts"].append(("links_count", "links", int(am.group(1))))
+
+    for am in re.finditer(r'assertNull\(res\.getDate\(\)\)', body):
+        case["asserts"].append(("date_null", "date", None))
+
+    # unrecognized assert lines (roughly)
+    for line in body.splitlines():
+        line = line.strip()
+        if line.startswith(("assert", "compareDates")) and not _recognized(line):
+            case["unparsed"].append(line[:100])
+    return case
+
+
+def _recognized(line: str) -> bool:
+    pats = [
+        r'res\.\w+\(\)\.(startsWith|endsWith|contains|equals)\(',
+        r'assertEquals\((?:[^,()"]*,\s*)?"(?:[^"\\]|\\.)*",\s*res\.\w+\(\)\)',
+        r'compareDates\(',
+        r'Arrays\.asList',
+        r'getKeywords\(\)\.isEmpty',
+        r'getLinks\(\)\.size',
+        r'assertNull\(res\.getDate\(\)\)',
+    ]
+    return any(re.search(p, line) for p in pats)
+
+
+def normalize_expected_date(s: str) -> str | None:
+    d = parse_with_patterns(s, _EXPECTED_DATE_TOKENS)
+    return format_date_utc(d) if d else None
+
+
+def run_case(case: dict):
+    failures = []
+    path = case["fixture"]
+    if not os.path.exists(path):
+        return ["fixture missing: " + path]
+    html = read_file_as_string(path)
+    try:
+        res = extract(html, url=case.get("url", ""))
+    except Exception as e:
+        return [f"EXCEPTION: {e!r}"]
+
+    field_map = {
+        "title": res["title"], "text": res["text"], "author": res["author_name"],
+        "raw_author": res["raw_author_name"],
+        "author_desc": res["author_description"], "image": res["image_url"],
+        "canonical": res["canonical_url"], "favicon": res["favicon_url"],
+        "video": res["video_url"], "rss": res["rss_url"],
+        "description": res["description"], "language": res["language"],
+        "url_out": res["url"], "domain": res["domain"],
+        "top_private_domain": res["top_private_domain"], "type": res["type"],
+        "sitename": res["sitename"],
+    }
+
+    for kind, field, expected in case["asserts"]:
+        if kind == "keywords":
+            if res["keywords"] != expected:
+                failures.append(f"keywords: got {res['keywords']!r} want {expected!r}")
+        elif kind == "date":
+            got = format_date_utc(res["date"])
+            want = normalize_expected_date(expected)
+            if want is None:
+                failures.append(f"date: cannot normalize expected {expected!r}")
+            elif got != want:
+                failures.append(f"date: got {got!r} want {want!r} (raw {expected!r})")
+        elif kind == "date_null":
+            if res["date"] is not None:
+                failures.append(f"date_null: got {format_date_utc(res['date'])!r}")
+        elif kind == "links_count":
+            if len(res["links"]) != expected:
+                failures.append(f"links_count: got {len(res['links'])} want {expected}")
+        else:
+            actual = field_map.get(field)
+            if actual is None:
+                failures.append(f"{field}: no value")
+            elif kind == "equals" and actual != expected:
+                failures.append(f"{field} equals: got {actual[:120]!r} want {expected[:120]!r}")
+            elif kind == "startsWith" and not actual.startswith(expected):
+                failures.append(f"{field} startsWith: got {actual[:150]!r} want {expected[:120]!r}")
+            elif kind == "endsWith" and not actual.endswith(expected):
+                failures.append(f"{field} endsWith: got {actual[-150:]!r} want {expected[-120:]!r}")
+            elif kind == "contains" and expected not in actual:
+                failures.append(f"{field} contains: want {expected[:120]!r}")
+    return failures
+
+
+def main():
+    src = open(TEST_JAVA, encoding="utf-8", errors="replace").read()
+    # strip block comments so commented-out tests are excluded
+    src = re.sub(r"/\*.*?\*/", "", src, flags=re.DOTALL)
+    report = {"pass": [], "fail": {}, "unparsed": {}}
+    total_asserts = passed_asserts = 0
+    for name, body in split_methods(src):
+        case = parse_method(name, body)
+        if "fixture" not in case:
+            report["unparsed"][name] = case["unparsed"]
+            continue
+        failures = run_case(case)
+        total_asserts += len(case["asserts"])
+        passed_asserts += len(case["asserts"]) - len([f for f in failures])
+        if failures:
+            report["fail"][name] = {
+                "fixture": os.path.relpath(case["fixture"], REF),
+                "url": case.get("url", ""),
+                "failures": failures,
+                "unparsed": case["unparsed"],
+            }
+        else:
+            report["pass"].append(name)
+        if case["unparsed"] and not failures:
+            report["unparsed"].setdefault(name, case["unparsed"])
+
+    print(f"tests passing all parsed asserts: {len(report['pass'])}")
+    print(f"tests with failures: {len(report['fail'])}")
+    print(f"assert pass rate: {passed_asserts}/{total_asserts}")
+    with open("/root/repo/scripts/golden_report.json", "w") as f:
+        json.dump(report, f, indent=1, ensure_ascii=False)
+
+
+if __name__ == "__main__":
+    main()

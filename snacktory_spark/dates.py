@@ -236,7 +236,7 @@ def _match_string(text: str, pos: int, options) -> tuple[int, int] | None:
 
 
 _GMT_RE = re.compile(r"GMT([+-])(\d{1,2})(?::(\d{2}))?", re.IGNORECASE)
-_RFC822_RE = re.compile(r"([+-])(\d{2})(\d{2})")
+_RFC822_RE = re.compile(r"([+-])(\d{2}):?(\d{2})")
 _ZONE_WORD_RE = re.compile(r"[A-Za-z]+")
 
 

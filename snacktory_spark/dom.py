@@ -192,6 +192,10 @@ class Element:
     # -- text extraction (jsoup 1.7.1 semantics) -------------------------------
 
     def own_text(self) -> str:
+        # jsoup stores script/style contents as DataNodes, which text
+        # accessors ignore — critical for :containsOwn and author heuristics
+        if self.tag in ("script", "style"):
+            return ""
         accum: list[str] = []
         for child in self.child_nodes:
             if isinstance(child, TextNode):
@@ -208,6 +212,8 @@ class Element:
     def _text(self, accum: list[str]) -> None:
         if self.tag == "br":
             _append_space_if_needed(accum)
+        if self.tag in ("script", "style"):
+            return  # DataNode contents are not text in jsoup
         for child in self.child_nodes:
             if isinstance(child, TextNode):
                 _append_normalised(accum, child, self)

@@ -152,10 +152,13 @@ class OutputFormatter:
 
     def append_text_skip_hidden(self, e: Element, accum: list[str]) -> None:
         """OutputFormatter.java:232-253."""
+        is_data = e.tag in ("script", "style")
         for child in e.child_nodes:
             if self._unlikely(child):
                 continue
             if isinstance(child, TextNode):
+                if is_data:  # jsoup DataNode, not a TextNode
+                    continue
                 accum.append(child.text())
             elif isinstance(child, Element):
                 if accum and child.is_block and not _last_char_is_whitespace(accum):
