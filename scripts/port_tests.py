@@ -99,6 +99,10 @@ def parse_method(name: str, body: str):
     m = re.search(r'\.setUrl\(' + _STR + r'\)', body)
     if m:
         case["url"] = _java_str(m.group(1))
+    else:
+        m = re.search(r'String url = ' + _STR + r';', body)
+        if m and ".setUrl(url)" in body:
+            case["url"] = _java_str(m.group(1))
 
     if "extractCanonical" in body:
         case["mode"] = "canonical"

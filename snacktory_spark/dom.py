@@ -392,6 +392,12 @@ class Elements(list):
 # --- parser -------------------------------------------------------------------
 
 
+# tags redirected back into <head> when seen between </head> and <body>
+# (mirrors the HTML5 "after head" insertion mode, which jsoup implements)
+_AFTERHEAD_TO_HEAD = frozenset(
+    "base basefont bgsound link meta noframes script style title".split())
+
+
 class _TreeBuilder(HTMLParser):
     def __init__(self, base_uri: str):
         super().__init__(convert_charrefs=True)
@@ -401,7 +407,7 @@ class _TreeBuilder(HTMLParser):
         self.body_el = Element("body", {}, self.html_el, self.doc)
         self.doc.child_nodes.append(self.html_el)
         self.html_el.child_nodes.extend([self.head_el, self.body_el])
-        self.in_body = False
+        self.state = "head"  # head | afterhead | body
         # open-element stack; parents for new nodes
         self.stack: list[Element] = []
 
@@ -409,7 +415,7 @@ class _TreeBuilder(HTMLParser):
     def _top(self) -> Element:
         if self.stack:
             return self.stack[-1]
-        return self.body_el if self.in_body else self.head_el
+        return self.head_el if self.state == "head" else self.body_el
 
     def handle_starttag(self, tag, attrs):
         self._insert(tag, attrs, self_closing=False)
@@ -425,13 +431,20 @@ class _TreeBuilder(HTMLParser):
                 if k not in target.attrs:
                     target.attrs[k] = v if v is not None else ""
             if tag == "body":
-                self.in_body = True
+                self.state = "body"
                 self.stack = []
             return
 
-        if not self.in_body and tag not in HEAD_TAGS:
-            self.in_body = True
-            self.stack = []
+        parent = None
+        if not self.stack:
+            if self.state == "head":
+                if tag not in HEAD_TAGS:
+                    self.state = "body"
+            elif self.state == "afterhead":
+                if tag in _AFTERHEAD_TO_HEAD:
+                    parent = self.head_el
+                else:
+                    self.state = "body"
 
         self._implied_end(tag)
 
@@ -441,7 +454,7 @@ class _TreeBuilder(HTMLParser):
             if k not in adict:
                 adict[k] = v if v is not None else ""
         el = Element(tag, adict, None, self.doc)
-        self._top().append_child(el)
+        (parent or self._top()).append_child(el)
 
         if tag not in VOID_TAGS and not self_closing:
             self.stack.append(el)
@@ -479,10 +492,11 @@ class _TreeBuilder(HTMLParser):
 
     def handle_endtag(self, tag):
         if tag in ("html", "head", "body"):
-            if tag in ("head", "body") or tag == "html":
-                if not self.in_body and tag == "head":
-                    self.in_body = True
-                self.stack = []
+            self.stack = []
+            if tag == "head" and self.state == "head":
+                self.state = "afterhead"
+            elif tag == "body":
+                self.state = "body"
             return
         for i in range(len(self.stack) - 1, -1, -1):
             if self.stack[i].tag == tag:
@@ -491,9 +505,9 @@ class _TreeBuilder(HTMLParser):
         # unmatched end tag: ignore
 
     def handle_data(self, data):
-        if not self.in_body and not self.stack:
+        if self.state != "body" and not self.stack:
             if data.strip():
-                self.in_body = True
+                self.state = "body"
             else:
                 return
         top = self._top()

@@ -36,12 +36,23 @@ _ALL_DIGITS = re.compile(r"^[0-9.]+$")
 
 
 def get_host(url: str) -> str | None:
-    """java.net.URI.getHost() analog: None when unparseable or no host."""
+    """java.net.URI.getHost() analog: None when unparseable or no host.
+
+    Java's URI parser rejects authorities with a malformed port (e.g. the
+    trailing-colon artifact of concatenated URLs) and returns a null host;
+    urllib is laxer, so validate the port explicitly.
+    """
     try:
         parsed = urlparse(url)
+        netloc = parsed.netloc
+        hostpart = netloc.rsplit("@", 1)[-1]
+        if ":" in hostpart and not hostpart.startswith("["):
+            port = hostpart.rsplit(":", 1)[1]
+            if not port.isdigit():
+                return None
+        host = parsed.hostname
     except ValueError:
         return None
-    host = parsed.hostname
     return host or None
 
 

@@ -11,7 +11,10 @@ preserved exactly.
 
 from __future__ import annotations
 
+import re as _re_mod
 from urllib.parse import urljoin, urlparse
+
+_re_abs = _re_mod.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
 
 from . import constants as C
 from .dates import extract_date_using_regex, parse_date
@@ -95,7 +98,11 @@ def extract_canonical_url(base_url: str, doc: Document, use_external: bool) -> s
         return base_url
 
     try:
-        url = urljoin(base_url or "", url)
+        # java.net.URI.resolve returns an absolute child verbatim — even a
+        # malformed one like the concatenated hrefs some CMSes emit
+        # (asserted by the reference's testBdaily)
+        if not _re_abs.match(url):
+            url = urljoin(base_url or "", url)
 
         if not use_external:
             if base_url:
