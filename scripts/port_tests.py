@@ -183,7 +183,15 @@ def run_case(case: dict):
         return ["fixture missing: " + path]
     html = read_file_as_string(path)
     try:
-        res = extract(html, url=case.get("url", ""))
+        if case.get("mode") == "canonical":
+            from snacktory_spark.dom import parse as dom_parse
+            from snacktory_spark.extractor import empty_result
+            from snacktory_spark.metadata import extract_canonical_url
+            res = empty_result(case.get("url", ""))
+            res["canonical_url"] = extract_canonical_url(
+                res["url"], dom_parse(html), case.get("use_external", False)) or ""
+        else:
+            res = extract(html, url=case.get("url", ""))
     except Exception as e:
         return [f"EXCEPTION: {e!r}"]
 
@@ -235,6 +243,8 @@ def main():
     src = open(TEST_JAVA, encoding="utf-8", errors="replace").read()
     # strip block comments so commented-out tests are excluded
     src = re.sub(r"/\*.*?\*/", "", src, flags=re.DOTALL)
+    # strip whole-line // comments (but not // inside string literals/URLs)
+    src = "\n".join(l for l in src.splitlines() if not l.lstrip().startswith("//"))
     report = {"pass": [], "fail": {}, "unparsed": {}}
     total_asserts = passed_asserts = 0
     for name, body in split_methods(src):

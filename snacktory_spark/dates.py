@@ -272,6 +272,12 @@ def _parse_with_tokens(tokens, text: str):
                 return None
             pos += len(lit)
             continue
+        # JDK SimpleDateFormat.subParse skips spaces/tabs before every field
+        # (not before literals) — required for e.g. "July 12, 2016  6:31am"
+        while pos < n and text[pos] in " \t":
+            pos += 1
+        if pos >= n:
+            return None
         letter, count = tok[1]
         if letter in _NUMERIC_LETTERS and not (letter == "M" and count >= 3):
             obey = ti + 1 < len(tokens) and _is_numeric_field(tokens[ti + 1])

@@ -42,7 +42,8 @@ def test_numeric_dates():
 
 def test_times_and_ampm():
     assert p("10/31/2011 2:00PM") == "2011-10-31 14:00:00"
-    assert p("July 12, 2016  6:31am") is None  # double space does not match
+    # JDK subParse skips leading spaces before fields, so double space is OK
+    assert p("July 12, 2016  6:31am") == "2016-07-12 06:31:00"
     assert p("July 12, 2016 6:31am") == "2016-07-12 06:31:00"
     assert p("June 16, 2010 8:47 a.m.") == "2010-06-16 08:47:00"
     assert p("11:45 AM - 7 Aug 15") == "2015-08-07 11:45:00"
