@@ -126,11 +126,13 @@ def parse_method(name: str, body: str):
         else:
             case["unparsed"].append(am.group(0)[:80])
 
-    for am in re.finditer(r'res\.(\w+)\(\)\.(startsWith|endsWith|contains|equals)\(' + _STR + r'\)', body):
-        g = getters.get(am.group(1))
+    for am in re.finditer(r'(assertFalse\([^;]*?)?res\.(\w+)\(\)\.(startsWith|endsWith|contains|equals)\(' + _STR + r'\)', body):
+        g = getters.get(am.group(2))
         if g:
-            # determine whether assertTrue or assertFalse context
-            case["asserts"].append((am.group(2), g, _java_str(am.group(3))))
+            kind = am.group(3)
+            if am.group(1):  # negative assertion
+                kind = "not_" + kind
+            case["asserts"].append((kind, g, _java_str(am.group(4))))
         else:
             case["unparsed"].append(am.group(0)[:80])
 
@@ -236,6 +238,14 @@ def run_case(case: dict):
                 failures.append(f"{field} endsWith: got {actual[-150:]!r} want {expected[-120:]!r}")
             elif kind == "contains" and expected not in actual:
                 failures.append(f"{field} contains: want {expected[:120]!r}")
+            elif kind == "not_contains" and expected in actual:
+                failures.append(f"{field} NOT-contains violated: {expected[:120]!r}")
+            elif kind == "not_equals" and actual == expected:
+                failures.append(f"{field} NOT-equals violated: {expected[:120]!r}")
+            elif kind == "not_startsWith" and actual.startswith(expected):
+                failures.append(f"{field} NOT-startsWith violated: {expected[:120]!r}")
+            elif kind == "not_endsWith" and actual.endswith(expected):
+                failures.append(f"{field} NOT-endsWith violated: {expected[:120]!r}")
     return failures
 
 

@@ -135,4 +135,12 @@ GOLDEN_CASES = [
 
 # Fixtures whose reference assertions our implementation does not yet meet,
 # with the diagnosed cause. These are candidates to fix in later rounds.
-KNOWN_DIVERGENCES: dict[str, str] = {}
+# (Status as of scripts/golden_report.json: 295/300 auto-ported reference
+# tests pass; 1114/1120 assertions.)
+KNOWN_DIVERGENCES: dict[str, str] = {
+    "testCanonical6": "fixture cio.com_no_canonical missing from reference repo",
+    "testCNBC": "election picks parent wrapper (tree-shape difference vs jsoup)",
+    "testCNBC3": "election picks quote block (tree-shape difference vs jsoup)",
+    "testMaCNN": "links_count 13 vs 17 (implied-close tree difference)",
+    "testWayFair": "slideshow page: best-element differs (jsoup tree shape)",
+}
