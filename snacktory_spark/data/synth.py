@@ -1,0 +1,284 @@
+"""Deterministic synthetic transcript generator (FIXTURES.md §1).
+
+Builds the Iceberg/parquet-shaped input table from BASELINE.json input_hint:
+(conv_id string, turn_idx int32, role string, text string, tool string,
+ts timestamp) with a seeded skewed conversation-length distribution (90%
+short 1-8 turns, 9% medium ≤64, 1% long — exercises conv_id salting), and
+three text classes per FIXTURES.md:
+  (a) golden rows: reference fixture HTML verbatim (+ `expected` table rows
+      carrying the reference test assertions),
+  (b) templated HTML article turns (seeded lorem paragraphs inside
+      <div class="article-body"> plus boilerplate sidebar/footer noise) whose
+      extraction is derivable from construction,
+  (c) plain non-HTML turns (must flow through the gate unextracted).
+
+Everything is seeded; no wall-clock values (ts = 2026-01-01 + row*17s).
+Alongside `transcripts.parquet` the generator writes:
+  - expected.parquet            golden assertion rows (reference test values)
+  - expected_extraction.parquet full pure-python extraction of every turn —
+      the DuckDB oracle for the Spark pipeline (distributed == single-node).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..converter import read_file_as_string
+from ..dates import format_date_utc
+from ..extractor import extract
+
+REFERENCE = "/root/reference"
+
+# golden fixtures embedded as transcript turns: (fixture_path, url, asserts)
+# assertion values copied from ArticleTextExtractorTest.java (cites in
+# tests/golden_cases.py); only fixtures our implementation matches 100%.
+GOLDEN_FIXTURES = [
+    ("test_data/1.html", "", {
+        "exp_title": "How Fake Money Saved Brazil",
+        "exp_text_start": "This is a story about how an economist and his buddies tricked",
+        "exp_text_end": '"How Four Drinking Buddies Saved Brazil."',
+        "exp_author": "Chana Joffe-Walt",
+        "exp_image_url": "http://media.npr.org/assets/img/2010/10/04/real_wide.jpg?t=1286218782&s=3",
+    }),
+    ("src/test/resources/de/jetwick/snacktory/cnn.html", "", {
+        "exp_title": "Gadhafi asks Obama to end NATO bombing",
+        "exp_text_start": "Tripoli, Libya (CNN) -- As rebel and pro-government forces",
+        "exp_author": "the CNN Wire Staff",
+    }),
+    ("src/test/resources/de/jetwick/snacktory/bbc_noscript.html", "", {
+        "exp_title": "Brazil mourns Santa Maria nightclub fire victims",
+        "exp_text_start": "Brazil has declared three days of national mourning",
+        "exp_author": "Caio Quero",
+    }),
+    ("src/test/resources/de/jetwick/snacktory/reuters.html", "", {
+        "exp_title": "Knight trading loss shows cracks in equity markets",
+        "exp_author": "Jed Horowitz and Joseph Menn",
+    }),
+    ("src/test/resources/de/jetwick/snacktory/golem.html", "", {
+        "exp_title": "Vorabversionen von Firefox 5 und 6 veröffentlicht",
+        "exp_text_start": "Mozilla hat Firefox 5.0a2 veröffentlicht",
+    }),
+    ("src/test/resources/de/jetwick/snacktory/faz.html", "", {
+        "exp_author": "FAZ Electronic Media",
+    }),
+    ("src/test/resources/de/jetwick/snacktory/yomiuri.html", "", {
+        "exp_text_contains": "海津市海津町の国営木曽三川公園で、チューリップが見頃を迎えている",
+    }),
+    ("src/test/resources/de/jetwick/snacktory/spiegel.html", "", {
+        "exp_text_start": "Da ist er wieder, der C64",
+    }),
+    ("src/test/resources/de/jetwick/snacktory/wordpress.html", "", {
+        "exp_title": "Twitter API and Me « Find Time for the Karussell",
+        "exp_text_start": "I have a love hate relationship with Twitter",
+    }),
+    ("src/test/resources/de/jetwick/snacktory/daltoncaldwell.html", "", {
+        "exp_title": "Dear Mark Zuckerberg by Dalton Caldwell",
+        "exp_text_start": "On June 13, 2012, at 4:30 p.m.",
+    }),
+]
+
+_WORDS = ("the quick brown fox jumps over lazy dog pipeline spark arrow batch "
+          "vector shuffle partition skew salt broadcast join scan filter "
+          "project aggregate window stream state checkpoint manifest lineage "
+          "resume idempotent extract content article paragraph heading title "
+          "author date canonical domain keyword image caption link anchor "
+          "text density score weight candidate election sibling merge noise "
+          "sidebar footer navigation comment advertisement promo related").split()
+
+EPOCH = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+
+
+def _sentence(rng: random.Random, nwords: int) -> str:
+    ws = [rng.choice(_WORDS) for _ in range(nwords)]
+    return (" ".join(ws)).capitalize() + "."
+
+
+def _paragraph(rng: random.Random) -> str:
+    return " ".join(_sentence(rng, rng.randint(8, 16))
+                    for _ in range(rng.randint(3, 6)))
+
+
+def make_article_html(rng: random.Random, idx: int) -> tuple[str, dict]:
+    """Templated article page; returns (html, derivable expectations)."""
+    title = _sentence(rng, rng.randint(4, 8))[:-1]
+    author = rng.choice(["Alex Writer", "Jordan Reporter", "Sam Editor",
+                         "Robin Analyst", "Casey Correspondent"])
+    pub = EPOCH + dt.timedelta(days=rng.randint(0, 900),
+                               seconds=rng.randint(0, 86399))
+    paragraphs = [_paragraph(rng) for _ in range(rng.randint(3, 8))]
+    noise = [_sentence(rng, 6) for _ in range(3)]
+    body = "\n".join(f"<p>{p}</p>" for p in paragraphs)
+    html = f"""<!DOCTYPE html>
+<html lang="en"><head>
+<title>{title} | Synthetic Daily</title>
+<meta name="description" content="{paragraphs[0][:120]}">
+<meta name="author" content="{author}">
+<meta property="article:published_time" content="{pub.strftime('%Y-%m-%dT%H:%M:%SZ')}">
+<meta name="keywords" content="synthetic,article,test{idx}">
+</head><body>
+<div class="navigation"><ul><li>Home</li><li>News</li></ul></div>
+<div class="sidebar">{noise[0]}</div>
+<article>
+  <h1>{title}</h1>
+  <div class="article-body">
+{body}
+  </div>
+</article>
+<div class="related">{noise[1]}</div>
+<footer class="footer">{noise[2]}</footer>
+</body></html>"""
+    exp = {
+        "exp_title": title,
+        "exp_text_full": "\n\n".join(paragraphs),
+        "exp_author": author,
+        "exp_date": format_date_utc(pub),
+    }
+    return html, exp
+
+
+def _plain_text(rng: random.Random) -> str:
+    return " ".join(_sentence(rng, rng.randint(5, 12))
+                    for _ in range(rng.randint(1, 4)))
+
+
+def _conv_lengths(rng: random.Random, n_convs: int) -> list[int]:
+    out = []
+    for _ in range(n_convs):
+        r = rng.random()
+        if r < 0.90:
+            out.append(rng.randint(1, 8))
+        elif r < 0.99:
+            out.append(rng.randint(9, 64))
+        else:
+            out.append(rng.randint(65, 512))  # skew: mega-conversations
+    return out
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return 0.01
+
+
+def synth_dir_for(sf_dir: str, root: str = "/root/repo/data/synth") -> str:
+    return os.path.join(root, os.path.basename(os.path.normpath(sf_dir)) or "sf0.01")
+
+
+def generate(out_dir: str, sf: float = 0.01, seed: int = 42,
+             include_golden: bool = True, force: bool = False) -> str:
+    """Generate transcripts/expected/expected_extraction parquet in out_dir."""
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker) and not force:
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rng = random.Random(seed)
+
+    n_convs = max(4, int(2000 * sf * 10))  # sf0.01 → 200 convs (~1.1k turns)
+    lengths = _conv_lengths(rng, n_convs)
+
+    golden = []
+    if include_golden:
+        for path, url, asserts in GOLDEN_FIXTURES:
+            golden.append((read_file_as_string(os.path.join(REFERENCE, path)),
+                           url, path, asserts))
+
+    conv_ids, turn_idxs, roles, texts, tools, tss = [], [], [], [], [], []
+    expected_rows = []
+    row_no = 0
+    golden_i = 0
+    art_i = 0
+    for ci, length in enumerate(lengths):
+        conv_id = f"conv-{ci:06d}"
+        for ti in range(length):
+            role = ("user", "assistant", "tool")[ti % 3]
+            tool = "browser" if role == "tool" else ""
+            r = rng.random()
+            if role == "tool" and golden and (golden_i < 2 * len(golden) or r < 0.02):
+                html, url, fixture, asserts = golden[golden_i % len(golden)]
+                golden_i += 1
+                text = html
+                expected_rows.append({"conv_id": conv_id, "turn_idx": ti,
+                                      "fixture": fixture, "seed_url": url,
+                                      **asserts})
+            elif r < 0.55:
+                text, exp = make_article_html(rng, art_i)
+                art_i += 1
+                expected_rows.append({"conv_id": conv_id, "turn_idx": ti,
+                                      "fixture": f"template-{art_i}",
+                                      "seed_url": "", **exp})
+            else:
+                text = _plain_text(rng)
+            conv_ids.append(conv_id)
+            turn_idxs.append(ti)
+            roles.append(role)
+            texts.append(text)
+            tools.append(tool)
+            tss.append(EPOCH + dt.timedelta(seconds=17 * row_no))
+            row_no += 1
+
+    table = pa.table({
+        "conv_id": pa.array(conv_ids, pa.string()),
+        "turn_idx": pa.array(turn_idxs, pa.int32()),
+        "role": pa.array(roles, pa.string()),
+        "text": pa.array(texts, pa.string()),
+        "tool": pa.array(tools, pa.string()),
+        "ts": pa.array(tss, pa.timestamp("us", tz="UTC")),
+    })
+    pq.write_table(table, os.path.join(out_dir, "transcripts.parquet"))
+
+    exp_fields = ["conv_id", "turn_idx", "fixture", "seed_url", "exp_title",
+                  "exp_text_start", "exp_text_end", "exp_text_contains",
+                  "exp_text_full", "exp_author", "exp_date", "exp_image_url"]
+    exp_cols = {f: [r.get(f) for r in expected_rows] for f in exp_fields}
+    exp_types = {"turn_idx": pa.int32()}
+    exp_table = pa.table({f: pa.array(exp_cols[f], exp_types.get(f, pa.string()))
+                          for f in exp_fields})
+    pq.write_table(exp_table, os.path.join(out_dir, "expected.parquet"))
+
+    # full local (single-node) extraction = oracle for the distributed run
+    ext_rows = {"conv_id": [], "turn_idx": [], "title": [], "text": [],
+                "author_name": [], "date_str": [], "language": [],
+                "description": []}
+    for cid, ti, text in zip(conv_ids, turn_idxs, texts):
+        try:
+            res = extract(text) if text else None
+        except Exception:
+            res = None
+        ext_rows["conv_id"].append(cid)
+        ext_rows["turn_idx"].append(ti)
+        ext_rows["title"].append(res["title"] if res else "")
+        ext_rows["text"].append(res["text"] if res else "")
+        ext_rows["author_name"].append(res["author_name"] if res else "")
+        ext_rows["date_str"].append(format_date_utc(res["date"]) if res else None)
+        ext_rows["language"].append(res["language"] if res else "")
+        ext_rows["description"].append(res["description"] if res else "")
+    ext_table = pa.table({
+        "conv_id": pa.array(ext_rows["conv_id"], pa.string()),
+        "turn_idx": pa.array(ext_rows["turn_idx"], pa.int32()),
+        "title": pa.array(ext_rows["title"], pa.string()),
+        "text": pa.array(ext_rows["text"], pa.string()),
+        "author_name": pa.array(ext_rows["author_name"], pa.string()),
+        "date_str": pa.array(ext_rows["date_str"], pa.string()),
+        "language": pa.array(ext_rows["language"], pa.string()),
+        "description": pa.array(ext_rows["description"], pa.string()),
+    })
+    pq.write_table(ext_table, os.path.join(out_dir, "expected_extraction.parquet"))
+
+    with open(marker, "w") as f:
+        f.write(f"sf={sf} seed={seed} rows={row_no} convs={n_convs}\n")
+    return out_dir
+
+
+def ensure_synth(sf_dir: str, root: str = "/root/repo/data/synth") -> str:
+    """Map a driver sf_dir to a generated synth dir (lazy, deterministic)."""
+    out = synth_dir_for(sf_dir, root)
+    return generate(out, sf=sf_from_dir(sf_dir))

@@ -1,0 +1,160 @@
+"""The distributed extraction pipeline (SURVEY.md §2.6, §4).
+
+Plan shape (deliberately narrow — scan → filter → salted exchange → Arrow
+UDF map → write; the ONLY shuffle is the explicit salted repartition):
+
+  read parquet/iceberg (explicit schema, predicate pushdown + column pruning
+      reach the scan — we select only the needed columns)
+  → filter(text IS NOT NULL AND length(text) > 0)   [cheap JVM-side gate]
+  → repartition(P, xxhash64(conv_id, turn_idx DIV SALT_SPAN))
+      conv_id-hash salting: turns of one mega-conversation spread over
+      ceil(len/SALT_SPAN) partitions — defuses long-conversation skew while
+      keeping SALT_SPAN-turn runs co-located (north-star requirement)
+  → mapInPandas(extract)        [Arrow-vectorized, no per-row Python]
+  → write parquet partitioned by bucket = pmod(xxhash64(conv_id), N_BUCKETS)
+
+Checkpoint/resume: after a successful write the job derives a per-bucket
+manifest (rows/bytes/ok/error counts) from the written data and stores it
+under <out>/_manifest/. A resumed run anti-joins input buckets against the
+manifest and only processes missing buckets; partitionOverwriteMode=dynamic
+makes per-bucket output overwrites idempotent.
+
+At 100 TB: buckets bound the blast radius of a failure (a killed job loses
+at most the in-flight buckets), the manifest is tiny driver-side state, and
+resume is an O(buckets) filter, not a table diff.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..schema import TRANSCRIPT_SCHEMA
+from ..udf import extract_map_in_pandas
+from ..schema import EXTRACTED_SCHEMA
+
+DEFAULT_SALT_SPAN = 64      # turns of one conv kept together per salt unit
+DEFAULT_N_BUCKETS = 64      # output commit granularity
+
+
+def build_session(app: str = "snacktory-extract", master: str | None = None,
+                  shuffle_partitions: int | None = None) -> SparkSession:
+    b = (SparkSession.builder.appName(app)
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         # large HTML rows: keep Arrow batches small to bound worker memory
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+         .config("spark.sql.parquet.compression.codec", "zstd")
+         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+         .config("spark.sql.session.timeZone", "UTC"))
+    if master:
+        b = b.master(master)
+    if shuffle_partitions:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return b.getOrCreate()
+
+
+def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    """Scan with explicit schema (never inferred); Iceberg tables load via
+    spark.table() when the path is a catalog identifier."""
+    if "/" not in path and "." in path:
+        return spark.table(path)  # iceberg/catalog identifier
+    return spark.read.schema(TRANSCRIPT_SCHEMA).parquet(path)
+
+
+def manifest_dir(output_path: str) -> str:
+    return os.path.join(output_path, "_manifest")
+
+
+def load_manifest(output_path: str) -> dict[int, dict]:
+    mdir = manifest_dir(output_path)
+    if not os.path.isdir(mdir):
+        return {}
+    out = {}
+    for name in os.listdir(mdir):
+        if name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as f:
+                row = json.load(f)
+            out[int(row["bucket"])] = row
+    return out
+
+
+def extracted_df(df: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS,
+                 salt_span: int = DEFAULT_SALT_SPAN,
+                 partitions: int | None = None) -> DataFrame:
+    """transcripts DataFrame → extracted DataFrame (lazy, no write)."""
+    gated = (df
+             .select("conv_id", "turn_idx", "role", "tool", "ts", "text")
+             .filter(F.col("text").isNotNull() & (F.length("text") > 0)))
+    salt = F.xxhash64(F.col("conv_id"),
+                      (F.col("turn_idx") / F.lit(salt_span)).cast("long"))
+    if partitions:
+        salted = gated.repartition(partitions, salt)
+    else:
+        salted = gated.repartition(salt)
+    out = salted.mapInPandas(extract_map_in_pandas, schema=EXTRACTED_SCHEMA)
+    return out.withColumn(
+        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int"))
+
+
+def run_extract(spark: SparkSession, input_path: str, output_path: str,
+                n_buckets: int = DEFAULT_N_BUCKETS,
+                salt_span: int = DEFAULT_SALT_SPAN,
+                partitions: int | None = None,
+                resume: bool = True) -> dict:
+    """Run (or resume) the extraction job. Returns run metrics."""
+    df = read_transcripts(spark, input_path)
+
+    done = load_manifest(output_path) if resume else {}
+    df = df.withColumn(
+        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int"))
+    if done:
+        # resume: anti-join against completed buckets (tiny set → broadcast)
+        done_df = spark.createDataFrame([(b,) for b in done], "bucket int")
+        df = df.join(F.broadcast(done_df), "bucket", "left_anti")
+
+    input_stats = df.agg(
+        F.count("*").alias("rows"),
+        F.coalesce(F.sum(F.octet_length("text")), F.lit(0)).alias("bytes")).first()
+    if input_stats["rows"] == 0:
+        return {"skipped": True, "completed_buckets": len(done)}
+
+    out = extracted_df(df.drop("bucket"), n_buckets=n_buckets,
+                       salt_span=salt_span, partitions=partitions)
+    (out.write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(output_path))
+
+    # per-bucket manifest with lineage + row/byte metrics (from written data)
+    written = spark.read.parquet(output_path)
+    rows = (written.groupBy("bucket")
+            .agg(F.count("*").alias("output_rows"),
+                 F.sum(F.octet_length("text")).alias("output_bytes"),
+                 F.sum(F.when(F.col("extract_ok"), 1).otherwise(0)).alias("ok_rows"),
+                 F.sum(F.when(~F.col("extract_ok"), 1).otherwise(0)).alias("error_rows"),
+                 F.approx_count_distinct("conv_id").alias("approx_convs"))
+            .collect())
+    mdir = manifest_dir(output_path)
+    os.makedirs(mdir, exist_ok=True)
+    for r in rows:
+        rec = {"bucket": int(r["bucket"]),
+               "output_rows": int(r["output_rows"]),
+               "output_bytes": int(r["output_bytes"] or 0),
+               "ok_rows": int(r["ok_rows"]),
+               "error_rows": int(r["error_rows"]),
+               "approx_convs": int(r["approx_convs"]),
+               "input_path": input_path}
+        with open(os.path.join(mdir, f"bucket-{rec['bucket']:05d}.json"), "w") as f:
+            json.dump(rec, f)
+    return {
+        "input_rows": int(input_stats["rows"]),
+        "input_bytes": int(input_stats["bytes"]),
+        "output_rows": sum(int(r["output_rows"]) for r in rows),
+        "ok_rows": sum(int(r["ok_rows"]) for r in rows),
+        "error_rows": sum(int(r["error_rows"]) for r in rows),
+        "buckets_written": len(rows),
+        "resumed_buckets_skipped": len(done),
+    }

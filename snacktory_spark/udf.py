@@ -1,0 +1,89 @@
+"""Arrow-vectorized extraction UDFs (SURVEY.md §1.2, §3 EP1 Spark mapping).
+
+The whole reference library is one scalar ``String html → JResult`` function;
+here it becomes a single vectorized pandas UDF / mapInPandas stage: Arrow
+batch in → per-row pure-python extraction (module-level compiled regex/rule
+tables, warm per worker like the reference's static Patterns) → Arrow batch
+out. No per-row Python dispatch from the JVM.
+
+Failure policy for web-scale runs: a row that throws yields an empty result
+with extract_ok=false + extract_error, never a task failure.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from .extractor import empty_result, extract
+from .schema import EXTRACT_SCHEMA
+
+_RESULT_FIELDS = [f.name for f in EXTRACT_SCHEMA.fields]
+
+
+def extract_row(text: str | None, url: str | None) -> dict:
+    """Extract one row; never raises."""
+    if not text:
+        res = empty_result(url or "")
+        res["extract_ok"] = False
+        res["extract_error"] = "empty text"
+        return res
+    try:
+        res = extract(text, url or "")
+        res["extract_ok"] = True
+        res["extract_error"] = None
+        return res
+    except Exception as e:  # noqa: BLE001 — robustness over a 10^12-row table
+        res = empty_result(url or "")
+        res["extract_ok"] = False
+        res["extract_error"] = f"{type(e).__name__}: {e}"[:500]
+        return res
+
+
+def _results_to_frame(results: list[dict]) -> pd.DataFrame:
+    cols: dict[str, list] = {name: [] for name in _RESULT_FIELDS}
+    for res in results:
+        for name in _RESULT_FIELDS:
+            cols[name].append(res.get(name))
+    frame = pd.DataFrame(cols)
+    # TimestampType wants datetime64; dates are tz-aware UTC python datetimes
+    frame["date"] = pd.to_datetime(frame["date"], utc=True, errors="coerce")
+    return frame
+
+
+def extract_batch(text: pd.Series, url: pd.Series | None = None) -> pd.DataFrame:
+    """Vectorized batch extraction: two Series in, struct-frame out."""
+    if url is None:
+        url = pd.Series([""] * len(text))
+    results = [extract_row(t, u) for t, u in zip(text, url)]
+    return _results_to_frame(results)
+
+
+def make_extract_udf():
+    """Scalar Arrow-vectorized UDF returning the EXTRACT_SCHEMA struct.
+
+    Usage: df.withColumn("res", extract_udf(col("text"), col("url")))
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(EXTRACT_SCHEMA)
+    def extract_udf(text: pd.Series, url: pd.Series) -> pd.DataFrame:
+        return extract_batch(text, url)
+
+    return extract_udf
+
+
+def extract_map_in_pandas(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: transcript batches → flat extracted batches.
+
+    Expects columns conv_id, turn_idx, role, tool, ts, text (and optionally
+    url). Emits EXTRACTED_SCHEMA-shaped batches. Used by the pipeline for
+    fuller control over batch shape than the scalar UDF.
+    """
+    for pdf in iterator:
+        url = pdf["url"] if "url" in pdf.columns else pd.Series([""] * len(pdf))
+        out = _results_to_frame([extract_row(t, u) for t, u in zip(pdf["text"], url)])
+        keys = [k for k in ("conv_id", "turn_idx", "role", "tool", "ts")
+                if k in pdf.columns]
+        yield pd.concat([pdf[keys].reset_index(drop=True), out], axis=1)
