@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship extraction over the sf0.001 synthetic transcript
+                 table (BASELINE.json input_hint shape).
+queries()      — implemented operators from SURVEY.md §2: the extraction
+                 pipeline itself (oracled against a deterministic local
+                 single-node extraction), plus relational/window/join/dedup/
+                 text-analysis/ANN operators with ANSI-SQL DuckDB oracles.
+oracle_sql()   — DuckDB equivalents. Transcript-table oracles read the
+                 deterministic synthetic parquet generated at import-time
+                 fixed paths (seed=42, no wall-clock content).
 """
 
 from __future__ import annotations
@@ -13,26 +17,381 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SYNTH_ROOT = "/root/repo/data/synth"
+SF001_DIR = f"{SYNTH_ROOT}/sf0.001"
+SF01_DIR = f"{SYNTH_ROOT}/sf0.01"   # driver correctness runs at sf=0.01
+
+_EN_STOPWORDS = "('the','of','and','to','a','in','is','it','that','for')"
+
+
+def _synth(sf_dir: str) -> str:
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from snacktory_spark.data.synth import ensure_synth
+    return ensure_synth(sf_dir, SYNTH_ROOT)
+
+
+def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the full distributed extraction over the synthetic transcripts."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+    from snacktory_spark.pipeline.extract_job import extracted_df, read_transcripts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sdir = _synth(sf_dir)
+    df = read_transcripts(spark, f"{sdir}/transcripts.parquet")
+    out = extracted_df(df)
+    return out.select(
+        "conv_id", "turn_idx", "title", "text", "author_name",
+        F.date_format("date", "yyyy-MM-dd HH:mm:ss").alias("date_str"),
+        "language", "description")
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on the sf0.001 synthetic transcript table."""
+    return _extracted(spark, "/root/testdata/sf0.001")
+
+
+# ----------------------------------------------------------------------------
+# queries: each callable (spark, sf_dir) -> DataFrame
+# ----------------------------------------------------------------------------
+
+def q_extract_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The extraction pipeline itself (SURVEY §2.1-§2.5, EP1): distributed
+    Arrow-UDF extraction must byte-match the single-node reference-parity
+    extractor (oracle = expected_extraction.parquet computed at synth time)."""
+    return _extracted(spark, sf_dir)
+
+
+def q_golden_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-fixture verification join (FIXTURES.md §2): extracted turns vs
+    the expectation table; emits per-assertion pass booleans."""
+    from pyspark.sql import functions as F
+    sdir = _synth(sf_dir)
+    extracted = _extracted(spark, sf_dir)
+    expected = spark.read.parquet(f"{sdir}/expected.parquet")
+    j = extracted.join(F.broadcast(expected), ["conv_id", "turn_idx"], "inner")
+    return j.select(
+        "conv_id", "turn_idx",
+        F.when(F.col("exp_title").isNull(), True)
+         .otherwise(F.col("title") == F.col("exp_title")).alias("title_ok"),
+        F.when(F.col("exp_text_start").isNull(), True)
+         .otherwise(F.col("text").startswith(F.col("exp_text_start"))).alias("text_start_ok"),
+        F.when(F.col("exp_text_full").isNull(), True)
+         .otherwise(F.col("text") == F.col("exp_text_full")).alias("text_full_ok"),
+        F.when(F.col("exp_author").isNull(), True)
+         .otherwise(F.col("author_name") == F.col("exp_author")).alias("author_ok"),
+        F.when(F.col("exp_date").isNull(), True)
+         .otherwise(F.col("date_str") == F.col("exp_date")).alias("date_ok"),
+    )
+
+
+def q_turn_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable turn ordering: row_number over (conv_id, turn_idx) windows."""
+    from pyspark.sql import Window, functions as F
+    sdir = _synth(sf_dir)
+    df = spark.read.parquet(f"{sdir}/transcripts.parquet")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return df.select("conv_id", "turn_idx",
+                     F.row_number().over(w).alias("rn"),
+                     F.lag("role", 1).over(w).alias("prev_role"))
+
+
+def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation partial+final hash aggregation (lineage metrics)."""
+    from pyspark.sql import functions as F
+    sdir = _synth(sf_dir)
+    df = spark.read.parquet(f"{sdir}/transcripts.parquet")
+    return (df.groupBy("conv_id")
+            .agg(F.count("*").alias("n_turns"),
+                 F.sum(F.length("text")).alias("total_chars"),
+                 F.max("turn_idx").alias("max_turn_idx"),
+                 F.count(F.when(F.col("role") == "tool", 1)).alias("tool_turns")))
+
+
+def q_html_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap pre-UDF gate: classify turns as html-ish vs plain (pushdown-able
+    filter + projection, SURVEY §2.6)."""
+    from pyspark.sql import functions as F
+    sdir = _synth(sf_dir)
+    df = spark.read.parquet(f"{sdir}/transcripts.parquet")
+    return (df.select("role",
+                      F.col("text").rlike("<[a-zA-Z!]").alias("is_htmlish"))
+            .groupBy("role", "is_htmlish")
+            .agg(F.count("*").alias("n")))
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style aggregation over lineitem."""
+    from pyspark.sql import functions as F
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (df.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.count("*").alias("count_order")))
+
+
+def q_nation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast join: orders → customer → nation, revenue per nation."""
+    from pyspark.sql import functions as F
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (orders.join(F.broadcast(customer),
+                        orders.o_custkey == customer.c_custkey)
+            .join(F.broadcast(nation),
+                  customer.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_price")))
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (set op; same shape as the pipeline's resume logic)."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (customer.join(orders, customer.c_custkey == orders.o_custkey,
+                          "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+def q_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k: 3 biggest orders per market segment."""
+    from pyspark.sql import Window, functions as F
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    j = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    w = (Window.partitionBy("c_mktsegment")
+         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")))
+    return (j.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("c_mktsegment", "rk", "o_orderkey", "o_totalprice"))
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via window functions (30-min inactivity gap)."""
+    from pyspark.sql import Window, functions as F
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_timestamp("ts")
+           - F.unix_timestamp(F.lag("ts", 1).over(w))) > 1800
+    with_flag = events.withColumn(
+        "new_session", F.when(gap | F.lag("ts", 1).over(w).isNull(), 1).otherwise(0))
+    sess = with_flag.withColumn(
+        "session_no", F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+    return (sess.groupBy("user_id", "session_no")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy (training-data pipeline op)."""
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (docs.groupBy(F.md5(F.col("text")).alias("content_hash"))
+            .agg(F.count("*").alias("n_copies"),
+                 F.min("doc_id").alias("keeper_doc_id"))
+            .filter(F.col("n_copies") > 1))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized document fingerprinting (lower + whitespace collapse)."""
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+         .alias("fingerprint"))
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + stopword-ratio quality scoring over documents."""
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    stop_hits = F.size(F.expr(
+        "filter(split(trim(text), '\\\\s+'), "
+        f"x -> x in {_EN_STOPWORDS})"))
+    return (docs.filter(F.length("text") > 0)
+            .select("doc_id", "lang",
+                    F.size(toks).alias("n_tokens"),
+                    stop_hits.alias("n_stopwords"),
+                    F.round(stop_hits / F.size(toks), 4).alias("stopword_ratio")))
+
+
+def q_doc_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language distribution + mean length (text-analysis aggregate)."""
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (docs.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.round(F.avg("n_chars"), 4).alias("avg_chars")))
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 ANN baseline over the embedding column,
+    JVM-side only (F.aggregate/F.zip_with — no Python in the hot path)."""
+    from pyspark.sql import functions as F
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    dot = F.aggregate(F.zip_with(F.col("embedding"), qlit, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm_a = F.sqrt(F.aggregate(F.col("embedding"), F.lit(0.0),
+                                lambda acc, x: acc + x * x))
+    norm_q = float(sum(float(x) * float(x) for x in qvec)) ** 0.5
+    cos = dot / (norm_a * F.lit(norm_q))
+    return (emb.filter(F.col("vec_id") != 0)
+            .select("vec_id", F.round(cos, 4).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+            .limit(10))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_turns": q_extract_turns,
+        "golden_equality": q_golden_equality,
+        "turn_ordering": q_turn_ordering,
+        "conv_stats": q_conv_stats,
+        "html_gate": q_html_gate,
+        "pricing_summary": q_pricing_summary,
+        "nation_orders": q_nation_orders,
+        "customers_without_orders": q_customers_without_orders,
+        "top_orders_per_segment": q_top_orders_per_segment,
+        "event_sessions": q_event_sessions,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_lang_profile": q_doc_lang_profile,
+        "knn_cosine": q_knn_cosine,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tr = f"read_parquet('{SF01_DIR}/transcripts.parquet')"
+    ee = f"read_parquet('{SF01_DIR}/expected_extraction.parquet')"
+    ex = f"read_parquet('{SF01_DIR}/expected.parquet')"
+    return {
+        # distributed extraction == deterministic single-node extraction
+        "extract_turns": f"""
+            SELECT conv_id, turn_idx, title, text, author_name, date_str,
+                   language, description
+            FROM {ee}
+        """,
+        "golden_equality": f"""
+            SELECT e.conv_id, e.turn_idx,
+                   CASE WHEN x.exp_title IS NULL THEN true
+                        ELSE e.title = x.exp_title END AS title_ok,
+                   CASE WHEN x.exp_text_start IS NULL THEN true
+                        ELSE starts_with(e.text, x.exp_text_start) END AS text_start_ok,
+                   CASE WHEN x.exp_text_full IS NULL THEN true
+                        ELSE e.text = x.exp_text_full END AS text_full_ok,
+                   CASE WHEN x.exp_author IS NULL THEN true
+                        ELSE e.author_name = x.exp_author END AS author_ok,
+                   CASE WHEN x.exp_date IS NULL THEN true
+                        ELSE e.date_str = x.exp_date END AS date_ok
+            FROM {ee} e JOIN {ex} x USING (conv_id, turn_idx)
+        """,
+        "turn_ordering": f"""
+            SELECT conv_id, turn_idx,
+                   row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn,
+                   lag(role, 1) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+            FROM {tr}
+        """,
+        "conv_stats": f"""
+            SELECT conv_id, count(*) AS n_turns, sum(length(text)) AS total_chars,
+                   max(turn_idx) AS max_turn_idx,
+                   count(CASE WHEN role = 'tool' THEN 1 END) AS tool_turns
+            FROM {tr} GROUP BY conv_id
+        """,
+        "html_gate": f"""
+            SELECT role, regexp_matches(text, '<[a-zA-Z!]') AS is_htmlish,
+                   count(*) AS n
+            FROM {tr} GROUP BY role, is_htmlish
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "nation_orders": """
+            SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "top_orders_per_segment": """
+            SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+                SELECT c_mktsegment, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY c_mktsegment
+                                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+                FROM orders JOIN customer ON o_custkey = c_custkey) t
+            WHERE rk <= 3
+        """,
+        "event_sessions": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sessioned AS (
+                SELECT user_id, value,
+                       sum(new_session) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING) AS session_no
+                FROM flagged)
+            SELECT user_id, session_no, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM sessioned GROUP BY user_id, session_no
+        """,
+        "doc_exact_dedup": """
+            SELECT md5(text) AS content_hash, count(*) AS n_copies,
+                   min(doc_id) AS keeper_doc_id
+            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        """,
+        "doc_fingerprint": r"""
+            SELECT doc_id,
+                   md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "doc_token_stats": rf"""
+            SELECT doc_id, lang,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                   len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   x -> x in {_EN_STOPWORDS})) AS n_stopwords,
+                   round(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                         x -> x in {_EN_STOPWORDS}))
+                         / len(regexp_split_to_array(trim(text), '\s+')), 4)
+                       AS stopword_ratio
+            FROM documents WHERE length(text) > 0
+        """,
+        "doc_lang_profile": """
+            SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+                   round(avg(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "knn_cosine": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_dot_product(embedding, qe)
+                         / (sqrt(list_dot_product(embedding, embedding))
+                            * sqrt(list_dot_product(qe, qe))), 4) AS cos_sim
+            FROM embeddings, q
+            WHERE vec_id <> 0
+            ORDER BY cos_sim DESC, vec_id ASC
+            LIMIT 10
+        """,
+    }

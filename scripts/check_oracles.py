@@ -1,0 +1,108 @@
+"""Local replica of the driver's correctness gate: run each queries() entry
+on Spark at sf0.01, run oracle_sql() in DuckDB (tables pre-registered as
+views), compare row-count + schema-insensitive sorted value hash."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def table_hash(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    from pyspark.sql import SparkSession
+    import __spark_entry__ as entrymod
+
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.sql.session.timeZone", "UTC")
+             .appName("oracle-check").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    only = sys.argv[1:] or list(qs)
+    failures = 0
+    for name in only:
+        fn = qs[name]
+        try:
+            df = fn(spark, SF_DIR)
+            spark_cols = df.columns
+            spark_rows = [tuple(r) for r in df.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: {len(spark_rows)} rows")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            duck_cols = rel.columns
+            duck_rows = rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        ok_count = len(spark_rows) == len(duck_rows)
+        ok_schema = sorted(spark_cols) == sorted(duck_cols)
+        sh = table_hash(spark_rows, spark_cols)
+        dh = table_hash(duck_rows, duck_cols)
+        ok_hash = sh == dh
+        status = "OK  " if (ok_count and ok_schema and ok_hash) else "FAIL"
+        if status == "FAIL":
+            failures += 1
+        print(f"{status} {name}: rows {len(spark_rows)}/{len(duck_rows)} "
+              f"schema={'ok' if ok_schema else sorted(spark_cols)} hash={'ok' if ok_hash else 'MISMATCH'}")
+        if not ok_hash and ok_count and ok_schema:
+            # show first differing line for debugging
+            order_s = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+            order_d = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+            ls = sorted("|".join(norm_cell(r[i]) for i in order_s) for r in spark_rows)
+            ld = sorted("|".join(norm_cell(r[i]) for i in order_d) for r in duck_rows)
+            for a, b in zip(ls, ld):
+                if a != b:
+                    print(f"    spark: {a[:200]}")
+                    print(f"    duck : {b[:200]}")
+                    break
+    print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
