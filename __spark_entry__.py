@@ -25,10 +25,13 @@ _EN_STOPWORDS = "('the','of','and','to','a','in','is','it','that','for')"
 
 
 def _synth(sf_dir: str) -> str:
+    # Spark-side queries only need the input table; the full single-node
+    # oracle extraction parquet (sf0.001/sf0.01) is pre-generated and
+    # committed, so this never regenerates it inside a timed query.
     import sys
     sys.path.insert(0, "/root/repo")
     from snacktory_spark.data.synth import ensure_synth
-    return ensure_synth(sf_dir, SYNTH_ROOT)
+    return ensure_synth(sf_dir, SYNTH_ROOT, include_extraction=False)
 
 
 def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,96 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline metric: total seconds over the query set. The flagship number for
+the north-star target (turns-extracted/sec) is reported as
+"turns_per_sec". SNACKTORY_BENCH_REPLICATE=N replicates the transcript
+input N× JVM-side (cheap explode; used by scripts/scaling_bench.py to get a
+CPU-bound workload for the N-vs-4N-core scaling-efficiency evidence).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("SNACKTORY_BENCH_REPLICATE", "1"))
+
+
+def replicated_transcripts(spark, path: str, factor: int):
+    from pyspark.sql import functions as F
+    from snacktory_spark.pipeline.extract_job import read_transcripts
+    df = read_transcripts(spark, path)
+    if factor <= 1:
+        return df
+    reps = spark.range(factor).select(F.col("id").alias("rep"))
+    return (df.crossJoin(F.broadcast(reps))
+            .withColumn("conv_id", F.concat_ws("-", "conv_id", "rep"))
+            .drop("rep"))
+
+
+def main():
+    from pyspark.sql import functions as F
+    from snacktory_spark.data.synth import ensure_synth
+    from snacktory_spark.pipeline.extract_job import build_session, extracted_df
+
+    import __spark_entry__ as entrymod
+
+    sdir = ensure_synth(SF_DIR, include_extraction=False)
+    spark = build_session(app="snacktory-bench", master=f"local[{CPUS}]",
+                          shuffle_partitions=max(CPUS, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # flagship: full extraction over the transcript table
+    tdf = replicated_transcripts(spark, f"{sdir}/transcripts.parquet", REPLICATE)
+    tdf = tdf.cache()
+    n_turns = tdf.count()  # warm input cache so q1 measures extraction, not gen
+
+    t0 = time.time()
+    extracted = extracted_df(tdf)
+    n_extracted = extracted.count()
+    dt = time.time() - t0
+    timings["extract_turns"] = round(dt, 3)
+    extras["turns_per_sec"] = round(n_extracted / dt, 1)
+    extras["n_turns"] = n_turns
+
+    # relational/window/dedup/ANN headliners from the driver query set
+    qs = entrymod.queries()
+    for name in ["turn_ordering", "conv_stats", "pricing_summary",
+                 "nation_orders", "top_orders_per_segment", "event_sessions",
+                 "doc_token_stats", "doc_fingerprint", "knn_cosine"]:
+        t0 = time.time()
+        try:
+            qs[name](spark, SF_DIR).count()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # pragma: no cover
+            timings[name] = -1.0
+            extras[f"{name}_error"] = str(e)[:120]
+
+    total = round(sum(v for v in timings.values() if v > 0), 3)
+    out = {
+        "metric": "headline-queries-total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "replicate": REPLICATE,
+        **extras,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -174,11 +174,18 @@ def synth_dir_for(sf_dir: str, root: str = "/root/repo/data/synth") -> str:
 
 
 def generate(out_dir: str, sf: float = 0.01, seed: int = 42,
-             include_golden: bool = True, force: bool = False) -> str:
-    """Generate transcripts/expected/expected_extraction parquet in out_dir."""
+             include_golden: bool = True, force: bool = False,
+             include_extraction: bool = True) -> str:
+    """Generate transcripts/expected/expected_extraction parquet in out_dir.
+
+    include_extraction=False skips the (single-threaded) local oracle
+    extraction — used by the bench, which only needs the input table.
+    """
     marker = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(marker) and not force:
-        return out_dir
+        have_full = "extraction=1" in open(marker).read()
+        if have_full or not include_extraction:
+            return out_dir
     os.makedirs(out_dir, exist_ok=True)
     rng = random.Random(seed)
 
@@ -244,6 +251,11 @@ def generate(out_dir: str, sf: float = 0.01, seed: int = 42,
                           for f in exp_fields})
     pq.write_table(exp_table, os.path.join(out_dir, "expected.parquet"))
 
+    if not include_extraction:
+        with open(marker, "w") as f:
+            f.write(f"sf={sf} seed={seed} rows={row_no} convs={n_convs} extraction=0\n")
+        return out_dir
+
     # full local (single-node) extraction = oracle for the distributed run
     ext_rows = {"conv_id": [], "turn_idx": [], "title": [], "text": [],
                 "author_name": [], "date_str": [], "language": [],
@@ -274,11 +286,13 @@ def generate(out_dir: str, sf: float = 0.01, seed: int = 42,
     pq.write_table(ext_table, os.path.join(out_dir, "expected_extraction.parquet"))
 
     with open(marker, "w") as f:
-        f.write(f"sf={sf} seed={seed} rows={row_no} convs={n_convs}\n")
+        f.write(f"sf={sf} seed={seed} rows={row_no} convs={n_convs} extraction=1\n")
     return out_dir
 
 
-def ensure_synth(sf_dir: str, root: str = "/root/repo/data/synth") -> str:
+def ensure_synth(sf_dir: str, root: str = "/root/repo/data/synth",
+                 include_extraction: bool = True) -> str:
     """Map a driver sf_dir to a generated synth dir (lazy, deterministic)."""
     out = synth_dir_for(sf_dir, root)
-    return generate(out, sf=sf_from_dir(sf_dir))
+    return generate(out, sf=sf_from_dir(sf_dir),
+                    include_extraction=include_extraction)

@@ -1,0 +1,131 @@
+"""Spark-layer tests: vectorized UDF equivalence, salted pipeline,
+manifest/resume idempotency, golden-equality join. Uses sf0.001 synth data."""
+
+import os
+import shutil
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from snacktory_spark.data.synth import generate  # noqa: E402
+
+SYNTH = "/root/repo/data/synth/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from snacktory_spark.pipeline.extract_job import build_session
+    spark = build_session(app="pytest-snacktory", master="local[4]",
+                          shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    yield spark
+
+
+@pytest.fixture(scope="module")
+def synth_dir():
+    return generate(SYNTH, sf=0.001)
+
+
+def test_extracted_matches_local(spark, synth_dir):
+    """Distributed Arrow-UDF extraction == single-node extraction, per turn."""
+    from pyspark.sql import functions as F
+    from snacktory_spark.pipeline.extract_job import extracted_df, read_transcripts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = read_transcripts(spark, f"{synth_dir}/transcripts.parquet")
+    got = (extracted_df(df)
+           .select("conv_id", "turn_idx", "title", "text", "author_name",
+                   F.date_format("date", "yyyy-MM-dd HH:mm:ss").alias("date_str"))
+           .orderBy("conv_id", "turn_idx").collect())
+    want = (spark.read.parquet(f"{synth_dir}/expected_extraction.parquet")
+            .select("conv_id", "turn_idx", "title", "text", "author_name", "date_str")
+            .orderBy("conv_id", "turn_idx").collect())
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g == w, f"mismatch at {g['conv_id']}/{g['turn_idx']}"
+
+
+def test_golden_assertions_all_pass(spark, synth_dir):
+    """Every golden/templated expectation row passes through Spark."""
+    import __spark_entry__ as entrymod
+    res = entrymod.q_golden_equality(spark, "/root/testdata/sf0.001").collect()
+    assert len(res) > 0
+    bad = [r for r in res
+           if not (r["title_ok"] and r["text_start_ok"] and r["text_full_ok"]
+                   and r["author_ok"] and r["date_ok"])]
+    assert not bad, f"failed golden rows: {bad[:3]}"
+
+
+def test_pipeline_manifest_and_resume(spark, synth_dir, tmp_path):
+    from snacktory_spark.pipeline.extract_job import load_manifest, run_extract
+
+    out = str(tmp_path / "out")
+    m1 = run_extract(spark, f"{synth_dir}/transcripts.parquet", out, n_buckets=4)
+    assert m1["output_rows"] > 0
+    assert m1["buckets_written"] >= 1
+    manifest = load_manifest(out)
+    assert sum(r["output_rows"] for r in manifest.values()) == m1["output_rows"]
+
+    # resume: everything complete → no work
+    m2 = run_extract(spark, f"{synth_dir}/transcripts.parquet", out, n_buckets=4)
+    assert m2.get("skipped") is True
+
+    # drop one bucket's manifest → only that bucket reprocessed
+    some_bucket = next(iter(manifest))
+    os.remove(os.path.join(out, "_manifest", f"bucket-{some_bucket:05d}.json"))
+    m3 = run_extract(spark, f"{synth_dir}/transcripts.parquet", out, n_buckets=4)
+    assert m3["buckets_written"] == 1
+    assert m3["resumed_buckets_skipped"] == len(manifest) - 1
+
+    # output identical row count after resume (idempotent overwrite)
+    total = spark.read.parquet(out).count()
+    assert total == m1["output_rows"]
+
+
+def test_salting_spreads_mega_conversation(spark, synth_dir):
+    """A single long conversation must span multiple partitions."""
+    from pyspark.sql import functions as F
+    from snacktory_spark.pipeline.extract_job import read_transcripts
+
+    df = read_transcripts(spark, f"{synth_dir}/transcripts.parquet")
+    longest = (df.groupBy("conv_id").count()
+               .orderBy(F.desc("count")).first())
+    if longest["count"] < 65:
+        pytest.skip("no mega-conversation at this sf")
+    salt = F.xxhash64(F.col("conv_id"), (F.col("turn_idx") / F.lit(16)).cast("long"))
+    parts = (df.filter(F.col("conv_id") == longest["conv_id"])
+             .repartition(8, salt)
+             .withColumn("pid", F.spark_partition_id())
+             .select("pid").distinct().count())
+    assert parts > 1, "salting failed to split the mega-conversation"
+
+
+def test_extract_udf_scalar(spark):
+    """Scalar pandas UDF path (withColumn style)."""
+    from pyspark.sql import functions as F
+    from snacktory_spark.udf import make_extract_udf
+
+    html = ("<html><head><title>T1</title></head><body><div class='article-body'>"
+            + "".join(f"<p>Paragraph number {i} with plenty of meaningful text "
+                      f"for the extractor to keep in its output body.</p>"
+                      for i in range(4))
+            + "</div></body></html>")
+    df = spark.createDataFrame([("c1", 0, html, "")],
+                               "conv_id string, turn_idx int, text string, url string")
+    udf = make_extract_udf()
+    row = df.withColumn("res", udf(F.col("text"), F.col("url"))).select("res.*").first()
+    assert row["title"] == "T1"
+    assert row["text"].startswith("Paragraph number 0")
+    assert row["extract_ok"] is True
+
+
+def test_extract_udf_error_row(spark):
+    from pyspark.sql import functions as F
+    from snacktory_spark.udf import make_extract_udf
+    df = spark.createDataFrame([("c1", 0, None, ""), ("c1", 1, "", "")],
+                               "conv_id string, turn_idx int, text string, url string")
+    udf = make_extract_udf()
+    rows = df.withColumn("res", udf(F.col("text"), F.col("url"))).select("res.extract_ok").collect()
+    assert all(r["extract_ok"] is False for r in rows)
