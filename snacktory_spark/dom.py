@@ -100,7 +100,8 @@ class TextNode:
 
 
 class Element:
-    __slots__ = ("tag", "attrs", "child_nodes", "parent", "_doc")
+    __slots__ = ("tag", "attrs", "child_nodes", "parent", "_doc", "_ord",
+                 "_kids", "_kids_ver", "_otext", "_otext_ver")
 
     def __init__(self, tag: str, attrs: dict | None = None, parent=None, doc=None):
         self.tag = tag
@@ -108,6 +109,16 @@ class Element:
         self.child_nodes: list = []
         self.parent = parent
         self._doc = doc
+        self._ord = 0
+        self._kids = None
+        self._kids_ver = -1
+        self._otext = None
+        self._otext_ver = -1
+
+    def _bump(self) -> None:
+        d = self._doc
+        if d is not None:
+            d.version += 1
 
     # -- basic accessors ------------------------------------------------------
 
@@ -146,10 +157,14 @@ class Element:
         return key.lower() in self.attrs
 
     def set_attr(self, key: str, value: str) -> None:
-        self.attrs[key.lower()] = value
+        key = key.lower()
+        if key not in self.attrs:
+            self._bump()  # attribute-presence selectors depend on keys
+        self.attrs[key] = value
 
     def remove_attr(self, key: str) -> None:
-        self.attrs.pop(key.lower(), None)
+        if self.attrs.pop(key.lower(), None) is not None:
+            self._bump()
 
     def id(self) -> str:
         return self.attrs.get("id", "")
@@ -165,7 +180,12 @@ class Element:
 
     @property
     def children(self) -> list["Element"]:
-        return [c for c in self.child_nodes if isinstance(c, Element)]
+        d = self._doc
+        ver = d.version if d is not None else -2
+        if self._kids is None or self._kids_ver != ver:
+            self._kids = [c for c in self.child_nodes if isinstance(c, Element)]
+            self._kids_ver = ver
+        return self._kids
 
     def first_element_child(self):
         for c in self.child_nodes:
@@ -176,6 +196,7 @@ class Element:
     def append_child(self, node) -> None:
         node.parent = self
         self.child_nodes.append(node)
+        self._bump()
 
     def remove(self) -> None:
         """Detach from parent (jsoup Node.remove)."""
@@ -184,10 +205,12 @@ class Element:
                 self.parent.child_nodes.remove(self)
             except ValueError:
                 pass
+            self._bump()
             self.parent = None
 
     def empty(self) -> None:
         self.child_nodes = []
+        self._bump()
 
     # -- text extraction (jsoup 1.7.1 semantics) -------------------------------
 
@@ -196,13 +219,19 @@ class Element:
         # accessors ignore — critical for :containsOwn and author heuristics
         if self.tag in ("script", "style"):
             return ""
+        d = self._doc
+        ver = d.version if d is not None else -2
+        if self._otext is not None and self._otext_ver == ver:
+            return self._otext
         accum: list[str] = []
         for child in self.child_nodes:
             if isinstance(child, TextNode):
                 _append_normalised(accum, child, self)
             elif isinstance(child, Element) and child.tag == "br":
                 _append_space_if_needed(accum)
-        return java_trim("".join(accum))
+        self._otext = java_trim("".join(accum))
+        self._otext_ver = ver
+        return self._otext
 
     def text(self) -> str:
         accum: list[str] = []
@@ -320,12 +349,51 @@ def _escape_text(v: str) -> str:
 
 
 class Document(Element):
-    __slots__ = ("base_uri_str",)
+    __slots__ = ("base_uri_str", "version", "_idx_ver", "_idx_tag",
+                 "_idx_class", "_idx_id", "_idx_attr", "_idx_all")
 
     def __init__(self, base_uri: str = ""):
         super().__init__("#root")
         self.base_uri_str = base_uri or ""
         self._doc = self
+        self.version = 0
+        self._idx_ver = -1
+        self._idx_tag = None
+        self._idx_class = None
+        self._idx_id = None
+        self._idx_attr = None
+        self._idx_all = None
+
+    def _index(self):
+        """Lazily (re)build doc-order element indexes for fast selects."""
+        if self._idx_ver != self.version:
+            tag_idx: dict[str, list] = {}
+            class_idx: dict[str, list] = {}
+            id_idx: dict[str, list] = {}
+            attr_idx: dict[str, list] = {}
+            all_els = []
+            for i, el in enumerate(self.iter_descendants()):
+                el._ord = i
+                all_els.append(el)
+                tag_idx.setdefault(el.tag, []).append(el)
+                attrs = el.attrs
+                if attrs:
+                    for k in attrs:
+                        attr_idx.setdefault(k, []).append(el)
+                    cls = attrs.get("class")
+                    if cls:
+                        for c in cls.split():
+                            class_idx.setdefault(c, []).append(el)
+                    i_d = attrs.get("id")
+                    if i_d:
+                        id_idx.setdefault(i_d, []).append(el)
+            self._idx_tag = tag_idx
+            self._idx_class = class_idx
+            self._idx_id = id_idx
+            self._idx_attr = attr_idx
+            self._idx_all = all_els
+            self._idx_ver = self.version
+        return self
 
     def title(self) -> str:
         for el in self.iter_descendants():
@@ -783,11 +851,44 @@ def _match_chain(chain: list, el: Element, root: Element) -> bool:
     return match_rest(i, el)
 
 
+def _candidates_for(simple: _Simple, doc: "Document"):
+    """Pick the narrowest doc index for the rightmost compound selector."""
+    if simple.ids:
+        return doc._idx_id.get(simple.ids[0], ())
+    if simple.classes:
+        return doc._idx_class.get(simple.classes[0], ())
+    best = None
+    for key, _op, _v in simple.attrs:
+        lst = doc._idx_attr.get(key, ())
+        if best is None or len(lst) < len(best):
+            best = lst
+    if best is not None:
+        if simple.tag is not None and len(doc._idx_tag.get(simple.tag, ())) < len(best):
+            return doc._idx_tag.get(simple.tag, ())
+        return best
+    if simple.tag is not None:
+        return doc._idx_tag.get(simple.tag, ())
+    return doc._idx_all
+
+
 def select(query: str, root: Element, first_only: bool = False) -> Elements:
     chains = _SEL_CACHE.get(query)
     if chains is None:
         chains = _parse_group(query)
         _SEL_CACHE[query] = chains
+    doc = root._doc
+    if doc is not None and root is doc:
+        # fast path: index-accelerated from the document root
+        doc._index()
+        hits: dict[int, Element] = {}
+        for chain in chains:
+            for el in _candidates_for(chain[-1], doc):
+                if el._ord not in hits and _match_chain(chain, el, root):
+                    hits[el._ord] = el
+        out = Elements(hits[k] for k in sorted(hits))
+        if first_only and len(out) > 1:
+            return Elements(out[:1])
+        return out
     out = Elements()
     for el in root.iter_descendants():
         for chain in chains:
