@@ -56,6 +56,13 @@ def main():
     tdf = tdf.cache()
     n_turns = tdf.count()  # warm input cache so q1 measures extraction, not gen
 
+    # warm the Python worker pool (first python stage pays worker+import
+    # startup; steady-state throughput is what the metric tracks)
+    def _noop(it):
+        for pdf in it:
+            yield pdf[["conv_id"]]
+    tdf.repartition(CPUS * 2).mapInPandas(_noop, "conv_id string").count()
+
     t0 = time.time()
     extracted = extracted_df(tdf)
     n_extracted = extracted.count()
@@ -66,9 +73,12 @@ def main():
 
     # relational/window/dedup/ANN headliners from the driver query set
     qs = entrymod.queries()
-    for name in ["turn_ordering", "conv_stats", "pricing_summary",
-                 "nation_orders", "top_orders_per_segment", "event_sessions",
-                 "doc_token_stats", "doc_fingerprint", "knn_cosine"]:
+    rel_queries = ["turn_ordering", "conv_stats", "pricing_summary",
+                   "nation_orders", "top_orders_per_segment", "event_sessions",
+                   "doc_token_stats", "doc_fingerprint", "knn_cosine"]
+    if os.environ.get("SNACKTORY_BENCH_EXTRACT_ONLY"):
+        rel_queries = []
+    for name in rel_queries:
         t0 = time.time()
         try:
             qs[name](spark, SF_DIR).count()

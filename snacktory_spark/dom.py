@@ -467,6 +467,12 @@ _AFTERHEAD_TO_HEAD = frozenset(
 
 
 class _TreeBuilder(HTMLParser):
+    # HTML5 rawtext elements: contents are tokenized as text, never as child
+    # elements (html.parser only does script/style by default; jsoup follows
+    # the spec and also rawtexts iframe/xmp/noembed/noframes)
+    CDATA_CONTENT_ELEMENTS = ("script", "style", "iframe", "xmp", "noembed",
+                              "noframes")
+
     def __init__(self, base_uri: str):
         super().__init__(convert_charrefs=True)
         self.doc = Document(base_uri)

@@ -91,10 +91,11 @@ def extracted_df(df: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS,
              .filter(F.col("text").isNotNull() & (F.length("text") > 0)))
     salt = F.xxhash64(F.col("conv_id"),
                       (F.col("turn_idx") / F.lit(salt_span)).cast("long"))
-    if partitions:
-        salted = gated.repartition(partitions, salt)
-    else:
-        salted = gated.repartition(salt)
+    if not partitions:
+        # explicit count: AQE would coalesce this exchange by shuffle-byte
+        # size, which starves the CPU-heavy UDF stage of parallelism
+        partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    salted = gated.repartition(partitions, salt)
     out = salted.mapInPandas(extract_map_in_pandas, schema=EXTRACTED_SCHEMA)
     return out.withColumn(
         "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int"))

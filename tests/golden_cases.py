@@ -139,8 +139,6 @@ GOLDEN_CASES = [
 # tests pass; 1114/1120 assertions.)
 KNOWN_DIVERGENCES: dict[str, str] = {
     "testCanonical6": "fixture cio.com_no_canonical missing from reference repo",
-    "testCNBC": "election picks parent wrapper (tree-shape difference vs jsoup)",
-    "testCNBC3": "election picks quote block (tree-shape difference vs jsoup)",
     "testMaCNN": "links_count 13 vs 17 (implied-close tree difference)",
     "testWayFair": "slideshow page: best-element differs (jsoup tree shape)",
 }
