@@ -23,6 +23,44 @@ SF01_DIR = f"{SYNTH_ROOT}/sf0.01"   # driver correctness runs at sf=0.01
 
 _EN_STOPWORDS = "('the','of','and','to','a','in','is','it','that','for')"
 
+# MinHash+LSH near-dup SQL mirroring snacktory_spark.textops exactly:
+# 3-word shingles → 8 minhashes (lexicographic min of md5('s{i}:'||shingle))
+# → 4 bands of 2 → bucket join → exact Jaccard on distinct shingles.
+_MINHASH_MINS = ",\n                 ".join(
+    f"list_min(list_transform(sh, x -> md5('s{i}:' || x)))" for i in range(8))
+_MINHASH_SQL = rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        FROM documents
+    ), base AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) >= 3
+                    THEN list_transform(range(0, len(tk) - 2),
+                         i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))
+                    ELSE [array_to_string(tk, ' ')] END AS sh
+        FROM toks
+    ), mh AS (
+        SELECT doc_id, sh,
+               [{_MINHASH_MINS}] AS m
+        FROM base
+    ), bands AS (
+        SELECT doc_id, b AS band,
+               md5(m[2 * b + 1] || '|' || m[2 * b + 2]) AS band_key
+        FROM mh, (SELECT unnest(range(0, 4)) AS b)
+    ), pairs AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.band_key = r.band_key
+         AND l.doc_id < r.doc_id
+    ), shd AS (SELECT doc_id, list_distinct(sh) AS s FROM base)
+    SELECT p.doc_a, p.doc_b,
+           round(len(list_intersect(a.s, b.s))::DOUBLE
+                 / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+    FROM pairs p
+    JOIN shd a ON a.doc_id = p.doc_a
+    JOIN shd b ON b.doc_id = p.doc_b
+"""
+
 
 def _synth(sf_dir: str) -> str:
     # Spark-side queries only need the input table; the full single-node
@@ -255,6 +293,53 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(10))
 
 
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates with exact Jaccard verification
+    (shingle → minhash → band → bucket-join; snacktory_spark.textops)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from snacktory_spark.textops import jaccard_pairs, lsh_candidate_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = lsh_candidate_pairs(docs)
+    return jaccard_pairs(docs, pairs)
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from snacktory_spark.textops import quality_features
+    return quality_features(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from snacktory_spark.textops import language_id
+    return language_id(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from snacktory_spark.textops import embedding_neardup_pairs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(emb, threshold=0.45)
+
+
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization (ANN scale path): nearest of 4 fixed
+    centroids (deterministic: embeddings of vec_id 1..4)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+    from snacktory_spark.textops import ivf_assign
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [r["embedding"] for r in
+             emb.filter(F.col("vec_id").isin(1, 2, 3, 4))
+                .orderBy("vec_id").collect()]
+    return ivf_assign(emb, cents)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_turns": q_extract_turns,
@@ -272,6 +357,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": q_doc_token_stats,
         "doc_lang_profile": q_doc_lang_profile,
         "knn_cosine": q_knn_cosine,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "doc_quality": q_doc_quality,
+        "doc_langid": q_doc_langid,
+        "embedding_neardup": q_embedding_neardup,
+        "ivf_assign": q_ivf_assign,
     }
 
 
@@ -385,6 +475,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
                    round(avg(n_chars), 4) AS avg_chars
             FROM documents GROUP BY lang
+        """,
+        "minhash_lsh_pairs": _MINHASH_SQL,
+        "doc_quality": r"""
+            SELECT doc_id, length(text) AS n_chars,
+                   len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
+                   round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                         / length(text), 4) AS letter_ratio,
+                   round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                         / length(text), 4) AS punct_ratio,
+                   round(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                         x -> x in ('the','of','and','to','a','in','is','it','that','for')))::DOUBLE
+                         / len(regexp_split_to_array(trim(lower(text)), '\s+')), 4)
+                       AS stopword_ratio,
+                   round(length(text)::DOUBLE
+                         / len(regexp_split_to_array(trim(lower(text)), '\s+')), 4)
+                       AS chars_per_token
+            FROM documents WHERE length(text) > 0
+        """,
+        "doc_langid": r"""
+            WITH t AS (
+                SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                FROM documents
+            ), h AS (
+                SELECT doc_id,
+                       len(list_filter(toks, x -> x in ('the','of','and','to','a','in','is','it','that','for'))) AS hits_en,
+                       len(list_filter(toks, x -> x in ('el','la','de','que','y','en','un','los','se','por'))) AS hits_es,
+                       len(list_filter(toks, x -> x in ('der','die','und','das','nicht','von','sie','ist','des','ein'))) AS hits_de,
+                       len(list_filter(toks, x -> x in ('le','la','et','les','des','en','un','du','une','que'))) AS hits_fr
+                FROM t)
+            SELECT doc_id,
+                   CASE WHEN greatest(hits_en, hits_es, hits_de, hits_fr) = 0 THEN 'unknown'
+                        WHEN hits_en = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'en'
+                        WHEN hits_es = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'es'
+                        WHEN hits_de = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'de'
+                        ELSE 'fr' END AS lang_guess,
+                   hits_en, hits_es, hits_de, hits_fr
+            FROM h
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.embedding, b.embedding)
+                         / (sqrt(list_dot_product(a.embedding, a.embedding))
+                            * sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.embedding, b.embedding)
+                        / (sqrt(list_dot_product(a.embedding, a.embedding))
+                           * sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= 0.45
+        """,
+        "ivf_assign": """
+            WITH c AS (SELECT vec_id - 1 AS cell, embedding AS ce
+                       FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+                 d AS (SELECT e.vec_id, c.cell,
+                              list_distance(e.embedding, c.ce) AS dist
+                       FROM embeddings e, c),
+                 r AS (SELECT vec_id, cell, dist,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY dist ASC, cell ASC) AS rn
+                       FROM d)
+            SELECT vec_id, cell, round(dist, 4) AS dist FROM r WHERE rn = 1
         """,
         "knn_cosine": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

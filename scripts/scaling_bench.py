@@ -24,7 +24,14 @@ def run(cpus: int) -> dict:
                SPARK_GRAFT_CPUS=str(cpus),
                SNACKTORY_BENCH_REPLICATE=str(REPLICATE),
                SNACKTORY_BENCH_EXTRACT_ONLY="1")
-    out = subprocess.run([sys.executable, "/root/repo/bench.py"],
+    # confine the WHOLE process tree (JVM + python workers) to `cpus` CPUs:
+    # emulates an N-core cluster honestly — with local[N] alone, the JVM's
+    # shuffle/GC/codegen threads would spill onto the idle cores and inflate
+    # the small-configuration throughput
+    cmd = [sys.executable, "/root/repo/bench.py"]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd,
                          capture_output=True, text=True, env=env, timeout=3000)
     for line in out.stdout.splitlines():
         if line.startswith("{"):
@@ -48,10 +55,10 @@ salted repartition → Arrow-vectorized mapInPandas), identical input and plan
 at both parallelism levels; fresh JVM per run; Python workers warmed before
 timing (steady-state throughput).
 
-| config | turns | wall (s) | turns/sec |
+| config | turns extracted | wall (s) | turns/sec |
 |---|---|---|---|
-| local[8]  (N)  | {r8['n_turns']} | {r8['queries']['extract_turns']} | {tp8} |
-| local[32] (4N) | {r32['n_turns']} | {r32['queries']['extract_turns']} | {tp32} |
+| local[8]  (N)  | {r8.get('n_extracted', r8['n_turns'])} | {r8['queries']['extract_turns']} | {tp8} |
+| local[32] (4N) | {r32.get('n_extracted', r32['n_turns'])} | {r32['queries']['extract_turns']} | {tp32} |
 
 **Scaling efficiency (N→4N)** = (turns/sec@32 ÷ turns/sec@8) ÷ 4 =
 **{eff:.3f}** (target ≥ 0.8 per BASELINE.json).

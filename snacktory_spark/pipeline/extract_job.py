@@ -42,6 +42,9 @@ DEFAULT_N_BUCKETS = 64      # output commit granularity
 def build_session(app: str = "snacktory-extract", master: str | None = None,
                   shuffle_partitions: int | None = None) -> SparkSession:
     b = (SparkSession.builder.appName(app)
+         # local mode runs everything in the driver JVM; the 1g default heap
+         # causes cache thrashing/GC stalls with large HTML rows
+         .config("spark.driver.memory", os.environ.get("SNACKTORY_DRIVER_MEM", "24g"))
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")

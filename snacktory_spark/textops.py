@@ -1,0 +1,199 @@
+"""Large-scale training-data operations over document tables.
+
+Beyond the reference's extractor, a web-scale pipeline needs dedup /
+similarity / quality primitives. All implementations are JVM-side
+(pyspark.sql.functions higher-order functions — no Python UDFs in these hot
+paths) and portable to an ANSI-SQL oracle:
+
+- exact dedup: content-hash groupBy (md5)
+- near-dup: MinHash over word shingles with LSH banding. Hash family =
+  md5(salt_i || shingle) with the lexicographic MIN as the signature
+  component — identical semantics in Spark and DuckDB, no engine-specific
+  hash needed.
+- SimHash: 64-bit sign-aggregated token hashes (first 16 hex chars of md5)
+- n-gram Jaccard similarity for candidate pairs
+- quality scoring: token/letter/punctuation/stopword ratios
+- language id: stopword-hit heuristic over a small per-language lexicon
+
+At 100 TB: every step is a narrow map + one hash-partitioned aggregation;
+LSH bucket join replaces the quadratic all-pairs comparison; band keys are
+uniformly distributed by construction (md5), so the bucket join does not
+skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+N_MINHASH = 8          # permutations (salts 0..7)
+N_BANDS = 4            # LSH bands of 2 rows each
+SHINGLE_WORDS = 3
+
+EN_STOP = ["the", "of", "and", "to", "a", "in", "is", "it", "that", "for"]
+ES_STOP = ["el", "la", "de", "que", "y", "en", "un", "los", "se", "por"]
+DE_STOP = ["der", "die", "und", "das", "nicht", "von", "sie", "ist", "des", "ein"]
+FR_STOP = ["le", "la", "et", "les", "des", "en", "un", "du", "une", "que"]
+
+
+def tokens_col(text_col="text"):
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def shingles_col(text_col="text", k: int = SHINGLE_WORDS):
+    """k-word shingles as an array column (JVM-side, no explode needed)."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    return F.when(n >= k, F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def minhash_signature(text_col="text", n_hashes: int = N_MINHASH):
+    """Array of n lexicographic-min md5(salt||shingle) values."""
+    sh = shingles_col(text_col)
+    return F.array(*[
+        F.array_min(F.transform(sh, lambda x, i=i: F.md5(F.concat(F.lit(f"s{i}:"), x))))
+        for i in range(n_hashes)
+    ])
+
+
+def minhash_df(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    return docs.select(F.col(id_col), minhash_signature(text_col).alias("minhash"))
+
+
+def lsh_bands_df(docs: DataFrame, id_col="doc_id", text_col="text",
+                 n_bands: int = N_BANDS) -> DataFrame:
+    """One row per (doc, band): band_key = md5 of the band's signature slice."""
+    rows_per_band = N_MINHASH // n_bands
+    mh = minhash_df(docs, id_col, text_col)
+    bands = [
+        F.struct(F.lit(b).alias("band"),
+                 F.md5(F.concat_ws("|", *[F.col("minhash")[b * rows_per_band + r]
+                                          for r in range(rows_per_band)]))
+                 .alias("band_key"))
+        for b in range(n_bands)
+    ]
+    return (mh.select(F.col(id_col), F.explode(F.array(*bands)).alias("bk"))
+            .select(id_col, F.col("bk.band").alias("band"),
+                    F.col("bk.band_key").alias("band_key")))
+
+
+def lsh_candidate_pairs(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """Near-dup candidate pairs: docs sharing any LSH band bucket."""
+    b = lsh_bands_df(docs, id_col, text_col)
+    left = b.alias("l")
+    right = b.alias("r")
+    pairs = (left.join(right,
+                       (F.col("l.band") == F.col("r.band"))
+                       & (F.col("l.band_key") == F.col("r.band_key"))
+                       & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+             .select(F.col(f"l.{id_col}").alias("doc_a"),
+                     F.col(f"r.{id_col}").alias("doc_b"))
+             .distinct())
+    return pairs
+
+
+def jaccard_pairs(docs: DataFrame, pairs: DataFrame, id_col="doc_id",
+                  text_col="text") -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (verification step)."""
+    sh = docs.select(F.col(id_col),
+                     F.array_distinct(shingles_col(text_col)).alias("sh"))
+    j = (pairs
+         .join(sh.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+         .join(sh.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select("doc_a", "doc_b",
+                    F.round(inter / union, 4).alias("jaccard"))
+
+
+def simhash64(text_col="text"):
+    """64-bit SimHash from md5-derived token hashes (JVM-side).
+
+    bit b of the signature = sign of sum over tokens of (bit b of
+    md5(token)[0:16] ? +1 : -1).
+    """
+    toks = F.array_distinct(tokens_col(text_col))
+    tok_hash = lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")  # noqa: E731
+    bits = []
+    for b in range(60):  # 15 hex chars = 60 bits
+        vote = F.aggregate(
+            toks, F.lit(0),
+            lambda acc, x, b=b: acc + F.when(
+                F.shiftright(tok_hash(x), b).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1)).otherwise(F.lit(-1)))
+        bits.append(F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for x in bits[1:]:
+        out = out + x
+    return out
+
+
+def quality_features(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """Heuristic quality scores: length, token, letter/punct/stopword ratios."""
+    text = F.col(text_col)
+    toks = tokens_col(text_col)
+    n_chars = F.length(text)
+    n_letters = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*EN_STOP)))
+    return (docs.filter(n_chars > 0)
+            .select(F.col(id_col),
+                    n_chars.alias("n_chars"),
+                    n_tokens.alias("n_tokens"),
+                    F.round(n_letters / n_chars, 4).alias("letter_ratio"),
+                    F.round(n_punct / n_chars, 4).alias("punct_ratio"),
+                    F.round(stop_hits / n_tokens, 4).alias("stopword_ratio"),
+                    F.round(n_chars / n_tokens, 4).alias("chars_per_token")))
+
+
+def language_id(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """Stopword-lexicon language guess (en/es/de/fr/unknown)."""
+    toks = tokens_col(text_col)
+    hits = {lang: F.size(F.filter(toks, lambda x, sw=sw: x.isin(*sw)))
+            for lang, sw in [("en", EN_STOP), ("es", ES_STOP),
+                             ("de", DE_STOP), ("fr", FR_STOP)]}
+    best = F.greatest(*hits.values())
+    guess = (F.when(best == 0, "unknown")
+             .when(hits["en"] == best, "en")
+             .when(hits["es"] == best, "es")
+             .when(hits["de"] == best, "de")
+             .otherwise("fr"))
+    return docs.select(F.col(id_col), guess.alias("lang_guess"),
+                       *[v.alias(f"hits_{k}") for k, v in hits.items()])
+
+
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute-force; LSH/IVF is the
+    scale path — see ivf_assign)."""
+    def norm(c):
+        return F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))
+    l = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
+    r = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
+    j = l.join(r, F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(F.zip_with("e_a", "e_b", lambda a, b: a * b),
+                      F.lit(0.0), lambda a, x: a + x)
+    cos = dot / (norm(F.col("e_a")) * norm(F.col("e_b")))
+    return (j.select("id_a", "id_b", F.round(cos, 4).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))
+
+
+def ivf_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """IVF-style coarse quantization: assign each vector to its nearest
+    centroid (the scale path for ANN — probe only matching cells)."""
+    def dist2(cvec):
+        arr = F.array(*[F.lit(float(x)) for x in cvec])
+        return F.aggregate(F.zip_with("embedding", arr, lambda a, b: (a - b) * (a - b)),
+                           F.lit(0.0), lambda a, x: a + x)
+    d0 = dist2(centroids[0])
+    best_idx = F.lit(0)
+    best_d = d0
+    for i, c in enumerate(centroids[1:], start=1):
+        d = dist2(c)
+        cond = d < best_d
+        best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
+        best_d = F.when(cond, d).otherwise(best_d)
+    return emb.select("vec_id", best_idx.alias("cell"),
+                      F.round(F.sqrt(best_d), 4).alias("dist"))

@@ -1,0 +1,141 @@
+"""Tests: training-data ops (dedup/similarity/quality/langid/ANN),
+structured-streaming extraction, multimodal plumbing."""
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from snacktory_spark.pipeline.extract_job import build_session
+    spark = build_session(app="pytest-textops", master="local[4]",
+                          shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    yield spark
+
+
+def test_minhash_identical_docs_collide(spark):
+    from snacktory_spark.textops import jaccard_pairs, lsh_candidate_pairs
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "completely different words about spark shuffles and partitions"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = lsh_candidate_pairs(docs).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 2)}
+    j = jaccard_pairs(docs, lsh_candidate_pairs(docs)).first()
+    assert j["jaccard"] == 1.0
+
+
+def test_minhash_near_dup_detected(spark):
+    from snacktory_spark.textops import jaccard_pairs, lsh_candidate_pairs
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [(1, base), (2, base + " phi"), (3, "zz yy xx ww vv uu tt ss rr qq")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = lsh_candidate_pairs(docs)
+    j = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+         for r in jaccard_pairs(docs, pairs).collect()}
+    assert (1, 2) in j
+    assert 0.8 < j[(1, 2)] < 1.0
+
+
+def test_simhash_similarity(spark):
+    from pyspark.sql import functions as F
+    from snacktory_spark.textops import simhash64
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river"),
+        (2, "the quick brown fox jumps over the lazy dog near the riverbank"),
+        (3, "totally unrelated content regarding database query optimizers"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["sh"]
+           for r in docs.select("doc_id", simhash64().alias("sh")).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(out[1], out[2]) < hamming(out[1], out[3])
+
+
+def test_quality_and_langid(spark):
+    from snacktory_spark.textops import language_id, quality_features
+    rows = [(1, "the cat sat on the mat, and it was happy."),
+            (2, "el perro corre por la calle y se va en un momento"),
+            (3, "qwerty zxcvb asdfgh")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    q = {r["doc_id"]: r for r in quality_features(docs).collect()}
+    assert q[1]["stopword_ratio"] > 0.2
+    assert q[1]["punct_ratio"] > 0
+    lang = {r["doc_id"]: r["lang_guess"] for r in language_id(docs).collect()}
+    assert lang[1] == "en"
+    assert lang[2] == "es"
+    assert lang[3] == "unknown"
+
+
+def test_ivf_assign_matches_brute_force(spark):
+    from pyspark.sql import functions as F
+    from snacktory_spark.textops import ivf_assign
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = [r["embedding"] for r in
+             emb.filter(F.col("vec_id").isin(1, 2, 3, 4)).orderBy("vec_id").collect()]
+    rows = ivf_assign(emb, cents).collect()
+    assert len(rows) == emb.count()
+    by_id = {r["vec_id"]: r for r in rows}
+    # centroid vectors must be assigned to their own cells with distance 0
+    for i in range(4):
+        assert by_id[i + 1]["cell"] == i
+        assert by_id[i + 1]["dist"] == 0.0
+
+
+def test_streaming_extraction(spark, tmp_path):
+    import pyarrow.parquet as pq
+    from snacktory_spark.data.synth import generate
+    from snacktory_spark.pipeline.streaming import run_streaming_once
+
+    sdir = generate("/root/repo/data/synth/sf0.001", sf=0.001)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    t = pq.read_table(f"{sdir}/transcripts.parquet")
+    pq.write_table(t, str(in_dir / "part-0.parquet"))
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    assert run_streaming_once(spark, str(in_dir), out_dir, ckpt)
+    got = spark.read.parquet(out_dir)
+    n_nonempty = t.num_rows - sum(1 for x in t.column("text").to_pylist() if not x)
+    assert got.count() == n_nonempty
+
+    # incremental: second batch of files picked up from the checkpoint
+    pq.write_table(t.slice(0, 10), str(in_dir / "part-1.parquet"))
+    assert run_streaming_once(spark, str(in_dir), out_dir, ckpt)
+    assert got.count() >= n_nonempty + 8  # 10 new rows minus empty-text ones
+
+
+def test_multimodal_plumbing(spark):
+    from snacktory_spark.multimodal import (FEATURE_DIM, extract_media_features,
+                                            make_fake_media_df)
+    df = make_fake_media_df(spark, n=30)
+    out = extract_media_features(df, deterministic_fake=True, partitions=4)
+    rows = out.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert len(r["feature"]) == FEATURE_DIM
+        assert all(0.0 <= x <= 1.0 for x in r["feature"])
+        assert r["n_bytes"] > 0 and len(r["sha256"]) == 64
+    # determinism: same payload → same feature
+    again = {r["media_id"]: r["feature"]
+             for r in extract_media_features(df, True).collect()}
+    assert all(again[r["media_id"]] == r["feature"] for r in rows)
+
+
+def test_multimodal_decode_stub_raises():
+    from snacktory_spark.multimodal import decode_payload
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"xx", "image", deterministic_fake=False)
