@@ -134,7 +134,10 @@ def make_article_html(rng: random.Random, idx: int) -> tuple[str, dict]:
 </body></html>"""
     exp = {
         "exp_title": title,
-        "exp_text_full": "\n\n".join(paragraphs),
+        # the formatter joins paragraphs with \n\n, then clearWhitespace
+        # (SHelper.innerTrim, OutputFormatter.java:80) collapses them to a
+        # single space — same as the reference
+        "exp_text_full": " ".join(paragraphs),
         "exp_author": author,
         "exp_date": format_date_utc(pub),
     }

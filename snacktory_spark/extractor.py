@@ -74,25 +74,32 @@ def extract(html: str, url: str = "", max_content_size: int = 0,
         html = utf8_truncate(html, C.MAX_INPUT_BYTES)
 
     doc = dom_parse(html, url)
-    result = _extract_retrying(res, doc, extract_images, max_content_size)
+    result = _extract_retrying(res, doc, html, extract_images, max_content_size)
 
     # malformed-HTML sanity retry (:411-418). The reference re-cleans with
     # htmlcleaner; our parser is a single implementation so we re-parse the
     # serialized DOM, which re-normalizes the tree the same way.
     if C.has_html_tags(result["text"]):
-        recleaned = dom_parse(doc.outer_html(), url)
+        serialized = doc.outer_html()
+        recleaned = dom_parse(serialized, url)
         res = empty_result(url)
-        result = _extract_retrying(res, recleaned, extract_images, max_content_size)
+        result = _extract_retrying(res, recleaned, serialized,
+                                   extract_images, max_content_size)
     return result
 
 
-def _extract_retrying(res: dict, doc: Document, extract_images: bool,
+def _extract_retrying(res: dict, doc: Document, html: str, extract_images: bool,
                       max_content_size: int) -> dict:
-    """extractContent(JResult, Document, ...) (:421-435)."""
-    orig_doc = doc.clone()
+    """extractContent(JResult, Document, ...) (:421-435).
+
+    The reference clones the (about-to-be-mutated) document up front; we
+    re-parse the original html on the rare empty-text retry instead — same
+    tree (parsing is deterministic), no per-document deep copy.
+    """
     result = _extract_content(res, doc, extract_images, max_content_size, True)
     if len(result["text"]) == 0:
-        result = _extract_content(res, orig_doc, extract_images, max_content_size, False)
+        result = _extract_content(res, dom_parse(html, res["url"]),
+                                  extract_images, max_content_size, False)
     if not result["text"].strip():
         result["text"] = result["description"]
     return result

@@ -132,8 +132,11 @@ def run_extract(spark: SparkSession, input_path: str, output_path: str,
         .partitionBy("bucket")
         .parquet(output_path))
 
-    # per-bucket manifest with lineage + row/byte metrics (from written data)
+    # per-bucket manifest with lineage + row/byte metrics (from written
+    # data; only for buckets processed in THIS run)
     written = spark.read.parquet(output_path)
+    if done:
+        written = written.filter(~F.col("bucket").isin(*[int(b) for b in done]))
     rows = (written.groupBy("bucket")
             .agg(F.count("*").alias("output_rows"),
                  F.sum(F.octet_length("text")).alias("output_bytes"),

@@ -49,13 +49,16 @@ def shingles_col(text_col="text", k: int = SHINGLE_WORDS):
     )).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+def _salted_min(sh, salt: str):
+    # NB: close over `salt`; a default-arg lambda would be mis-parsed by
+    # pyspark's higher-order-function arity detection as an (x, index) lambda
+    return F.array_min(F.transform(sh, lambda x: F.md5(F.concat(F.lit(salt), x))))
+
+
 def minhash_signature(text_col="text", n_hashes: int = N_MINHASH):
     """Array of n lexicographic-min md5(salt||shingle) values."""
     sh = shingles_col(text_col)
-    return F.array(*[
-        F.array_min(F.transform(sh, lambda x, i=i: F.md5(F.concat(F.lit(f"s{i}:"), x))))
-        for i in range(n_hashes)
-    ])
+    return F.array(*[_salted_min(sh, f"s{i}:") for i in range(n_hashes)])
 
 
 def minhash_df(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
@@ -116,13 +119,17 @@ def simhash64(text_col="text"):
     """
     toks = F.array_distinct(tokens_col(text_col))
     tok_hash = lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")  # noqa: E731
-    bits = []
-    for b in range(60):  # 15 hex chars = 60 bits
-        vote = F.aggregate(
+
+    def bit_vote(b: int):
+        return F.aggregate(
             toks, F.lit(0),
-            lambda acc, x, b=b: acc + F.when(
+            lambda acc, x: acc + F.when(
                 F.shiftright(tok_hash(x), b).bitwiseAND(F.lit(1)) == 1,
                 F.lit(1)).otherwise(F.lit(-1)))
+
+    bits = []
+    for b in range(60):  # 15 hex chars = 60 bits
+        vote = bit_vote(b)
         bits.append(F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long")))
     out = bits[0]
     for x in bits[1:]:
@@ -152,7 +159,11 @@ def quality_features(docs: DataFrame, id_col="doc_id", text_col="text") -> DataF
 def language_id(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     """Stopword-lexicon language guess (en/es/de/fr/unknown)."""
     toks = tokens_col(text_col)
-    hits = {lang: F.size(F.filter(toks, lambda x, sw=sw: x.isin(*sw)))
+
+    def stop_hits(sw):
+        return F.size(F.filter(toks, lambda x: x.isin(*sw)))
+
+    hits = {lang: stop_hits(sw)
             for lang, sw in [("en", EN_STOP), ("es", ES_STOP),
                              ("de", DE_STOP), ("fr", FR_STOP)]}
     best = F.greatest(*hits.values())

@@ -115,7 +115,10 @@ def test_streaming_extraction(spark, tmp_path):
     # incremental: second batch of files picked up from the checkpoint
     pq.write_table(t.slice(0, 10), str(in_dir / "part-1.parquet"))
     assert run_streaming_once(spark, str(in_dir), out_dir, ckpt)
-    assert got.count() >= n_nonempty + 8  # 10 new rows minus empty-text ones
+    # fresh read: the previous DataFrame holds a snapshot of the file listing
+    n2 = spark.read.parquet(out_dir).count()
+    n_new_nonempty = 10 - sum(1 for x in t.slice(0, 10).column("text").to_pylist() if not x)
+    assert n2 == n_nonempty + n_new_nonempty
 
 
 def test_multimodal_plumbing(spark):
