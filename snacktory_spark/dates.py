@@ -392,14 +392,42 @@ def _ctx_to_datetime(ctx: _Ctx, default_tz=UTC):
     return d.astimezone(UTC)
 
 
+def _lead_kind(tokens):
+    """What the first char (after field-space-skip) must be: digit/alpha."""
+    if not tokens:
+        return None
+    kind, payload = tokens[0]
+    if kind == "lit":
+        return None
+    letter, count = payload
+    if letter in _NUMERIC_LETTERS and not (letter == "M" and count >= 3):
+        return "digit"
+    if letter in ("E",) or (letter == "M" and count >= 3):
+        return "alpha"
+    return None
+
+
 _COMPILED = [(_tokenize_java_pattern(p)) for p in PARSE_PATTERNS]
+_COMPILED_KINDS = [_lead_kind(t) for t in _COMPILED]
 
 
 def parse_with_patterns(date_string: str, patterns_tokens=None, default_tz=UTC):
     """utils/DateUtils.parseDate analog: first pattern that fully matches."""
     if patterns_tokens is None:
         patterns_tokens = _COMPILED
-    for tokens in patterns_tokens:
+        kinds = _COMPILED_KINDS
+    else:
+        kinds = [None] * len(patterns_tokens)
+    lead = None
+    for ch in date_string:
+        if ch not in " \t":
+            lead = "digit" if ch.isdigit() else ("alpha" if ch.isalpha() else None)
+            break
+    for tokens, kind in zip(patterns_tokens, kinds):
+        # cheap dispatch: a pattern whose first field needs a digit can never
+        # match an alpha-leading string and vice versa
+        if kind is not None and lead is not None and kind != lead:
+            continue
         ctx = _parse_with_tokens(tokens, date_string)
         if ctx is not None:
             d = _ctx_to_datetime(ctx, default_tz)

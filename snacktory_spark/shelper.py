@@ -44,6 +44,9 @@ def java_trim(s: str) -> str:
     return s[start:end]
 
 
+_INNER_WS = re.compile("[ \\t\\n]+")
+
+
 def inner_trim(s: str) -> str:
     """SHelper.java:81-104 — nbsp→space; collapse runs of space/tab/\\n.
 
@@ -52,18 +55,7 @@ def inner_trim(s: str) -> str:
     """
     if not s:
         return ""
-    s = s.replace(" ", " ")
-    out = []
-    previous_space = False
-    for c in s:
-        if c == " " or c == "\t" or c == "\n":
-            previous_space = True
-            continue
-        if previous_space:
-            out.append(" ")
-        previous_space = False
-        out.append(c)
-    return java_trim("".join(out))
+    return java_trim(_INNER_WS.sub(" ", s.replace(" ", " ")))
 
 
 def encoding_cleanup(s: str) -> str:
@@ -376,7 +368,7 @@ def complete_date(date_str: str | None) -> str | None:
 
 def count_letters(s: str) -> int:
     """SHelper.java:527-535"""
-    return sum(1 for c in s if c.isalpha())
+    return sum(map(str.isalpha, s))
 
 
 def utf8_truncate(s: str, length: int) -> str:
