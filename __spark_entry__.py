@@ -119,6 +119,10 @@ def q_golden_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
          .otherwise(F.col("title") == F.col("exp_title")).alias("title_ok"),
         F.when(F.col("exp_text_start").isNull(), True)
          .otherwise(F.col("text").startswith(F.col("exp_text_start"))).alias("text_start_ok"),
+        F.when(F.col("exp_text_end").isNull(), True)
+         .otherwise(F.col("text").endswith(F.col("exp_text_end"))).alias("text_end_ok"),
+        F.when(F.col("exp_text_contains").isNull(), True)
+         .otherwise(F.col("text").contains(F.col("exp_text_contains"))).alias("text_contains_ok"),
         F.when(F.col("exp_text_full").isNull(), True)
          .otherwise(F.col("text") == F.col("exp_text_full")).alias("text_full_ok"),
         F.when(F.col("exp_author").isNull(), True)
@@ -382,6 +386,10 @@ def oracle_sql() -> dict[str, str]:
                         ELSE e.title = x.exp_title END AS title_ok,
                    CASE WHEN x.exp_text_start IS NULL THEN true
                         ELSE starts_with(e.text, x.exp_text_start) END AS text_start_ok,
+                   CASE WHEN x.exp_text_end IS NULL THEN true
+                        ELSE ends_with(e.text, x.exp_text_end) END AS text_end_ok,
+                   CASE WHEN x.exp_text_contains IS NULL THEN true
+                        ELSE contains(e.text, x.exp_text_contains) END AS text_contains_ok,
                    CASE WHEN x.exp_text_full IS NULL THEN true
                         ELSE e.text = x.exp_text_full END AS text_full_ok,
                    CASE WHEN x.exp_author IS NULL THEN true

@@ -35,6 +35,8 @@ def bench_extracted(spark, path: str, factor: int, cpus: int):
     from snacktory_spark.schema import EXTRACTED_SCHEMA
     from snacktory_spark.udf import extract_map_in_pandas
 
+    from snacktory_spark.pipeline.extract_job import ensure_py_files
+    ensure_py_files(spark)
     df = read_transcripts(spark, path)
     gated = (df.select("conv_id", "turn_idx", "role", "tool", "ts", "text")
              .filter(F.col("text").isNotNull() & (F.length("text") > 0)))

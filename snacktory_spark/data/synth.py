@@ -80,6 +80,54 @@ GOLDEN_FIXTURES = [
         "exp_title": "Dear Mark Zuckerberg by Dalton Caldwell",
         "exp_text_start": "On June 13, 2012, at 4:30 p.m.",
     }),
+    ("src/test/resources/de/jetwick/snacktory/heise.html", "", {
+        "exp_title": "Internet Explorer 9 jetzt mit schnellster JavaScript-Engine",
+        "exp_text_start": "Microsoft hat heute eine siebte Platform Preview des Internet Explorer veröffentlicht. In den nur dr",
+    }),
+    ("src/test/resources/de/jetwick/snacktory/techcrunch.html", "", {
+        "exp_title": "Twitter Finally Brings Advanced Search Out Of Purgatory; Updates Discovery Algorithms",
+        "exp_author": "MG Siegler",
+        "exp_text_start": "A couple weeks ago, we wrote a post wishing Twitter a happy fifth birthday, but also noting ",
+    }),
+    ("src/test/resources/de/jetwick/snacktory/twitter.html", "", {
+        "exp_title": "Twitter Engineering: Twitter Search is Now 3x Faster",
+        "exp_text_start": "In the spring of 2010, the search team at Twitter started to rewrite our search engine in order to serve our ever-growin",
+    }),
+    ("src/test/resources/de/jetwick/snacktory/taz.html", "", {
+        "exp_title": "Anti-Atomkraft? Nein danke!",
+        "exp_author": "Georg Blume",
+        "exp_text_start": "Absolute Minderheit: Im Shiba-Park in Tokio treffen sich jetzt jeden Sonntag die Atomkraftgegner. Sie blicken neidisch auf die Anti-AKW-Bewegung in Deutschland. ",
+    }),
+    ("src/test/resources/de/jetwick/snacktory/blogger.html", "", {
+        "exp_title": "The Brain Dump: Gavin King unveils Red Hat's Java killer successor: The Ceylon Project",
+        "exp_author": "Marc Richards",
+        "exp_text_start": "Gavin King of Red Hat/Hibernate/Seam fame recently",
+    }),
+    ("src/test/resources/de/jetwick/snacktory/huffingtonpost.html", "", {
+        "exp_title": "Federal Reserve's Low Rate Policy Is A 'Dangerous Gamble,' Says Top Central Bank Official",
+        "exp_author": "Shahien Nasiripour",
+        "exp_text_start": "A top regional Federal Reserve official sharply",
+    }),
+    ("src/test/resources/de/jetwick/snacktory/cnet1.html", "", {
+        "exp_title": "Adobe to buy Omniture for $1.8 billion",
+        "exp_text_start": "Adobe said on Tuesday",
+        "exp_text_end": "earth-shattering thus far.",
+    }),
+    ("src/test/resources/de/jetwick/snacktory/adweek.html", "", {
+        "exp_title": "5 Digital Metrics/Tools That PR Pros Need to Know – Adweek",
+        "exp_author": "Patrick Coffee",
+        "exp_text_start": "Measurement: it is, as our own Shawn Paul Wood put it in yesterday’s “Top 5 PR Industry Debate Topics” post, the “pachyderm in the room.”",
+        "exp_text_end": "Do we agree? How familiar are we with the data and tools Sullivan described?",
+    }),
+    ("src/test/resources/de/jetwick/snacktory/entrepreneur.html", "", {
+        "exp_title": "7 Big Changes in the PR Landscape Every Business Should Know About",
+        "exp_author": "Rebekah Iliff",
+        "exp_text_start": "At least three times a week, I get emails from entrepreneurs or small-business owners asking for advice on public relations.",
+    }),
+    ("src/test/resources/de/jetwick/snacktory/applepr.html", "", {
+        "exp_title": "Apple Expands Capital Return Program to $200 Billion",
+        "exp_text_start": "Apple Expands Capital Return Program to $200 Billion CUPERTINO, California—April 27, 2015—Apple",
+    }),
 ]
 
 _WORDS = ("the quick brown fox jumps over lazy dog pipeline spark arrow batch "

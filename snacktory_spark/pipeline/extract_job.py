@@ -39,6 +39,37 @@ DEFAULT_SALT_SPAN = 64      # turns of one conv kept together per salt unit
 DEFAULT_N_BUCKETS = 64      # output commit granularity
 
 
+def ensure_py_files(spark: SparkSession) -> None:
+    """Ship the snacktory_spark package to executor Python workers.
+
+    The spark-submit deployment uses ``--py-files snacktory_spark.zip``; when
+    driven from an arbitrary session (driver harness, notebook) we build the
+    zip on the fly and addPyFile it, so workers can unpickle the UDFs no
+    matter what the driver's cwd/sys.path is.
+    """
+    sc = spark.sparkContext
+    if sc._jsc is None:
+        return
+    if getattr(sc, "_snacktory_pyfiles_added", False):
+        return
+    import snacktory_spark
+    import tempfile
+    import zipfile
+    pkg_dir = os.path.dirname(os.path.abspath(snacktory_spark.__file__))
+    zpath = os.path.join(tempfile.gettempdir(),
+                         f"snacktory_spark-{os.getpid()}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for name in files:
+                    if name.endswith(".py"):
+                        full = os.path.join(root, name)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    sc.addPyFile(zpath)
+    sc._snacktory_pyfiles_added = True
+
+
 def build_session(app: str = "snacktory-extract", master: str | None = None,
                   shuffle_partitions: int | None = None) -> SparkSession:
     b = (SparkSession.builder.appName(app)
@@ -89,6 +120,7 @@ def extracted_df(df: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS,
                  salt_span: int = DEFAULT_SALT_SPAN,
                  partitions: int | None = None) -> DataFrame:
     """transcripts DataFrame → extracted DataFrame (lazy, no write)."""
+    ensure_py_files(df.sparkSession)
     gated = (df
              .select("conv_id", "turn_idx", "role", "tool", "ts", "text")
              .filter(F.col("text").isNotNull() & (F.length("text") > 0)))

@@ -19,6 +19,8 @@ from ..udf import extract_map_in_pandas
 
 
 def streaming_extracted(spark: SparkSession, input_dir: str):
+    from .extract_job import ensure_py_files
+    ensure_py_files(spark)
     stream = (spark.readStream
               .schema(TRANSCRIPT_SCHEMA)
               .parquet(input_dir))

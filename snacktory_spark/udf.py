@@ -12,9 +12,16 @@ with extract_ok=false + extract_error, never a task failure.
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Iterator
 
 import pandas as pd
+
+# DOM text/serialize walks recurse to the document depth; adversarial pages
+# nest thousands of levels (the 500KB input cap bounds depth to ~100k).
+# Deeper than this still degrades safely to extract_ok=false.
+if sys.getrecursionlimit() < 30_000:
+    sys.setrecursionlimit(30_000)
 
 from .extractor import empty_result, extract
 from .schema import EXTRACT_SCHEMA

@@ -53,7 +53,8 @@ def test_golden_assertions_all_pass(spark, synth_dir):
     res = entrymod.q_golden_equality(spark, "/root/testdata/sf0.001").collect()
     assert len(res) > 0
     bad = [r for r in res
-           if not (r["title_ok"] and r["text_start_ok"] and r["text_full_ok"]
+           if not (r["title_ok"] and r["text_start_ok"] and r["text_end_ok"]
+                   and r["text_contains_ok"] and r["text_full_ok"]
                    and r["author_ok"] and r["date_ok"])]
     assert not bad, f"failed golden rows: {bad[:3]}"
 
