@@ -23,6 +23,14 @@ import pandas as pd
 if sys.getrecursionlimit() < 30_000:
     sys.setrecursionlimit(30_000)
 
+# The DOM carries parent<->child reference cycles, so every parsed document
+# is reclaimed by the cyclic GC; default gen-0 threshold (700) triggers
+# collections mid-parse constantly. Wider thresholds = +5-10% throughput
+# (measured), bounded retention (a few documents between sweeps).
+import gc as _gc  # noqa: E402
+
+_gc.set_threshold(50_000, 500, 1_000)
+
 from .extractor import empty_result, extract
 from .schema import EXTRACT_SCHEMA
 

@@ -140,5 +140,8 @@ GOLDEN_CASES = [
 KNOWN_DIVERGENCES: dict[str, str] = {
     "testCanonical6": "fixture cio.com_no_canonical missing from reference repo",
     "testMaCNN": "links_count 13 vs 17 (implied-close tree difference)",
-    "testWayFair": "slideshow page: best-element differs (jsoup tree shape)",
+    "testWayFair": ("expected text ('As the centerpiece of any dining room…') "
+                    "is absent from the shipped fixture in any encoding "
+                    "(raw/entity/json-unescaped) — fixture/test mismatch in "
+                    "the reference repo"),
 }
