@@ -30,6 +30,39 @@ def streaming_extracted(spark: SparkSession, input_dir: str):
     return gated.mapInPandas(extract_map_in_pandas, schema=EXTRACTED_SCHEMA)
 
 
+def streaming_conv_stats(spark: SparkSession, input_dir: str,
+                         watermark: str = "10 minutes",
+                         window: str = "1 hour"):
+    """Windowed per-conversation stats with late-data handling: event-time
+    tumbling window over `ts` with a watermark. Demonstrates the stateful
+    streaming path (watermark + windowed aggregation) the batch pipeline
+    doesn't need — extraction itself is stateless per turn."""
+    stream = (spark.readStream
+              .schema(TRANSCRIPT_SCHEMA)
+              .parquet(input_dir))
+    return (stream
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("win"), F.col("conv_id"))
+            .agg(F.count("*").alias("n_turns"),
+                 F.sum(F.length("text")).alias("total_chars"))
+            .select(F.col("win.start").alias("win_start"),
+                    "conv_id", "n_turns", "total_chars"))
+
+
+def run_streaming_stats_once(spark: SparkSession, input_dir: str,
+                             output_dir: str, checkpoint_dir: str,
+                             timeout_sec: int = 300) -> bool:
+    out = streaming_conv_stats(spark, input_dir)
+    query = (out.writeStream
+             .format("parquet")
+             .option("path", output_dir)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True)
+             .outputMode("append")
+             .start())
+    return query.awaitTermination(timeout_sec)
+
+
 def run_streaming_once(spark: SparkSession, input_dir: str, output_dir: str,
                        checkpoint_dir: str, timeout_sec: int = 300) -> bool:
     """Drain all currently-available input files, then stop (availableNow)."""

@@ -121,6 +121,59 @@ def test_streaming_extraction(spark, tmp_path):
     assert n2 == n_nonempty + n_new_nonempty
 
 
+def test_streaming_watermark_window(spark, tmp_path):
+    """Event-time windowed aggregation with watermark (append mode emits
+    only windows the watermark has passed)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from snacktory_spark.data.synth import generate
+    from snacktory_spark.pipeline.streaming import run_streaming_stats_once
+
+    sdir = generate("/root/repo/data/synth/sf0.001", sf=0.001)
+    in_dir = tmp_path / "sin"
+    in_dir.mkdir()
+    t = pq.read_table(f"{sdir}/transcripts.parquet")
+    pq.write_table(t, str(in_dir / "part-0.parquet"))
+
+    out_dir = str(tmp_path / "sout")
+    ckpt = str(tmp_path / "sckpt")
+    # batch 1: watermark hasn't passed any window yet → append emits nothing
+    assert run_streaming_stats_once(spark, str(in_dir), out_dir, ckpt)
+
+    # batch 2: a much later event advances the watermark past the first
+    # windows, so they close and get emitted (late-data semantics)
+    import datetime as dt
+    import pyarrow as pa
+    late = pa.table({
+        "conv_id": pa.array(["conv-late"], pa.string()),
+        "turn_idx": pa.array([0], pa.int32()),
+        "role": pa.array(["user"], pa.string()),
+        "text": pa.array(["later event"], pa.string()),
+        "tool": pa.array([""], pa.string()),
+        "ts": pa.array([dt.datetime(2026, 1, 2, tzinfo=dt.timezone.utc)],
+                       pa.timestamp("us", tz="UTC")),
+    })
+    pq.write_table(late, str(in_dir / "part-1.parquet"))
+    assert run_streaming_stats_once(spark, str(in_dir), out_dir, ckpt)
+
+    got = spark.read.parquet(out_dir)
+    assert got.columns == ["win_start", "conv_id", "n_turns", "total_chars"]
+    n = got.count()
+    assert n > 0
+    # batch equivalent over the same data must cover >= the emitted windows
+    # (append mode withholds windows not yet passed by the watermark)
+    batch = (spark.read.parquet(str(in_dir))
+             .groupBy(F.window("ts", "1 hour"), "conv_id").count())
+    assert n <= batch.count()
+    # emitted totals must match the batch computation for the same keys
+    joined = (got.join(spark.read.parquet(str(in_dir))
+                       .groupBy(F.window("ts", "1 hour").alias("w"), "conv_id")
+                       .agg(F.count("*").alias("bn"))
+                       .select(F.col("w.start").alias("win_start"), "conv_id", "bn"),
+                       ["win_start", "conv_id"]))
+    assert joined.filter(F.col("n_turns") != F.col("bn")).count() == 0
+
+
 def test_multimodal_plumbing(spark):
     from snacktory_spark.multimodal import (FEATURE_DIM, extract_media_features,
                                             make_fake_media_df)
