@@ -344,6 +344,37 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_assign(emb, cents)
 
 
+def q_conv_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation flattening (training-data op): per conv_id, concatenate
+    turn texts in stable turn order into one document. Grouped-map
+    applyInPandas (Arrow-batched custom per-group logic)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import pandas as pd
+    from snacktory_spark.pipeline.extract_job import ensure_py_files
+
+    ensure_py_files(spark)
+    sdir = _synth(sf_dir)
+    df = spark.read.parquet(f"{sdir}/transcripts.parquet")
+
+    def flatten(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx")
+        return pd.DataFrame({
+            "conv_id": [pdf["conv_id"].iloc[0]],
+            "n_turns": [len(pdf)],
+            "doc": ["\n".join(f"[{r}] {t or ''}" for r, t in
+                              zip(pdf["role"], pdf["text"]))],
+        })
+
+    out = (df.select("conv_id", "turn_idx", "role", "text")
+           .groupBy("conv_id")
+           .applyInPandas(flatten, "conv_id string, n_turns long, doc string"))
+    from pyspark.sql import functions as F
+    return out.select("conv_id", "n_turns",
+                      F.md5("doc").alias("doc_md5"),
+                      F.length("doc").alias("doc_chars"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_turns": q_extract_turns,
@@ -366,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": q_doc_langid,
         "embedding_neardup": q_embedding_neardup,
         "ivf_assign": q_ivf_assign,
+        "conv_flatten": q_conv_flatten,
     }
 
 
@@ -485,6 +517,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "minhash_lsh_pairs": _MINHASH_SQL,
+        "conv_flatten": f"""
+            WITH flat AS (
+                SELECT conv_id, count(*) AS n_turns,
+                       string_agg('[' || role || '] ' || coalesce(text, ''),
+                                  chr(10) ORDER BY turn_idx) AS doc
+                FROM {tr} GROUP BY conv_id)
+            SELECT conv_id, n_turns, md5(doc) AS doc_md5,
+                   length(doc) AS doc_chars
+            FROM flat
+        """,
         "doc_quality": r"""
             SELECT doc_id, length(text) AS n_chars,
                    len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,

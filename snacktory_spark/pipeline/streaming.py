@@ -63,6 +63,58 @@ def run_streaming_stats_once(spark: SparkSession, input_dir: str,
     return query.awaitTermination(timeout_sec)
 
 
+def streaming_conv_progress(spark: SparkSession, input_dir: str):
+    """Custom stateful operator via applyInPandasWithState: running
+    per-conversation progress (turns/chars seen so far) maintained across
+    micro-batches. Emits one row per conversation per batch with the
+    cumulative totals — the kind of incremental bookkeeping an ingestion
+    pipeline keeps while a conversation is still streaming in."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = ("conv_id string, turns_so_far long, chars_so_far long, "
+                  "max_turn_idx int")
+    state_schema = "turns long, chars long, max_idx int"
+
+    def update(key, pdfs, state):
+        turns, chars, max_idx = (state.get if state.exists else (0, 0, -1))
+        for pdf in pdfs:
+            turns += len(pdf)
+            chars += int(pdf["text"].str.len().fillna(0).sum())
+            max_idx = max(max_idx, int(pdf["turn_idx"].max()))
+        state.update((turns, chars, max_idx))
+        yield pd.DataFrame({"conv_id": [key[0]], "turns_so_far": [turns],
+                            "chars_so_far": [chars], "max_turn_idx": [max_idx]})
+
+    stream = (spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_dir)
+              .select("conv_id", "turn_idx", "text"))
+    return (stream.groupBy("conv_id")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
+def run_streaming_progress_once(spark: SparkSession, input_dir: str,
+                                output_dir: str, checkpoint_dir: str,
+                                timeout_sec: int = 300) -> bool:
+    from .extract_job import ensure_py_files
+    ensure_py_files(spark)
+    out = streaming_conv_progress(spark, input_dir)
+
+    # file sinks are append-only; update-mode state output goes through
+    # foreachBatch (also the idiomatic hook for Iceberg MERGE upserts)
+    def write_batch(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(batch_id)) \
+                .write.mode("append").parquet(output_dir)
+
+    query = (out.writeStream
+             .foreachBatch(write_batch)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True)
+             .outputMode("update")
+             .start())
+    return query.awaitTermination(timeout_sec)
+
+
 def run_streaming_once(spark: SparkSession, input_dir: str, output_dir: str,
                        checkpoint_dir: str, timeout_sec: int = 300) -> bool:
     """Drain all currently-available input files, then stop (availableNow)."""

@@ -174,6 +174,46 @@ def test_streaming_watermark_window(spark, tmp_path):
     assert joined.filter(F.col("n_turns") != F.col("bn")).count() == 0
 
 
+def test_streaming_stateful_progress(spark, tmp_path):
+    """applyInPandasWithState: per-conversation running totals persist
+    across micro-batches via the state store."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from snacktory_spark.data.synth import generate
+    from snacktory_spark.pipeline.streaming import run_streaming_progress_once
+
+    sdir = generate("/root/repo/data/synth/sf0.001", sf=0.001)
+    in_dir = tmp_path / "pin"
+    in_dir.mkdir()
+    t = pq.read_table(f"{sdir}/transcripts.parquet")
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), str(in_dir / "part-0.parquet"))
+
+    out_dir = str(tmp_path / "pout")
+    ckpt = str(tmp_path / "pckpt")
+    assert run_streaming_progress_once(spark, str(in_dir), out_dir, ckpt)
+
+    # second half arrives later: state must ACCUMULATE, not restart
+    pq.write_table(t.slice(half), str(in_dir / "part-1.parquet"))
+    assert run_streaming_progress_once(spark, str(in_dir), out_dir, ckpt)
+
+    got = spark.read.parquet(out_dir)
+    # latest emission per conversation == full batch totals
+    latest = (got.withColumn("rn", F.row_number().over(
+        __import__("pyspark.sql.window", fromlist=["Window"]).Window
+        .partitionBy("conv_id").orderBy(F.desc("batch_id"))))
+        .filter(F.col("rn") == 1))
+    batch_totals = (spark.read.parquet(str(in_dir))
+                    .groupBy("conv_id")
+                    .agg(F.count("*").alias("bt"),
+                         F.sum(F.length("text")).alias("bc")))
+    j = latest.join(batch_totals, "conv_id")
+    assert j.count() > 0
+    bad = j.filter((F.col("turns_so_far") != F.col("bt"))
+                   | (F.col("chars_so_far") != F.col("bc"))).collect()
+    assert not bad, bad[:3]
+
+
 def test_multimodal_plumbing(spark):
     from snacktory_spark.multimodal import (FEATURE_DIM, extract_media_features,
                                             make_fake_media_df)
