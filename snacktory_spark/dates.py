@@ -515,12 +515,22 @@ DATE_PATTERNS = [
 
 
 def extract_date_using_regex(document: str):
-    """ArticleTextExtractor.extractDateUsingRegex (:1758-1774)."""
+    """ArticleTextExtractor.extractDateUsingRegex (:1758-1774).
+
+    Failed parses are memoized per call — pages repeat the same junk match
+    (e.g. asset ids) hundreds of times; semantics are unchanged because
+    parse_date is a pure function of the string.
+    """
+    failed: set[str] = set()
     for pattern in DATE_PATTERNS:
         for m in pattern.finditer(document):
-            parsed = parse_date(m.group())
+            s = m.group()
+            if s in failed:
+                continue
+            parsed = parse_date(s)
             if parsed is not None:
                 return parsed
+            failed.add(s)
     return None
 
 

@@ -55,6 +55,14 @@ _P_CLOSERS = frozenset(
 
 _WS_RUN = re.compile(r"[ \t\n\f\r]+")
 
+# scoring/formatting scratchpad attributes (the reference writes these into
+# the jsoup tree the same way). They are only ever read via direct attr()
+# access or SUBTREE selects (scan path), never through the doc-level index,
+# so writing them must not invalidate the doc index / text caches — the
+# index-select fast path is only taken from the document root.
+_INTERNAL_ATTRS = frozenset(
+    ("gravityscore", "paragraphindex", "contentextracted", "extragravityscore"))
+
 
 def normalise_whitespace(s: str) -> str:
     """jsoup StringUtil.normaliseWhitespace: collapse ws runs to one space."""
@@ -158,7 +166,7 @@ class Element:
 
     def set_attr(self, key: str, value: str) -> None:
         key = key.lower()
-        if key not in self.attrs:
+        if key not in self.attrs and key not in _INTERNAL_ATTRS:
             self._bump()  # attribute-presence selectors depend on keys
         self.attrs[key] = value
 

@@ -48,39 +48,43 @@ def add_score(el: Element, score: int) -> None:
 
 def calc_weight(e: Element, has_highly_positive: bool) -> tuple[int, bool]:
     weight = 0
+    attrs = e.attrs
+    cls = attrs.get("class", "")
+    ident = attrs.get("id", "")
+    itemprop = attrs.get("itemprop")
 
     if not has_highly_positive:
-        itemprop = e.attr("itemprop")
-        if e.has_attr("itemprop") and C.HIGHLY_POSITIVE.search(itemprop):
+        if itemprop is not None and C.HIGHLY_POSITIVE.search(itemprop):
             weight += 350
             has_highly_positive = True
-        if C.HIGHLY_POSITIVE.search(e.class_name()):
+        if cls and C.HIGHLY_POSITIVE.search(cls):
             weight += 200
             has_highly_positive = True
-        if C.HIGHLY_POSITIVE.search(e.id()):
+        if ident and C.HIGHLY_POSITIVE.search(ident):
             weight += 90
             has_highly_positive = True
 
-    if C.POSITIVE.search(e.class_name()):
-        weight += 35
-    if C.POSITIVE.search(e.id()):
-        weight += 45
-    if C.UNLIKELY.search(e.class_name()):
-        weight -= 20
-    if C.UNLIKELY.search(e.id()):
-        weight -= 20
-    if C.NEGATIVE.search(e.class_name()):
-        weight -= 50
-    if C.NEGATIVE.search(e.id()):
-        weight -= 50
-    if C.HIGHLY_NEGATIVE.search(e.id()):
-        weight -= 700
+    if cls:
+        if C.POSITIVE.search(cls):
+            weight += 35
+        if C.UNLIKELY.search(cls):
+            weight -= 20
+        if C.NEGATIVE.search(cls):
+            weight -= 50
+    if ident:
+        if C.POSITIVE.search(ident):
+            weight += 45
+        if C.UNLIKELY.search(ident):
+            weight -= 20
+        if C.NEGATIVE.search(ident):
+            weight -= 50
+        if C.HIGHLY_NEGATIVE.search(ident):
+            weight -= 700
 
-    style = e.attr("style")
+    style = attrs.get("style")
     if style and C.NEGATIVE_STYLE.search(style):
         weight -= 50
 
-    itemprop = e.attr("itemprop")
     if itemprop and C.POSITIVE.search(itemprop):
         weight += 100
 
@@ -237,9 +241,11 @@ def strip_unlikely_candidates(doc: Document) -> None:
     """ArticleTextExtractor.stripUnlikelyCandidates (:3132-3148)."""
     for body in doc.select("body"):
         for child in list(body.iter_descendants()):
-            class_name = child.class_name().lower()
-            ident = child.id().lower()
-            if C.TO_REMOVE.search(class_name) or C.TO_REMOVE.search(ident):
+            attrs = child.attrs
+            class_name = attrs.get("class")
+            ident = attrs.get("id")
+            if ((class_name and C.TO_REMOVE.search(class_name.lower()))
+                    or (ident and C.TO_REMOVE.search(ident.lower()))):
                 child.remove()
 
 
