@@ -612,8 +612,186 @@ class _TreeBuilder(HTMLParser):
         pass
 
 
+# --- fast single-pass tokenizer -------------------------------------------------
+#
+# Emits the same event stream as html.parser(convert_charrefs=True) into the
+# same _TreeBuilder, ~2-3x faster (no per-position bookkeeping, one master
+# regex). html.parser remains as the fallback for anything the fast path
+# can't tokenize; byte-equivalence is refereed by the 331-page reference
+# fixture suite.
+
+from html import unescape as _unescape  # noqa: E402
+from html.parser import (attrfind_tolerant as _attrfind,  # noqa: E402
+                         locatestarttagend_tolerant as _locatestart,
+                         tagfind_tolerant as _tagfind)
+
+_FAST_MARKUP = re.compile(r"""
+    <(?:
+        !--(?P<comment>.*?)-->                   # comment (must terminate)
+      | !(?P<decl>[^>]*)>                        # doctype / declaration
+      | \?(?P<pi>[^>]*)>                         # processing instruction
+      | /(?P<endtag>[a-zA-Z][^\s>]*)\s*[^>]*>    # end tag
+    )
+""", re.VERBOSE | re.DOTALL)
+
+_LT_OK = re.compile(r"[a-zA-Z!/?]")
+_MARKED_NAME = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*|")
+_MARKED_CLOSE = re.compile(r"\]\s*>")
+_MARKED_CLOSE2 = re.compile(r"\]\s*\]\s*>")
+
+
+def _bogus_markup_data(tb: _TreeBuilder, html: str, lt: int) -> int:
+    """html.parser's close()-time fallback for unparseable markup: emit
+    everything up to (and incl.) the next '>' as data, else to next '<'."""
+    k = html.find(">", lt + 1)
+    if k < 0:
+        k = html.find("<", lt + 1)
+        if k < 0:
+            k = lt + 1
+    else:
+        k += 1
+    seg = html[lt:k]
+    tb.handle_data(_unescape(seg) if "&" in seg else seg)
+    return k
+
+
+def _fast_feed(tb: _TreeBuilder, html: str) -> None:
+    pos = 0
+    n = len(html)
+    low = None
+    cdata_close = None  # lowercased '</tag' to search for
+    cdata_tag = None
+    while pos < n:
+        if cdata_tag is not None:
+            # rawtext content: everything until the matching close tag
+            if low is None:
+                low = html.lower()
+            j = low.find(cdata_close, pos)
+            if j < 0:
+                # unterminated rawtext: html.parser discards the tail
+                # (goahead breaks waiting for data that never comes) — and
+                # that behavior empirically matches the reference outcomes
+                break
+            if j > pos:
+                tb.handle_data(html[pos:j])
+            gt = html.find(">", j)
+            tb.handle_endtag(cdata_tag)
+            pos = (gt + 1) if gt >= 0 else n
+            cdata_tag = cdata_close = None
+            continue
+
+        lt = html.find("<", pos)
+        if lt < 0:
+            seg = html[pos:]
+            tb.handle_data(_unescape(seg) if "&" in seg else seg)
+            break
+        if lt > pos:
+            seg = html[pos:lt]
+            tb.handle_data(_unescape(seg) if "&" in seg else seg)
+        nxt = html[lt + 1] if lt + 1 < n else ""
+        if not nxt or not _LT_OK.match(nxt):
+            tb.handle_data("<")
+            pos = lt + 1
+            continue
+        if html.startswith("<!--", lt):
+            # comments never fall through to the declaration branch
+            close = html.find("-->", lt + 4)
+            if close >= 0:
+                pos = close + 3
+            else:
+                pos = _bogus_markup_data(tb, html, lt)
+            continue
+        if html.startswith("<![", lt):
+            # SGML marked section (html.parser parse_marked_section):
+            # if/else/endif close on ']>', cdata-style on ']]>'; content is
+            # swallowed (unknown_decl is ignored); unterminated → bogus data
+            name = _MARKED_NAME.match(html, lt + 3).group(0).strip().lower()
+            closer = (_MARKED_CLOSE if name in ("if", "else", "endif")
+                      else _MARKED_CLOSE2 if name in ("temp", "cdata",
+                                                      "ignore", "include",
+                                                      "rcdata")
+                      else None)
+            m = closer.search(html, lt + 3) if closer else None
+            if m is not None:
+                pos = m.end()
+            else:
+                pos = _bogus_markup_data(tb, html, lt)
+            continue
+
+        if nxt.isalpha():
+            # start tag, via the stdlib's own tolerant regexes (absolute
+            # positions keep attrfind's lookbehind semantics intact)
+            tm = _tagfind.match(html, lt + 1)
+            sm = _locatestart.match(html, lt)
+            j = sm.end()
+            if j >= n:
+                seg = html[lt:]
+                tb.handle_data(_unescape(seg) if "&" in seg else seg)
+                break
+            ch = html[j]
+            if ch == ">":
+                end_pos = j + 1
+            elif ch == "/" and html[j + 1:j + 2] == ">":
+                end_pos = j + 2
+            else:
+                # junk where '>' should be: emit '<' as data (tolerant-ish)
+                tb.handle_data("<")
+                pos = lt + 1
+                continue
+            tag = tm.group(1).lower()
+            attrs = []
+            k = tm.end()
+            while k < j:
+                am = _attrfind.match(html, k)
+                if am is None:
+                    break
+                name, _, val = am.group(1, 2, 3)
+                if val is None:
+                    pass
+                else:
+                    if (val[:1] == "'" == val[-1:]) or (val[:1] == '"' == val[-1:]):
+                        val = val[1:-1]
+                    if val and "&" in val:
+                        val = _unescape(val)
+                attrs.append((name.lower(), val))
+                k = am.end()
+            # html.parser decides self-closing from the raw tail after the
+            # last attribute ("<p/>"'s slash is eaten by the attrs matcher)
+            self_closing = html[k:end_pos].strip().endswith("/>")
+            pos = end_pos
+            if self_closing:
+                tb.handle_startendtag(tag, attrs)
+            else:
+                tb.handle_starttag(tag, attrs)
+                if tag in _TreeBuilder.CDATA_CONTENT_ELEMENTS:
+                    cdata_tag = tag
+                    cdata_close = "</" + tag
+            continue
+
+        m = _FAST_MARKUP.match(html, lt)
+        if m is None:
+            # unterminated comment/decl/pi/endtag: html.parser close() path
+            pos = _bogus_markup_data(tb, html, lt)
+            continue
+        pos = m.end()
+        end = m.group("endtag")
+        if end is not None:
+            tb.handle_endtag(end.lower())
+        # comments / declarations / PIs are ignored by the builder
+
+
+FAST_PARSE = True
+
+
 def parse(html: str, base_uri: str = "") -> Document:
     """Parse HTML into a Document (analog of Jsoup.parse(html, baseUri))."""
+    if FAST_PARSE:
+        tb = _TreeBuilder(base_uri)
+        try:
+            _fast_feed(tb, html)
+            return tb.doc
+        except Exception:
+            pass  # fall back to the stdlib tokenizer
     tb = _TreeBuilder(base_uri)
     try:
         tb.feed(html)
