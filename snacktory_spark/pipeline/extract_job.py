@@ -140,60 +140,83 @@ def run_extract(spark: SparkSession, input_path: str, output_path: str,
                 n_buckets: int = DEFAULT_N_BUCKETS,
                 salt_span: int = DEFAULT_SALT_SPAN,
                 partitions: int | None = None,
-                resume: bool = True) -> dict:
-    """Run (or resume) the extraction job. Returns run metrics."""
-    df = read_transcripts(spark, input_path)
+                resume: bool = True,
+                bucket_batch: int | None = None) -> dict:
+    """Run (or resume) the extraction job. Returns run metrics.
+
+    Buckets are processed in WAVES of `bucket_batch` (default: quarter of
+    the missing buckets, min 8): each wave is written + manifested before
+    the next starts, so a killed job loses at most one in-flight wave and a
+    resume skips every committed bucket. At 100 TB this is the knob that
+    bounds the blast radius of a failure.
+    """
+    df_all = read_transcripts(spark, input_path)
 
     done = load_manifest(output_path) if resume else {}
-    df = df.withColumn(
-        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int"))
-    if done:
-        # resume: anti-join against completed buckets (tiny set → broadcast)
-        done_df = spark.createDataFrame([(b,) for b in done], "bucket int")
-        df = df.join(F.broadcast(done_df), "bucket", "left_anti")
-
-    input_stats = df.agg(
-        F.count("*").alias("rows"),
-        F.coalesce(F.sum(F.octet_length("text")), F.lit(0)).alias("bytes")).first()
-    if input_stats["rows"] == 0:
+    missing = [b for b in range(n_buckets) if b not in done]
+    if not missing:
         return {"skipped": True, "completed_buckets": len(done)}
+    if bucket_batch is None:
+        bucket_batch = max(8, len(missing) // 4)
 
-    out = extracted_df(df.drop("bucket"), n_buckets=n_buckets,
-                       salt_span=salt_span, partitions=partitions)
-    (out.write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(output_path))
+    df_all = df_all.withColumn(
+        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int"))
 
-    # per-bucket manifest with lineage + row/byte metrics (from written
-    # data; only for buckets processed in THIS run)
-    written = spark.read.parquet(output_path)
-    if done:
-        written = written.filter(~F.col("bucket").isin(*[int(b) for b in done]))
-    rows = (written.groupBy("bucket")
-            .agg(F.count("*").alias("output_rows"),
-                 F.sum(F.octet_length("text")).alias("output_bytes"),
-                 F.sum(F.when(F.col("extract_ok"), 1).otherwise(0)).alias("ok_rows"),
-                 F.sum(F.when(~F.col("extract_ok"), 1).otherwise(0)).alias("error_rows"),
-                 F.approx_count_distinct("conv_id").alias("approx_convs"))
-            .collect())
+    totals = {"input_rows": 0, "input_bytes": 0, "output_rows": 0,
+              "ok_rows": 0, "error_rows": 0, "buckets_written": 0,
+              "resumed_buckets_skipped": len(done), "waves": 0}
     mdir = manifest_dir(output_path)
-    os.makedirs(mdir, exist_ok=True)
-    for r in rows:
-        rec = {"bucket": int(r["bucket"]),
-               "output_rows": int(r["output_rows"]),
-               "output_bytes": int(r["output_bytes"] or 0),
-               "ok_rows": int(r["ok_rows"]),
-               "error_rows": int(r["error_rows"]),
-               "approx_convs": int(r["approx_convs"]),
-               "input_path": input_path}
-        with open(os.path.join(mdir, f"bucket-{rec['bucket']:05d}.json"), "w") as f:
-            json.dump(rec, f)
-    return {
-        "input_rows": int(input_stats["rows"]),
-        "input_bytes": int(input_stats["bytes"]),
-        "output_rows": sum(int(r["output_rows"]) for r in rows),
-        "ok_rows": sum(int(r["ok_rows"]) for r in rows),
-        "error_rows": sum(int(r["error_rows"]) for r in rows),
-        "buckets_written": len(rows),
-        "resumed_buckets_skipped": len(done),
-    }
+
+    for w in range(0, len(missing), bucket_batch):
+        wave = missing[w:w + bucket_batch]
+        df = df_all.filter(F.col("bucket").isin(wave))
+        input_stats = df.agg(
+            F.count("*").alias("rows"),
+            F.coalesce(F.sum(F.octet_length("text")), F.lit(0)).alias("bytes")).first()
+
+        out = extracted_df(df.drop("bucket"), n_buckets=n_buckets,
+                           salt_span=salt_span, partitions=partitions)
+        (out.write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(output_path))
+
+        # per-bucket manifest with lineage + row/byte metrics, committed
+        # per wave (scan only this wave's bucket dirs)
+        written = spark.read.parquet(output_path).filter(F.col("bucket").isin(wave))
+        rows = (written.groupBy("bucket")
+                .agg(F.count("*").alias("output_rows"),
+                     F.sum(F.octet_length("text")).alias("output_bytes"),
+                     F.sum(F.when(F.col("extract_ok"), 1).otherwise(0)).alias("ok_rows"),
+                     F.sum(F.when(~F.col("extract_ok"), 1).otherwise(0)).alias("error_rows"),
+                     F.approx_count_distinct("conv_id").alias("approx_convs"))
+                .collect())
+        os.makedirs(mdir, exist_ok=True)
+        seen_buckets = set()
+        for r in rows:
+            rec = {"bucket": int(r["bucket"]),
+                   "output_rows": int(r["output_rows"]),
+                   "output_bytes": int(r["output_bytes"] or 0),
+                   "ok_rows": int(r["ok_rows"]),
+                   "error_rows": int(r["error_rows"]),
+                   "approx_convs": int(r["approx_convs"]),
+                   "input_path": input_path}
+            with open(os.path.join(mdir, f"bucket-{rec['bucket']:05d}.json"), "w") as f:
+                json.dump(rec, f)
+            seen_buckets.add(rec["bucket"])
+        # buckets with zero input rows are complete too — manifest them so
+        # resume doesn't re-plan them forever
+        for b in wave:
+            if b not in seen_buckets:
+                with open(os.path.join(mdir, f"bucket-{b:05d}.json"), "w") as f:
+                    json.dump({"bucket": b, "output_rows": 0, "output_bytes": 0,
+                               "ok_rows": 0, "error_rows": 0, "approx_convs": 0,
+                               "input_path": input_path}, f)
+        totals["input_rows"] += int(input_stats["rows"])
+        totals["input_bytes"] += int(input_stats["bytes"])
+        totals["output_rows"] += sum(int(r["output_rows"]) for r in rows)
+        totals["ok_rows"] += sum(int(r["ok_rows"]) for r in rows)
+        totals["error_rows"] += sum(int(r["error_rows"]) for r in rows)
+        totals["buckets_written"] += len(rows)
+        totals["waves"] += 1
+
+    return totals

@@ -73,8 +73,8 @@ def test_pipeline_manifest_and_resume(spark, synth_dir, tmp_path):
     m2 = run_extract(spark, f"{synth_dir}/transcripts.parquet", out, n_buckets=4)
     assert m2.get("skipped") is True
 
-    # drop one bucket's manifest → only that bucket reprocessed
-    some_bucket = next(iter(manifest))
+    # drop one NON-EMPTY bucket's manifest → only that bucket reprocessed
+    some_bucket = next(b for b, r in manifest.items() if r["output_rows"] > 0)
     os.remove(os.path.join(out, "_manifest", f"bucket-{some_bucket:05d}.json"))
     m3 = run_extract(spark, f"{synth_dir}/transcripts.parquet", out, n_buckets=4)
     assert m3["buckets_written"] == 1
