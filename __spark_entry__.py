@@ -375,6 +375,47 @@ def q_conv_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.length("doc").alias("doc_chars"))
 
 
+_BPE_RE = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+_ROLL_MOD = 2147483647
+
+
+def q_embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH over the embedding column (ANN scale path:
+    bucket-join instead of all-pairs). Hyperplanes = embeddings of vec_id
+    10..17 (deterministic); signature bit b = sign(v · plane_b)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planes = [r["embedding"] for r in
+              emb.filter(F.col("vec_id").between(10, 17)).orderBy("vec_id").collect()]
+    sig = F.lit(0)
+    for b, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(F.zip_with(F.col("embedding"), arr, lambda a, p: a * p),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        sig = sig + F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return emb.select("vec_id", sig.alias("lsh_bucket"))
+
+
+def q_doc_bpe_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization + rolling polynomial hash fingerprint
+    (training-data ops: token counting + document fingerprinting), all
+    JVM-side expressions."""
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0))
+    tok_hash = lambda x: (F.conv(F.substring(F.md5(x), 1, 7), 16, 10)  # noqa: E731
+                          .cast("long") % F.lit(1000000007))
+    rolling = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(31) + tok_hash(x)) % F.lit(_ROLL_MOD))
+    return (docs.filter(F.length("text") > 0)
+            .select("doc_id",
+                    F.size(toks).alias("n_bpe_tokens"),
+                    rolling.alias("rolling_hash")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_turns": q_extract_turns,
@@ -398,6 +439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ivf_assign": q_ivf_assign,
         "conv_flatten": q_conv_flatten,
+        "doc_bpe_fingerprint": q_doc_bpe_fingerprint,
+        "embedding_lsh_buckets": q_embedding_lsh_buckets,
     }
 
 
@@ -517,6 +560,31 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "minhash_lsh_pairs": _MINHASH_SQL,
+        "embedding_lsh_buckets": """
+            WITH planes AS (
+                SELECT vec_id - 10 AS b, embedding AS pe
+                FROM embeddings WHERE vec_id BETWEEN 10 AND 17)
+            SELECT e.vec_id,
+                   sum(CASE WHEN list_dot_product(e.embedding, p.pe) >= 0
+                            THEN 1 << b ELSE 0 END)::INT AS lsh_bucket
+            FROM embeddings e, planes p
+            GROUP BY e.vec_id
+        """,
+        "doc_bpe_fingerprint": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(text,
+                           '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')
+                           AS toks
+                FROM documents WHERE length(text) > 0)
+            SELECT doc_id, len(toks) AS n_bpe_tokens,
+                   list_reduce(
+                       list_prepend(0::BIGINT,
+                           list_transform(toks,
+                               x -> ('0x' || substr(md5(x), 1, 7))::BIGINT % 1000000007)),
+                       (acc, x) -> (acc * 31 + x) % 2147483647) AS rolling_hash
+            FROM t
+        """,
         "conv_flatten": f"""
             WITH flat AS (
                 SELECT conv_id, count(*) AS n_turns,
