@@ -103,6 +103,15 @@ def manifest_dir(output_path: str) -> str:
     return os.path.join(output_path, "_manifest")
 
 
+def _write_manifest_atomic(mdir: str, rec: dict) -> None:
+    """tmp+rename so a kill mid-write never leaves a corrupt manifest."""
+    path = os.path.join(mdir, f"bucket-{rec['bucket']:05d}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(rec, f)
+    os.replace(tmp, path)
+
+
 def load_manifest(output_path: str) -> dict[int, dict]:
     mdir = manifest_dir(output_path)
     if not os.path.isdir(mdir):
@@ -110,8 +119,11 @@ def load_manifest(output_path: str) -> dict[int, dict]:
     out = {}
     for name in os.listdir(mdir):
         if name.endswith(".json"):
-            with open(os.path.join(mdir, name)) as f:
-                row = json.load(f)
+            try:
+                with open(os.path.join(mdir, name)) as f:
+                    row = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                continue  # torn write from a killed run = bucket incomplete
             out[int(row["bucket"])] = row
     return out
 
@@ -200,17 +212,16 @@ def run_extract(spark: SparkSession, input_path: str, output_path: str,
                    "error_rows": int(r["error_rows"]),
                    "approx_convs": int(r["approx_convs"]),
                    "input_path": input_path}
-            with open(os.path.join(mdir, f"bucket-{rec['bucket']:05d}.json"), "w") as f:
-                json.dump(rec, f)
+            _write_manifest_atomic(mdir, rec)
             seen_buckets.add(rec["bucket"])
         # buckets with zero input rows are complete too — manifest them so
         # resume doesn't re-plan them forever
         for b in wave:
             if b not in seen_buckets:
-                with open(os.path.join(mdir, f"bucket-{b:05d}.json"), "w") as f:
-                    json.dump({"bucket": b, "output_rows": 0, "output_bytes": 0,
-                               "ok_rows": 0, "error_rows": 0, "approx_convs": 0,
-                               "input_path": input_path}, f)
+                _write_manifest_atomic(mdir, {
+                    "bucket": b, "output_rows": 0, "output_bytes": 0,
+                    "ok_rows": 0, "error_rows": 0, "approx_convs": 0,
+                    "input_path": input_path})
         totals["input_rows"] += int(input_stats["rows"])
         totals["input_bytes"] += int(input_stats["bytes"])
         totals["output_rows"] += sum(int(r["output_rows"]) for r in rows)
