@@ -186,6 +186,16 @@ def run_extract(spark: SparkSession, input_path: str, output_path: str,
             F.count("*").alias("rows"),
             F.coalesce(F.sum(F.octet_length("text")), F.lit(0)).alias("bytes")).first()
 
+        # input-split lineage per bucket (pruned scan: conv_id + file only)
+        lineage = {int(r["bucket"]): {"n_input_files": int(r["nf"]),
+                                      "first_input_file": r["f0"]}
+                   for r in (df.select("bucket",
+                                       F.input_file_name().alias("f"))
+                             .groupBy("bucket")
+                             .agg(F.countDistinct("f").alias("nf"),
+                                  F.min("f").alias("f0"))
+                             .collect())}
+
         out = extracted_df(df.drop("bucket"), n_buckets=n_buckets,
                            salt_span=salt_span, partitions=partitions)
         (out.write.mode("overwrite")
@@ -211,7 +221,8 @@ def run_extract(spark: SparkSession, input_path: str, output_path: str,
                    "ok_rows": int(r["ok_rows"]),
                    "error_rows": int(r["error_rows"]),
                    "approx_convs": int(r["approx_convs"]),
-                   "input_path": input_path}
+                   "input_path": input_path,
+                   **lineage.get(int(r["bucket"]), {})}
             _write_manifest_atomic(mdir, rec)
             seen_buckets.add(rec["bucket"])
         # buckets with zero input rows are complete too — manifest them so
