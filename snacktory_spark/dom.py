@@ -768,6 +768,14 @@ def _fast_feed(tb: _TreeBuilder, html: str) -> None:
                     cdata_close = "</" + tag
             continue
 
+        if nxt == "/" and not html[lt + 2:lt + 3].isalpha():
+            # '</' + non-name = bogus comment: silently skip to '>'
+            gt = html.find(">", lt + 1)
+            if gt >= 0:
+                pos = gt + 1
+            else:
+                pos = _bogus_markup_data(tb, html, lt)
+            continue
         m = _FAST_MARKUP.match(html, lt)
         if m is None:
             # unterminated comment/decl/pi/endtag: html.parser close() path
