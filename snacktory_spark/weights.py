@@ -27,6 +27,22 @@ def _java_round(x: float) -> int:
     return math.floor(x + 0.5)
 
 
+# class/id attribute values repeat across thousands of elements; memoize the
+# regex verdicts per (pattern, value). Bounded: cleared when oversized.
+_VERDICTS: dict[tuple[int, str], bool] = {}
+
+
+def _hit(pattern, s: str) -> bool:
+    key = (id(pattern), s)
+    v = _VERDICTS.get(key)
+    if v is None:
+        if len(_VERDICTS) > 100_000:
+            _VERDICTS.clear()
+        v = pattern.search(s) is not None
+        _VERDICTS[key] = v
+    return v
+
+
 # --- gravityScore attribute scratchpad (ArticleTextExtractor.java:2945-2961) --
 
 def get_score(el: Element) -> int:
@@ -54,38 +70,38 @@ def calc_weight(e: Element, has_highly_positive: bool) -> tuple[int, bool]:
     itemprop = attrs.get("itemprop")
 
     if not has_highly_positive:
-        if itemprop is not None and C.HIGHLY_POSITIVE.search(itemprop):
+        if itemprop is not None and _hit(C.HIGHLY_POSITIVE, itemprop):
             weight += 350
             has_highly_positive = True
-        if cls and C.HIGHLY_POSITIVE.search(cls):
+        if cls and _hit(C.HIGHLY_POSITIVE, cls):
             weight += 200
             has_highly_positive = True
-        if ident and C.HIGHLY_POSITIVE.search(ident):
+        if ident and _hit(C.HIGHLY_POSITIVE, ident):
             weight += 90
             has_highly_positive = True
 
     if cls:
-        if C.POSITIVE.search(cls):
+        if _hit(C.POSITIVE, cls):
             weight += 35
-        if C.UNLIKELY.search(cls):
+        if _hit(C.UNLIKELY, cls):
             weight -= 20
-        if C.NEGATIVE.search(cls):
+        if _hit(C.NEGATIVE, cls):
             weight -= 50
     if ident:
-        if C.POSITIVE.search(ident):
+        if _hit(C.POSITIVE, ident):
             weight += 45
-        if C.UNLIKELY.search(ident):
+        if _hit(C.UNLIKELY, ident):
             weight -= 20
-        if C.NEGATIVE.search(ident):
+        if _hit(C.NEGATIVE, ident):
             weight -= 50
-        if C.HIGHLY_NEGATIVE.search(ident):
+        if _hit(C.HIGHLY_NEGATIVE, ident):
             weight -= 700
 
     style = attrs.get("style")
-    if style and C.NEGATIVE_STYLE.search(style):
+    if style and _hit(C.NEGATIVE_STYLE, style):
         weight -= 50
 
-    if itemprop and C.POSITIVE.search(itemprop):
+    if itemprop and _hit(C.POSITIVE, itemprop):
         weight += 100
 
     return weight, has_highly_positive
@@ -157,7 +173,7 @@ def weight_child_nodes(root_el: Element) -> int:
     great_grand_children_weight = 0
     for child in children:
         # negative-looking children penalize instead of contributing (:2799-2804)
-        if C.NEGATIVE.search(child.id()) or C.NEGATIVE.search(child.class_name()):
+        if _hit(C.NEGATIVE, child.id()) or _hit(C.NEGATIVE, child.class_name()):
             grand_children_weight -= 30
             continue
         for grandchild in child.children:
