@@ -480,7 +480,8 @@ def oracle_sql() -> dict[str, str]:
             FROM {tr}
         """,
         "conv_stats": f"""
-            SELECT conv_id, count(*) AS n_turns, sum(length(text)) AS total_chars,
+            SELECT conv_id, count(*) AS n_turns,
+                   sum(length(text))::BIGINT AS total_chars,
                    max(turn_idx) AS max_turn_idx,
                    count(CASE WHEN role = 'tool' THEN 1 END) AS tool_turns
             FROM {tr} GROUP BY conv_id
@@ -525,9 +526,10 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), sessioned AS (
                 SELECT user_id, value,
-                       sum(new_session) OVER (PARTITION BY user_id
-                                              ORDER BY ts, event_id
-                                              ROWS UNBOUNDED PRECEDING) AS session_no
+                       (sum(new_session) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id
+                                               ROWS UNBOUNDED PRECEDING))::BIGINT
+                           AS session_no
                 FROM flagged)
             SELECT user_id, session_no, count(*) AS n_events,
                    round(sum(value), 2) AS sum_value
@@ -555,7 +557,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE length(text) > 0
         """,
         "doc_lang_profile": """
-            SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+            SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
                    round(avg(n_chars), 4) AS avg_chars
             FROM documents GROUP BY lang
         """,

@@ -22,9 +22,14 @@ def norm_cell(v):
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
+        # Type-tagged: a float64 3083.0 must NOT hash-equal int 3083 — the
+        # driver compares dtypes, and masking that difference hid the
+        # DuckDB HUGEINT->float64 artifact in round 1 (VERDICT r1 wrong #1).
         if math.isnan(v):
-            return "NaN"
-        return f"{v:.6g}"
+            return "f:NaN"
+        return f"f:{v:.6g}"
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)

@@ -655,28 +655,44 @@ def _bogus_markup_data(tb: _TreeBuilder, html: str, lt: int) -> int:
     return k
 
 
+_CDATA_CLOSE_RE: dict = {}
+
+
+def _cdata_close_re(tag: str):
+    """html.parser 3.11 cdata-mode `interesting` regex: the ONLY exit from
+    rawtext is a COMPLETE close tag `</\\s*tag\\s*>` (optional whitespace
+    around the name, nothing else). `</scripty>` or `</script foo>` never
+    match — they stay data; `</ script>` / `</script >` do match. Matching
+    a bare '</tag' prefix here (the old fast path) leaked early-closed
+    script bodies into article text and dropped `</ script>` tails."""
+    r = _CDATA_CLOSE_RE.get(tag)
+    if r is None:
+        r = _CDATA_CLOSE_RE[tag] = re.compile(r"</\s*%s\s*>" % re.escape(tag))
+    return r
+
+
 def _fast_feed(tb: _TreeBuilder, html: str) -> None:
     pos = 0
     n = len(html)
     low = None
-    cdata_close = None  # lowercased '</tag' to search for
+    cdata_close = None  # compiled close-tag regex (searched on lowered html)
     cdata_tag = None
     while pos < n:
         if cdata_tag is not None:
             # rawtext content: everything until the matching close tag
             if low is None:
                 low = html.lower()
-            j = low.find(cdata_close, pos)
-            if j < 0:
+            m = cdata_close.search(low, pos)
+            if m is None:
                 # unterminated rawtext: html.parser discards the tail
                 # (goahead breaks waiting for data that never comes) — and
                 # that behavior empirically matches the reference outcomes
                 break
+            j = m.start()
             if j > pos:
                 tb.handle_data(html[pos:j])
-            gt = html.find(">", j)
             tb.handle_endtag(cdata_tag)
-            pos = (gt + 1) if gt >= 0 else n
+            pos = m.end()
             cdata_tag = cdata_close = None
             continue
 
@@ -765,7 +781,7 @@ def _fast_feed(tb: _TreeBuilder, html: str) -> None:
                 tb.handle_starttag(tag, attrs)
                 if tag in _TreeBuilder.CDATA_CONTENT_ELEMENTS:
                     cdata_tag = tag
-                    cdata_close = "</" + tag
+                    cdata_close = _cdata_close_re(tag)
             continue
 
         if nxt == "/" and not html[lt + 2:lt + 3].isalpha():

@@ -25,6 +25,12 @@ _fragment = st.one_of(
     st.builds(lambda t, txt: f"<{t}>{txt}", st.sampled_from(_TAGS),
               st.text(alphabet=string.ascii_letters + " <>&'\"", max_size=20)),
     st.builds(lambda t: f"</{t}>", st.sampled_from(_TAGS)),
+    # near-miss rawtext close tags (ADVICE r1: '</scripty>', '</ script>',
+    # '</script foo>' must behave identically on both tokenizer paths)
+    st.builds(lambda t, pre, suf: f"</{pre}{t}{suf}>",
+              st.sampled_from(["script", "style", "iframe", "xmp"]),
+              st.sampled_from(["", " ", "  ", "\t"]),
+              st.sampled_from(["", "y", "2", " ", " foo", " foo='b'", "-x"])),
 )
 
 _soup = st.lists(_fragment, max_size=30).map("".join)
