@@ -1075,6 +1075,11 @@ def _candidates_for(simple: _Simple, doc: "Document"):
         return doc._idx_class.get(simple.classes[0], ())
     best = None
     for key, _op, _v in simple.attrs:
+        if key in _INTERNAL_ATTRS:
+            # scratchpad attrs skip doc-version bumps in set_attr, so the
+            # attr index may be stale for them — never use it as the
+            # candidate source (fall back to tag index / full scan)
+            continue
         lst = doc._idx_attr.get(key, ())
         if best is None or len(lst) < len(best):
             best = lst

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -103,31 +104,109 @@ def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
 
 
 def manifest_dir(output_path: str) -> str:
-    return os.path.join(output_path, "_manifest")
+    return output_path.rstrip("/") + "/_manifest"
 
 
-def _write_manifest_atomic(mdir: str, rec: dict) -> None:
-    """tmp+rename so a kill mid-write never leaves a corrupt manifest."""
-    path = os.path.join(mdir, f"bucket-{rec['bucket']:05d}.json")
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(rec, f)
-    os.replace(tmp, path)
+_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:")
 
 
-def load_manifest(output_path: str) -> dict[int, dict]:
-    mdir = manifest_dir(output_path)
-    if not os.path.isdir(mdir):
-        return {}
+class _ManifestIO:
+    """Manifest I/O that follows output_path's filesystem scheme.
+
+    Plain POSIX paths use local I/O (atomic via os.replace); scheme'd paths
+    (``file:``, ``hdfs:``, ``s3a:``, ...) go through the Hadoop FileSystem
+    API so resume state lands NEXT TO THE DATA on cluster deployments —
+    driver-local manifests for an s3:// output would strand resume state on
+    one machine (ADVICE r1). The ``file:`` scheme exercises the Hadoop
+    branch end-to-end in tests.
+    """
+
+    def __init__(self, spark: SparkSession | None, output_path: str):
+        self.mdir = manifest_dir(output_path)
+        self.hadoop = bool(_SCHEME_RE.match(output_path))
+        if self.hadoop:
+            if spark is None:
+                raise ValueError(
+                    f"manifest path {self.mdir!r} has a filesystem scheme; "
+                    "a SparkSession is required for Hadoop FileSystem I/O")
+            jvm = spark._jvm
+            self._jPath = jvm.org.apache.hadoop.fs.Path
+            self._fs = self._jPath(self.mdir).getFileSystem(
+                spark._jsc.hadoopConfiguration())
+
+    def write_atomic(self, rec: dict) -> None:
+        """tmp+rename so a kill mid-write never leaves a corrupt manifest."""
+        name = f"bucket-{rec['bucket']:05d}.json"
+        if self.hadoop:
+            dest = self._jPath(self.mdir + "/" + name)
+            tmp = self._jPath(self.mdir + "/" + name + ".tmp")
+            out = self._fs.create(tmp, True)
+            out.write(json.dumps(rec).encode("utf-8"))
+            out.close()
+            # hadoop rename does not overwrite; delete-then-rename leaves at
+            # worst a MISSING manifest (bucket re-runs — safe direction)
+            self._fs.delete(dest, False)
+            self._fs.rename(tmp, dest)
+        else:
+            os.makedirs(self.mdir, exist_ok=True)
+            path = os.path.join(self.mdir, name)
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(rec, f)
+            os.replace(tmp, path)
+
+    def iter_records(self):
+        if self.hadoop:
+            mpath = self._jPath(self.mdir)
+            if not self._fs.exists(mpath):
+                return
+            for st in self._fs.listStatus(mpath):
+                name = st.getPath().getName()
+                if not name.endswith(".json"):
+                    continue
+                stream = self._fs.open(st.getPath())
+                try:
+                    raw = bytes(stream.readAllBytes())
+                finally:
+                    stream.close()
+                try:
+                    yield json.loads(raw)
+                except json.JSONDecodeError:
+                    continue  # torn write from a killed run = incomplete
+        else:
+            if not os.path.isdir(self.mdir):
+                return
+            for name in os.listdir(self.mdir):
+                if not name.endswith(".json"):
+                    continue
+                try:
+                    with open(os.path.join(self.mdir, name)) as f:
+                        yield json.load(f)
+                except (json.JSONDecodeError, OSError):
+                    continue  # torn write from a killed run = incomplete
+
+
+def load_manifest(output_path: str, spark: SparkSession | None = None,
+                  expect_input_path: str | None = None,
+                  expect_n_buckets: int | None = None) -> dict[int, dict]:
+    """Read per-bucket completion records.
+
+    Records whose recorded input_path / n_buckets don't match the expected
+    values are IGNORED (treated as incomplete): resuming the same output dir
+    against a different input or bucket count must not silently skip work
+    (ADVICE r1). Records written before these fields existed pass through.
+    """
     out = {}
-    for name in os.listdir(mdir):
-        if name.endswith(".json"):
-            try:
-                with open(os.path.join(mdir, name)) as f:
-                    row = json.load(f)
-            except (json.JSONDecodeError, OSError):
-                continue  # torn write from a killed run = bucket incomplete
-            out[int(row["bucket"])] = row
+    for row in _ManifestIO(spark, output_path).iter_records():
+        if (expect_input_path is not None
+                and row.get("input_path") is not None
+                and row["input_path"] != expect_input_path):
+            continue
+        if (expect_n_buckets is not None
+                and row.get("n_buckets") is not None
+                and int(row["n_buckets"]) != expect_n_buckets):
+            continue
+        out[int(row["bucket"])] = row
     return out
 
 
@@ -137,7 +216,10 @@ def extracted_df(df: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS,
     """transcripts DataFrame → extracted DataFrame (lazy, no write)."""
     ensure_py_files(df.sparkSession)
     gated = (df
-             .select("conv_id", "turn_idx", "role", "tool", "ts", "text")
+             .select("conv_id", "turn_idx", "role", "tool", "ts", "text",
+                     # captured at the scan (before the exchange) so written
+                     # rows carry their source split; "" for non-file inputs
+                     F.input_file_name().alias("input_file"))
              .filter(F.col("text").isNotNull() & (F.length("text") > 0)))
     salt = F.xxhash64(F.col("conv_id"),
                       (F.col("turn_idx") / F.lit(salt_span)).cast("long"))
@@ -164,10 +246,26 @@ def run_extract(spark: SparkSession, input_path: str, output_path: str,
     the next starts, so a killed job loses at most one in-flight wave and a
     resume skips every committed bucket. At 100 TB this is the knob that
     bounds the blast radius of a failure.
+
+    The input text column is scanned exactly ONCE per wave (the extract
+    pass itself). The extraction UDF is strictly 1-row-in/1-row-out and
+    emits input_bytes + input_file lineage columns, so every manifest
+    metric (rows, input/output bytes, source files) is derived from one
+    scan of the much smaller written output. input_rows counts rows that
+    entered extraction, i.e. after the null/empty-text scan gate.
     """
+    # Dynamic per-partition overwrite is load-bearing: with the static
+    # default, wave 2 (or a resume) would DELETE every previously committed
+    # bucket directory under output_path (ADVICE r1). build_session sets it,
+    # but run_extract accepts any SparkSession — enforce it here.
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
     df_all = read_transcripts(spark, input_path)
 
-    done = load_manifest(output_path) if resume else {}
+    mio = _ManifestIO(spark, output_path)
+    done = load_manifest(output_path, spark=spark,
+                         expect_input_path=input_path,
+                         expect_n_buckets=n_buckets) if resume else {}
     missing = [b for b in range(n_buckets) if b not in done]
     if not missing:
         return {"skipped": True, "completed_buckets": len(done)}
@@ -180,64 +278,57 @@ def run_extract(spark: SparkSession, input_path: str, output_path: str,
     totals = {"input_rows": 0, "input_bytes": 0, "output_rows": 0,
               "ok_rows": 0, "error_rows": 0, "buckets_written": 0,
               "resumed_buckets_skipped": len(done), "waves": 0}
-    mdir = manifest_dir(output_path)
 
     for w in range(0, len(missing), bucket_batch):
         wave = missing[w:w + bucket_batch]
         df = df_all.filter(F.col("bucket").isin(wave))
-        input_stats = df.agg(
-            F.count("*").alias("rows"),
-            F.coalesce(F.sum(F.octet_length("text")), F.lit(0)).alias("bytes")).first()
-
-        # input-split lineage per bucket (pruned scan: conv_id + file only)
-        lineage = {int(r["bucket"]): {"n_input_files": int(r["nf"]),
-                                      "first_input_file": r["f0"]}
-                   for r in (df.select("bucket",
-                                       F.input_file_name().alias("f"))
-                             .groupBy("bucket")
-                             .agg(F.countDistinct("f").alias("nf"),
-                                  F.min("f").alias("f0"))
-                             .collect())}
-
         out = extracted_df(df.drop("bucket"), n_buckets=n_buckets,
                            salt_span=salt_span, partitions=partitions)
         (out.write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(output_path))
 
-        # per-bucket manifest with lineage + row/byte metrics, committed
-        # per wave (scan only this wave's bucket dirs)
+        # per-bucket manifest (rows/bytes/lineage) from ONE scan of this
+        # wave's written bucket dirs — the input is never re-read
         written = spark.read.parquet(output_path).filter(F.col("bucket").isin(wave))
         rows = (written.groupBy("bucket")
                 .agg(F.count("*").alias("output_rows"),
                      F.sum(F.octet_length("text")).alias("output_bytes"),
+                     F.sum("input_bytes").alias("input_bytes"),
                      F.sum(F.when(F.col("extract_ok"), 1).otherwise(0)).alias("ok_rows"),
                      F.sum(F.when(~F.col("extract_ok"), 1).otherwise(0)).alias("error_rows"),
-                     F.approx_count_distinct("conv_id").alias("approx_convs"))
+                     F.approx_count_distinct("conv_id").alias("approx_convs"),
+                     F.countDistinct("input_file").alias("n_input_files"),
+                     F.min("input_file").alias("first_input_file"))
                 .collect())
-        os.makedirs(mdir, exist_ok=True)
         seen_buckets = set()
         for r in rows:
             rec = {"bucket": int(r["bucket"]),
+                   "input_rows": int(r["output_rows"]),  # UDF is 1-in/1-out
                    "output_rows": int(r["output_rows"]),
+                   "input_bytes": int(r["input_bytes"] or 0),
                    "output_bytes": int(r["output_bytes"] or 0),
                    "ok_rows": int(r["ok_rows"]),
                    "error_rows": int(r["error_rows"]),
                    "approx_convs": int(r["approx_convs"]),
+                   "n_input_files": int(r["n_input_files"]),
+                   "first_input_file": r["first_input_file"],
                    "input_path": input_path,
-                   **lineage.get(int(r["bucket"]), {})}
-            _write_manifest_atomic(mdir, rec)
+                   "n_buckets": n_buckets}
+            mio.write_atomic(rec)
             seen_buckets.add(rec["bucket"])
         # buckets with zero input rows are complete too — manifest them so
         # resume doesn't re-plan them forever
         for b in wave:
             if b not in seen_buckets:
-                _write_manifest_atomic(mdir, {
-                    "bucket": b, "output_rows": 0, "output_bytes": 0,
+                mio.write_atomic({
+                    "bucket": b, "input_rows": 0, "output_rows": 0,
+                    "input_bytes": 0, "output_bytes": 0,
                     "ok_rows": 0, "error_rows": 0, "approx_convs": 0,
-                    "input_path": input_path})
-        totals["input_rows"] += int(input_stats["rows"])
-        totals["input_bytes"] += int(input_stats["bytes"])
+                    "n_input_files": 0, "first_input_file": None,
+                    "input_path": input_path, "n_buckets": n_buckets})
+        totals["input_rows"] += sum(int(r["output_rows"]) for r in rows)
+        totals["input_bytes"] += sum(int(r["input_bytes"] or 0) for r in rows)
         totals["output_rows"] += sum(int(r["output_rows"]) for r in rows)
         totals["ok_rows"] += sum(int(r["ok_rows"]) for r in rows)
         totals["error_rows"] += sum(int(r["error_rows"]) for r in rows)

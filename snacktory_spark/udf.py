@@ -101,4 +101,11 @@ def extract_map_in_pandas(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
         out = _results_to_frame([extract_row(t, u) for t, u in zip(pdf["text"], url)])
         keys = [k for k in ("conv_id", "turn_idx", "role", "tool", "ts")
                 if k in pdf.columns]
+        # lineage columns (EXTRACTED_SCHEMA tail): exact input byte size +
+        # source file, so manifests derive from the written output alone
+        out["input_bytes"] = [
+            len(t.encode("utf-8")) if isinstance(t, str) else 0
+            for t in pdf["text"]]
+        out["input_file"] = (pdf["input_file"].reset_index(drop=True)
+                             if "input_file" in pdf.columns else None)
         yield pd.concat([pdf[keys].reset_index(drop=True), out], axis=1)

@@ -161,3 +161,15 @@ def test_table_structure():
     doc = parse("<table><tr><td>a<td>b<tr><td>c</table>")
     assert len(doc.select("tr")) == 2
     assert len(doc.select("td")) == 3
+
+
+def test_internal_attr_select_not_stale():
+    """Doc-root [attr] selects on scoring scratchpad attributes must not
+    consult the (deliberately not invalidated) attribute index (ADVICE r1)."""
+    doc = parse("<div><p>a</p><p>b</p></div>")
+    assert len(doc.select("[gravityscore]")) == 0  # builds the doc index
+    el = doc.select("p")[0]
+    el.set_attr("gravityscore", "42")
+    hits = doc.select("[gravityscore]")
+    assert len(hits) == 1 and hits[0] is el
+    assert len(doc.select("p[gravityscore=42]")) == 1
