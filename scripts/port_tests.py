@@ -26,6 +26,13 @@ TEST_JAVA = "/root/reference/src/test/java/de/jetwick/snacktory/ArticleTextExtra
 RES_DIR = "/root/reference/src/test/resources/de/jetwick/snacktory"
 REF = "/root/reference"
 
+# Tests whose bodies run SEVERAL extractions with different inputs or
+# extractor configs (inline html, second OutputFormatter, two fixtures,
+# maxContentSize param). The single-config auto-run misattributes their
+# asserts; each is ported by hand in tests/test_reference_handports.py.
+HAND_PORTED = frozenset({"testIssue4", "testI4Online", "testImagesList",
+                         "testLimitSize"})
+
 # compareDates parses expected with these patterns (test file :3689-3700)
 _EXPECTED_DATE_TOKENS = [_tokenize_java_pattern(p) for p in [
     "yyyy-MM-dd",
@@ -119,14 +126,49 @@ def parse_method(name: str, body: str):
         "getSitename": "sitename", "getDateString": "date_string",
     }
 
-    for am in re.finditer(r'assertEquals\((?:[^,()"]*,\s*)?' + _STR + r',\s*res\.(\w+)\(\)\)', body):
+    # the result object is named `res` or `article` depending on the test
+    OBJ = r'(?:res|article)'
+
+    # assertEquals([msg,] "expected", obj.getX())  — optional leading space
+    # and optional message argument; \s* spans the multi-line forms
+    for am in re.finditer(r'assertEquals\(\s*(?:[^,()"]*,\s*)?' + _STR
+                          + r',\s*' + OBJ + r'\.(\w+)\(\)\)', body):
         g = getters.get(am.group(2))
         if g:
             case["asserts"].append(("equals", g, _java_str(am.group(1))))
         else:
             case["unparsed"].append(am.group(0)[:80])
 
-    for am in re.finditer(r'(assertFalse\([^;]*?)?res\.(\w+)\(\)\.(startsWith|endsWith|contains|equals)\(' + _STR + r'\)', body):
+    # reversed argument order: assertEquals(obj.getX(), "expected")
+    for am in re.finditer(r'assertEquals\(\s*' + OBJ + r'\.(\w+)\(\),\s*'
+                          + _STR + r'\)', body):
+        g = getters.get(am.group(1))
+        if g:
+            case["asserts"].append(("equals", g, _java_str(am.group(2))))
+        else:
+            case["unparsed"].append(am.group(0)[:80])
+
+    # assertEquals(StringUtils.EMPTY, obj.getX())
+    for am in re.finditer(r'assertEquals\(\s*StringUtils\.EMPTY,\s*' + OBJ
+                          + r'\.(\w+)\(\)\)', body):
+        g = getters.get(am.group(1))
+        if g:
+            case["asserts"].append(("equals", g, ""))
+        else:
+            case["unparsed"].append(am.group(0)[:80])
+
+    # getter-vs-getter equality: assertEquals(obj.getA(), obj.getB())
+    for am in re.finditer(r'assertEquals\(\s*' + OBJ + r'\.(\w+)\(\),\s*'
+                          + OBJ + r'\.(\w+)\(\)\)', body):
+        a, b = getters.get(am.group(1)), getters.get(am.group(2))
+        if a and b:
+            case["asserts"].append(("same", a, b))
+        else:
+            case["unparsed"].append(am.group(0)[:80])
+
+    for am in re.finditer(r'(assertFalse\([^;]*?)?' + OBJ
+                          + r'\.(\w+)\(\)\.(startsWith|endsWith|contains|equals)\('
+                          + _STR + r'\)', body):
         g = getters.get(am.group(2))
         if g:
             kind = am.group(3)
@@ -136,20 +178,59 @@ def parse_method(name: str, body: str):
         else:
             case["unparsed"].append(am.group(0)[:80])
 
-    for am in re.finditer(r'compareDates\(' + _STR + r',\s*res\.getDate\(\)\)', body):
+    for am in re.finditer(r'compareDates\(' + _STR + r',\s*' + OBJ
+                          + r'\.getDate\(\)\)', body):
         case["asserts"].append(("date", "date", _java_str(am.group(1))))
 
-    for am in re.finditer(r'assertEquals\(Arrays\.asList\((.*?)\),\s*res\.getKeywords\(\)\)', body, re.DOTALL):
+    for am in re.finditer(r'assertEquals\(Arrays\.asList\((.*?)\),\s*' + OBJ
+                          + r'\.getKeywords\(\)\)', body, re.DOTALL):
         kws = [_java_str(s) for s in re.findall(_STR, am.group(1))]
         case["asserts"].append(("keywords", "keywords", kws))
 
-    if re.search(r'assertTrue\(res\.getKeywords\(\)\.isEmpty\(\)\)', body):
+    if re.search(r'assertTrue\(' + OBJ + r'\.getKeywords\(\)\.isEmpty\(\)\)', body):
         case["asserts"].append(("keywords", "keywords", []))
 
-    for am in re.finditer(r'assertEquals\((\d+),\s*res\.getLinks\(\)\.size\(\)\)', body):
+    for am in re.finditer(r'assertEquals\((\d+),\s*' + OBJ
+                          + r'\.getLinks\(\)\.size\(\)\)', body):
         case["asserts"].append(("links_count", "links", int(am.group(1))))
 
-    for am in re.finditer(r'assertNull\(res\.getDate\(\)\)', body):
+    # assertEquals(N, obj.getImagesCount())
+    for am in re.finditer(r'assertEquals\((\d+),\s*' + OBJ
+                          + r'\.getImagesCount\(\)\)', body):
+        case["asserts"].append(("images_count", "images", int(am.group(1))))
+
+    # obj.getImages().get(i).src equality, either argument order
+    for am in re.finditer(r'assertEquals\(\s*' + _STR + r',\s*' + OBJ
+                          + r'\.getImages\(\)\.get\((\d+)\)\.src\)', body):
+        case["asserts"].append(("image_src", int(am.group(2)), _java_str(am.group(1))))
+    for am in re.finditer(r'assertEquals\(\s*' + OBJ
+                          + r'\.getImages\(\)\.get\((\d+)\)\.src,\s*' + _STR
+                          + r'\)', body):
+        case["asserts"].append(("image_src", int(am.group(1)), _java_str(am.group(2))))
+
+    # getImageUrl == getImages().get(0).src
+    if re.search(r'assertEquals\(\s*' + OBJ + r'\.getImageUrl\(\),\s*' + OBJ
+                 + r'\.getImages\(\)\.get\(0\)\.src\)', body):
+        case["asserts"].append(("image_src_is_image_url", 0, None))
+
+    # assertTrue([msg,] obj.getText().length() <= N)
+    for am in re.finditer(OBJ + r'\.getText\(\)\.length\(\)\s*<=\s*(\d+)', body):
+        case["asserts"].append(("text_maxlen", "text", int(am.group(1))))
+
+    # assertTrue([msg,] obj.getX().length() == N)  — exact length checks
+    for am in re.finditer(OBJ + r'\.(\w+)\(\)\.length\(\)\s*==\s*(\d+)', body):
+        g = getters.get(am.group(1))
+        if g:
+            case["asserts"].append(("length_equals", g, int(am.group(2))))
+        else:
+            case["unparsed"].append(am.group(0)[:80])
+
+    # testCredoMag: every harvested link url must be <= N chars
+    if re.search(r'assertTrue\(link\.get\("url"\)\.toString\(\)\.length\(\)\s*<=\s*(\d+)\)', body):
+        n = int(re.search(r'link\.get\("url"\)\.toString\(\)\.length\(\)\s*<=\s*(\d+)', body).group(1))
+        case["asserts"].append(("links_url_maxlen", "links", n))
+
+    for am in re.finditer(r'assertNull\(' + OBJ + r'\.getDate\(\)\)', body):
         case["asserts"].append(("date_null", "date", None))
 
     # unrecognized assert lines (roughly)
@@ -161,14 +242,26 @@ def parse_method(name: str, body: str):
 
 
 def _recognized(line: str) -> bool:
+    o = r'(?:res|article)'
     pats = [
-        r'res\.\w+\(\)\.(startsWith|endsWith|contains|equals)\(',
-        r'assertEquals\((?:[^,()"]*,\s*)?"(?:[^"\\]|\\.)*",\s*res\.\w+\(\)\)',
+        o + r'\.\w+\(\)\.(startsWith|endsWith|contains|equals)\(',
+        r'assertEquals\(\s*(?:[^,()"]*,\s*)?"(?:[^"\\]|\\.)*",\s*' + o + r'\.\w+\(\)\)',
+        r'assertEquals\(\s*' + o + r'\.\w+\(\),\s*"',
+        r'assertEquals\(\s*StringUtils\.EMPTY,\s*' + o + r'\.\w+\(\)\)',
+        r'assertEquals\(\s*' + o + r'\.\w+\(\),\s*' + o + r'\.\w+\(\)\)',
         r'compareDates\(',
         r'Arrays\.asList',
         r'getKeywords\(\)\.isEmpty',
         r'getLinks\(\)\.size',
-        r'assertNull\(res\.getDate\(\)\)',
+        r'getImagesCount\(\)',
+        r'getImages\(\)\.get\(\d+\)\.src',
+        r'getText\(\)\.length\(\)\s*<=\s*\d+',
+        r'\w+\(\)\.length\(\)\s*==\s*\d+',
+        r'link\.get\("url"\)\.toString\(\)\.length\(\)\s*<=\s*\d+',
+        r'assertNull\(' + o + r'\.getDate\(\)\)',
+        # multi-line assertEquals: a bare '"literal",' line whose getter sits
+        # on the following line was already captured by the \s*-spanning scan
+        r'^assertEquals\(\s*"(?:[^"\\]|\\.)*",?\s*$',
     ]
     return any(re.search(p, line) for p in pats)
 
@@ -210,7 +303,33 @@ def run_case(case: dict):
     }
 
     for kind, field, expected in case["asserts"]:
-        if kind == "keywords":
+        if kind == "same":
+            a, b = field_map.get(field), field_map.get(expected)
+            if a != b:
+                failures.append(f"same({field},{expected}): {a!r} != {b!r}")
+        elif kind == "images_count":
+            if len(res["images"]) != expected:
+                failures.append(f"images_count: got {len(res['images'])} want {expected}")
+        elif kind == "image_src":
+            srcs = [im.get("src") for im in res["images"]]
+            if field >= len(srcs) or srcs[field] != expected:
+                failures.append(f"images[{field}].src: got {srcs[field] if field < len(srcs) else None!r} want {expected!r}")
+        elif kind == "image_src_is_image_url":
+            srcs = [im.get("src") for im in res["images"]]
+            if not srcs or srcs[0] != res["image_url"]:
+                failures.append(f"image_url != images[0].src: {res['image_url']!r} vs {srcs[:1]!r}")
+        elif kind == "text_maxlen":
+            if len(res["text"]) > expected:
+                failures.append(f"text_maxlen: {len(res['text'])} > {expected}")
+        elif kind == "length_equals":
+            actual = field_map.get(field, "")
+            if len(actual) != expected:
+                failures.append(f"{field} length: got {len(actual)} want {expected}")
+        elif kind == "links_url_maxlen":
+            bad = [l for l in res["links"] if len(l["url"]) > expected]
+            if bad:
+                failures.append(f"links_url_maxlen: {len(bad)} links over {expected}")
+        elif kind == "keywords":
             if res["keywords"] != expected:
                 failures.append(f"keywords: got {res['keywords']!r} want {expected!r}")
         elif kind == "date":
@@ -255,9 +374,12 @@ def main():
     src = re.sub(r"/\*.*?\*/", "", src, flags=re.DOTALL)
     # strip whole-line // comments (but not // inside string literals/URLs)
     src = "\n".join(l for l in src.splitlines() if not l.lstrip().startswith("//"))
-    report = {"pass": [], "fail": {}, "unparsed": {}}
+    report = {"pass": [], "fail": {}, "unparsed": {},
+              "hand_ported": sorted(HAND_PORTED)}
     total_asserts = passed_asserts = 0
     for name, body in split_methods(src):
+        if name in HAND_PORTED:
+            continue
         case = parse_method(name, body)
         if "fixture" not in case:
             report["unparsed"][name] = case["unparsed"]

@@ -40,21 +40,38 @@ def detect_charset(head: str, key: str) -> str | None:
 
 
 def bytes_to_string(data: bytes, enc: str | None = None) -> str:
-    """Converter.streamToString analog for in-memory bytes."""
-    encoding = enc or "utf-8"
-    head = data[: 2 * K2].decode("latin-1", errors="replace")
-    detected = detect_charset(head, "charset=") or detect_charset(head, "encoding=")
-    if detected:
-        try:
-            b"x".decode(detected)
-            encoding = detected
-        except (LookupError, UnicodeDecodeError):
-            encoding = "utf-8"
+    """Converter.streamToString analog for in-memory bytes.
+
+    Window sizes mirror the reference exactly: the first detectCharset call
+    buffers K2 bytes and searches ``charset=`` in THOSE 2048 bytes only; the
+    second buffers 2048 more and searches ``encoding=`` in all 4096
+    (Converter.java:108-123,180-188). A ``charset=`` past byte 2048 is
+    deliberately missed (cnn2.html declares iso-8859-1 at byte 2113 and the
+    reference decodes it as UTF-8 — testCnn2's author depends on this).
+    """
+    encoding = resolve_encoding(data, enc)
     data = data[:MAX_BYTES]
     try:
         return data.decode(encoding, errors="replace")
     except LookupError:
         return data.decode("utf-8", errors="replace")
+
+
+def resolve_encoding(data: bytes, enc: str | None = None) -> str:
+    """The encoding streamToString would decode with (Converter.getEncoding
+    analog, ConverterTest.java:31-72): sniffed charset, else `enc`, else
+    utf-8; unknown/undecodable names fall back to utf-8 (:137-147)."""
+    encoding = (enc or "utf-8").lower()
+    head1 = data[:K2].decode("latin-1", errors="replace")
+    head2 = data[: 2 * K2].decode("latin-1", errors="replace")
+    detected = detect_charset(head1, "charset=") or detect_charset(head2, "encoding=")
+    if detected:
+        try:
+            b"x".decode(detected)
+            encoding = detected.lower()
+        except (LookupError, UnicodeDecodeError):
+            encoding = "utf-8"
+    return encoding
 
 
 def read_file_as_string(path: str) -> str:

@@ -64,8 +64,12 @@ def empty_result(url: str = "") -> dict:
 
 
 def extract(html: str, url: str = "", max_content_size: int = 0,
-            extract_images: bool = True) -> dict:
-    """ArticleTextExtractor.extractContent(JResult, String html, ...) (:403-419)."""
+            extract_images: bool = True,
+            formatter: OutputFormatter | None = None) -> dict:
+    """ArticleTextExtractor.extractContent(JResult, String html, ...) (:403-419).
+
+    `formatter` mirrors setOutputFormatter (:378): it replaces the default
+    fallback formatter; per-domain formatters still take precedence (:600)."""
     res = empty_result(url)
     if not html:
         raise ValueError("html string is empty!?")
@@ -74,7 +78,8 @@ def extract(html: str, url: str = "", max_content_size: int = 0,
         html = utf8_truncate(html, C.MAX_INPUT_BYTES)
 
     doc = dom_parse(html, url)
-    result = _extract_retrying(res, doc, html, extract_images, max_content_size)
+    result = _extract_retrying(res, doc, html, extract_images, max_content_size,
+                               formatter)
 
     # malformed-HTML sanity retry (:411-418). The reference re-cleans with
     # htmlcleaner; our parser is a single implementation so we re-parse the
@@ -84,29 +89,33 @@ def extract(html: str, url: str = "", max_content_size: int = 0,
         recleaned = dom_parse(serialized, url)
         res = empty_result(url)
         result = _extract_retrying(res, recleaned, serialized,
-                                   extract_images, max_content_size)
+                                   extract_images, max_content_size, formatter)
     return result
 
 
 def _extract_retrying(res: dict, doc: Document, html: str, extract_images: bool,
-                      max_content_size: int) -> dict:
+                      max_content_size: int,
+                      formatter: OutputFormatter | None = None) -> dict:
     """extractContent(JResult, Document, ...) (:421-435).
 
     The reference clones the (about-to-be-mutated) document up front; we
     re-parse the original html on the rare empty-text retry instead — same
     tree (parsing is deterministic), no per-document deep copy.
     """
-    result = _extract_content(res, doc, extract_images, max_content_size, True)
+    result = _extract_content(res, doc, extract_images, max_content_size, True,
+                              formatter)
     if len(result["text"]) == 0:
         result = _extract_content(res, dom_parse(html, res["url"]),
-                                  extract_images, max_content_size, False)
+                                  extract_images, max_content_size, False,
+                                  formatter)
     if not result["text"].strip():
         result["text"] = result["description"]
     return result
 
 
 def _extract_content(res: dict, doc: Document, extract_images: bool,
-                     max_content_size: int, clean_scripts: bool) -> dict:
+                     max_content_size: int, clean_scripts: bool,
+                     formatter: OutputFormatter | None = None) -> dict:
     """Main workhorse (:438-563)."""
     url = res["url"]
 
@@ -137,13 +146,15 @@ def _extract_content(res: dict, doc: Document, extract_images: bool,
 
     best_match_element = _get_best_match_element_per_url(doc, url)
     if best_match_element is not None:
-        _process_best_element(res, extract_images, max_content_size, best_match_element)
+        _process_best_element(res, extract_images, max_content_size,
+                              best_match_element, formatter)
     else:
         nodes = get_nodes(doc)
         best_match_element = None
         for candidate in get_best_match_elements(nodes):
             best_match_element = candidate
-            if _process_best_element(res, extract_images, max_content_size, candidate):
+            if _process_best_element(res, extract_images, max_content_size,
+                                     candidate, formatter):
                 break
         else:
             best_match_element = best_match_element  # keep last tried (matches :506-514)
@@ -198,7 +209,8 @@ def _get_best_match_element_per_url(doc: Document, url: str):
 
 
 def _process_best_element(res: dict, extract_images: bool, max_content_size: int,
-                          best_match_element: Element) -> bool:
+                          best_match_element: Element,
+                          formatter: OutputFormatter | None = None) -> bool:
     """processBestElement (:585-643)."""
     if extract_images:
         images: list[dict] = []
@@ -210,7 +222,10 @@ def _process_best_element(res: dict, extract_images: bool, max_content_size: int
     custom = C.OUTPUT_FORMATTER_PER_DOMAIN.get(res["domain"])
     if custom is None:
         custom = C.OUTPUT_FORMATTER_PER_DOMAIN.get(res["top_private_domain"])
-    formatter = make_formatter(custom) if custom is not None else DEFAULT_FORMATTER
+    if custom is not None:
+        formatter = make_formatter(custom)
+    elif formatter is None:
+        formatter = DEFAULT_FORMATTER
 
     text = formatter.get_formatted_text(best_match_element, True)
     if len(text) == 0:

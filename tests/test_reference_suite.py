@@ -27,6 +27,8 @@ def _load_cases():
     src = "\n".join(l for l in src.splitlines() if not l.lstrip().startswith("//"))
     cases = []
     for name, body in port_tests.split_methods(src):
+        if name in port_tests.HAND_PORTED:
+            continue  # ported by hand in tests/test_reference_handports.py
         case = port_tests.parse_method(name, body)
         if "fixture" in case and case["asserts"]:
             cases.append(case)
