@@ -83,10 +83,20 @@ def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdir = _synth(sf_dir)
     df = read_transcripts(spark, f"{sdir}/transcripts.parquet")
     out = extracted_df(df)
+    # every JResult field is oracle-checked: scalars verbatim, list fields
+    # as deterministic '|'-joined serializations (matches synth.py's
+    # expected_extraction.parquet)
     return out.select(
         "conv_id", "turn_idx", "title", "text", "author_name",
+        "raw_author_name", "author_description",
         F.date_format("date", "yyyy-MM-dd HH:mm:ss").alias("date_str"),
-        "language", "description")
+        "language", "description", "canonical_url", "domain",
+        "top_private_domain", "image_url", "favicon_url", "video_url",
+        "rss_url", "type", "sitename",
+        F.array_join("keywords", "|").alias("keywords_str"),
+        F.array_join(F.transform("images", lambda x: x["src"]), "|").alias("images_str"),
+        F.array_join(F.transform("links", lambda x: x["url"]), "|").alias("links_str"),
+        "extract_ok")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -449,10 +459,15 @@ def oracle_sql() -> dict[str, str]:
     ee = f"read_parquet('{SF01_DIR}/expected_extraction.parquet')"
     ex = f"read_parquet('{SF01_DIR}/expected.parquet')"
     return {
-        # distributed extraction == deterministic single-node extraction
+        # distributed extraction == deterministic single-node extraction,
+        # over EVERY JResult field (list fields pre-serialized at synth time)
         "extract_turns": f"""
-            SELECT conv_id, turn_idx, title, text, author_name, date_str,
-                   language, description
+            SELECT conv_id, turn_idx, title, text, author_name,
+                   raw_author_name, author_description, date_str,
+                   language, description, canonical_url, domain,
+                   top_private_domain, image_url, favicon_url, video_url,
+                   rss_url, type, sitename, keywords_str, images_str,
+                   links_str, extract_ok
             FROM {ee}
         """,
         "golden_equality": f"""

@@ -307,10 +307,17 @@ def generate(out_dir: str, sf: float = 0.01, seed: int = 42,
             f.write(f"sf={sf} seed={seed} rows={row_no} convs={n_convs} extraction=0\n")
         return out_dir
 
-    # full local (single-node) extraction = oracle for the distributed run
-    ext_rows = {"conv_id": [], "turn_idx": [], "title": [], "text": [],
-                "author_name": [], "date_str": [], "language": [],
-                "description": []}
+    # full local (single-node) extraction = oracle for the distributed run.
+    # EVERY JResult field is oracled (VERDICT r1 missing #2): scalar fields
+    # verbatim, list fields as deterministic '|'-joined serializations.
+    scalar_fields = ["title", "text", "author_name", "raw_author_name",
+                     "author_description", "language", "description",
+                     "canonical_url", "domain", "top_private_domain",
+                     "image_url", "favicon_url", "video_url", "rss_url",
+                     "type", "sitename"]
+    ext_rows = {f: [] for f in
+                ["conv_id", "turn_idx", *scalar_fields, "date_str",
+                 "keywords_str", "images_str", "links_str", "extract_ok"]}
     for cid, ti, text in zip(conv_ids, turn_idxs, texts):
         try:
             res = extract(text) if text else None
@@ -318,22 +325,18 @@ def generate(out_dir: str, sf: float = 0.01, seed: int = 42,
             res = None
         ext_rows["conv_id"].append(cid)
         ext_rows["turn_idx"].append(ti)
-        ext_rows["title"].append(res["title"] if res else "")
-        ext_rows["text"].append(res["text"] if res else "")
-        ext_rows["author_name"].append(res["author_name"] if res else "")
+        for f in scalar_fields:
+            ext_rows[f].append(res[f] if res else "")
         ext_rows["date_str"].append(format_date_utc(res["date"]) if res else None)
-        ext_rows["language"].append(res["language"] if res else "")
-        ext_rows["description"].append(res["description"] if res else "")
-    ext_table = pa.table({
-        "conv_id": pa.array(ext_rows["conv_id"], pa.string()),
-        "turn_idx": pa.array(ext_rows["turn_idx"], pa.int32()),
-        "title": pa.array(ext_rows["title"], pa.string()),
-        "text": pa.array(ext_rows["text"], pa.string()),
-        "author_name": pa.array(ext_rows["author_name"], pa.string()),
-        "date_str": pa.array(ext_rows["date_str"], pa.string()),
-        "language": pa.array(ext_rows["language"], pa.string()),
-        "description": pa.array(ext_rows["description"], pa.string()),
-    })
+        ext_rows["keywords_str"].append("|".join(res["keywords"]) if res else "")
+        ext_rows["images_str"].append(
+            "|".join(im["src"] for im in res["images"]) if res else "")
+        ext_rows["links_str"].append(
+            "|".join(l["url"] for l in res["links"]) if res else "")
+        ext_rows["extract_ok"].append(bool(res))
+    ext_types = {"turn_idx": pa.int32(), "extract_ok": pa.bool_()}
+    ext_table = pa.table({f: pa.array(v, ext_types.get(f, pa.string()))
+                          for f, v in ext_rows.items()})
     pq.write_table(ext_table, os.path.join(out_dir, "expected_extraction.parquet"))
 
     with open(marker, "w") as f:
