@@ -333,11 +333,33 @@ def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via bucketed hyperplane LSH (4 tables ×
+    4 bits, planes = embeddings of vec_id 10..25): candidates share a
+    (table, bucket), exact cosine computed only within buckets. Equi-joins
+    throughout — no O(n²) nested-loop join. The DuckDB oracle runs the SAME
+    bucketed algorithm; brute-force ground truth lives in
+    tests/test_textops_streaming.py (recall check)."""
     import sys
     sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
     from snacktory_spark.textops import embedding_neardup_pairs
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_neardup_pairs(emb, threshold=0.45)
+    planes = [r["embedding"] for r in
+              emb.filter(F.col("vec_id").between(10, 25)).orderBy("vec_id").collect()]
+    return embedding_neardup_pairs(emb, planes, threshold=0.45, bits_per_table=4)
+
+
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-60 document fingerprints (near-dup sketch): one md5 per
+    distinct token, bit-votes folded in a single JVM-side aggregate
+    (snacktory_spark.textops.simhash64)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+    from snacktory_spark.textops import simhash64
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (docs.filter(F.length("text") > 0)
+            .select("doc_id", simhash64().alias("simhash")))
 
 
 def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -447,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
         "embedding_neardup": q_embedding_neardup,
+        "doc_simhash": q_doc_simhash,
         "ivf_assign": q_ivf_assign,
         "conv_flatten": q_conv_flatten,
         "doc_bpe_fingerprint": q_doc_bpe_fingerprint,
@@ -577,6 +600,25 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "minhash_lsh_pairs": _MINHASH_SQL,
+        "doc_simhash": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       unnest(list_distinct(regexp_split_to_array(
+                           trim(lower(text)), '\s+'))) AS tok
+                FROM documents WHERE length(text) > 0),
+            h AS (
+                SELECT doc_id,
+                       ('0x' || substring(md5(tok), 1, 15))::BIGINT AS hv
+                FROM t),
+            v AS (
+                SELECT doc_id, b,
+                       sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+                FROM h, range(60) r(b) GROUP BY doc_id, b)
+            SELECT doc_id,
+                   sum(CASE WHEN vote > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT
+                       AS simhash
+            FROM v GROUP BY doc_id
+        """,
         "embedding_lsh_buckets": """
             WITH planes AS (
                 SELECT vec_id - 10 AS b, embedding AS pe
@@ -648,15 +690,34 @@ def oracle_sql() -> dict[str, str]:
                    hits_en, hits_es, hits_de, hits_fr
             FROM h
         """,
+        # same bucketed-LSH algorithm as the Spark side: 4 tables x 4 bits
+        # (planes = embeddings 10..25), candidates share a (table, bucket),
+        # exact cosine only within buckets
         "embedding_neardup": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_dot_product(a.embedding, b.embedding)
-                         / (sqrt(list_dot_product(a.embedding, a.embedding))
-                            * sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cos_sim
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE round(list_dot_product(a.embedding, b.embedding)
-                        / (sqrt(list_dot_product(a.embedding, a.embedding))
-                           * sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= 0.45
+            WITH planes AS (
+                SELECT (vec_id - 10) // 4 AS tbl, (vec_id - 10) % 4 AS bit,
+                       embedding AS pe
+                FROM embeddings WHERE vec_id BETWEEN 10 AND 25),
+            sigs AS (
+                SELECT e.vec_id, p.tbl,
+                       sum(CASE WHEN list_dot_product(e.embedding, p.pe) >= 0
+                                THEN 1 << p.bit ELSE 0 END) AS bucket
+                FROM embeddings e, planes p GROUP BY e.vec_id, p.tbl),
+            cand AS (
+                SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM sigs a JOIN sigs b
+                  ON a.tbl = b.tbl AND a.bucket = b.bucket
+                 AND a.vec_id < b.vec_id),
+            scored AS (
+                SELECT c.id_a, c.id_b,
+                       round(list_dot_product(ea.embedding, eb.embedding)
+                             / (sqrt(list_dot_product(ea.embedding, ea.embedding))
+                                * sqrt(list_dot_product(eb.embedding, eb.embedding))), 4)
+                           AS cos_sim
+                FROM cand c
+                JOIN embeddings ea ON ea.vec_id = c.id_a
+                JOIN embeddings eb ON eb.vec_id = c.id_b)
+            SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.45
         """,
         "ivf_assign": """
             WITH c AS (SELECT vec_id - 1 AS cell, embedding AS ce

@@ -235,3 +235,47 @@ def test_multimodal_decode_stub_raises():
     from snacktory_spark.multimodal import decode_payload
     with pytest.raises(NotImplementedError):
         decode_payload(b"xx", "image", deterministic_fake=False)
+
+
+def test_embedding_neardup_bucketed_no_bnlj(spark):
+    """Bucketed LSH near-dup: (a) no nested-loop join in the plan,
+    (b) every reported pair is exact-cosine-verified, (c) recall vs the
+    brute-force ground truth is high at a near-dup threshold (planted
+    duplicate vectors land in the same bucket in every table)."""
+    from pyspark.sql import functions as F
+    from snacktory_spark.textops import (embedding_neardup_bruteforce,
+                                         embedding_neardup_pairs)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # plant exact duplicates: copies of vec 0 and vec 1 with new ids
+    base = emb.filter(F.col("vec_id").isin(0, 1))
+    dups = base.withColumn("vec_id", F.col("vec_id") + F.lit(100000))
+    emb2 = emb.unionByName(dups)
+    planes = [r["embedding"] for r in
+              emb.filter(F.col("vec_id").between(10, 25)).orderBy("vec_id").collect()]
+
+    got = embedding_neardup_pairs(emb2, planes, threshold=0.99, bits_per_table=4)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+    got_pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    want_pairs = {(r["id_a"], r["id_b"])
+                  for r in embedding_neardup_bruteforce(emb2, threshold=0.99).collect()}
+    # identical vectors agree with every hyperplane -> same bucket in all
+    # tables -> recall 1.0 on planted dups
+    assert (0, 100000) in got_pairs and (1, 100001) in got_pairs
+    assert got_pairs <= want_pairs  # no false positives (exact verify stage)
+    assert got_pairs >= want_pairs  # full recall on this data
+
+
+def test_embedding_lsh_tables_shape(spark):
+    from pyspark.sql import functions as F
+    from snacktory_spark.textops import embedding_lsh_tables
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    planes = [r["embedding"] for r in
+              emb.filter(F.col("vec_id").between(10, 25)).orderBy("vec_id").collect()]
+    sig = embedding_lsh_tables(emb, planes, bits_per_table=4)
+    n = emb.count()
+    assert sig.count() == 4 * n  # one row per (vector, table)
+    assert sig.agg(F.max("bucket")).first()[0] <= 15
+    assert sig.select("tbl").distinct().count() == 4
