@@ -55,21 +55,30 @@ def _salted_min(sh, salt: str):
     return F.array_min(F.transform(sh, lambda x: F.md5(F.concat(F.lit(salt), x))))
 
 
-def minhash_signature(text_col="text", n_hashes: int = N_MINHASH):
-    """Array of n lexicographic-min md5(salt||shingle) values."""
-    sh = shingles_col(text_col)
+def minhash_signature(text_col="text", n_hashes: int = N_MINHASH,
+                      k: int = SHINGLE_WORDS):
+    """Array of n lexicographic-min md5(salt||shingle) values.
+
+    Tune n_hashes/n_bands per target Jaccard: candidate probability for a
+    pair with Jaccard j is 1-(1-j^r)^b with r = n_hashes/n_bands rows per
+    band. The defaults (8 hashes, 4 bands of 2) suit demonstration scale;
+    production near-dup at j≈0.7 wants e.g. 128 hashes / 32 bands."""
+    sh = shingles_col(text_col, k)
     return F.array(*[_salted_min(sh, f"s{i}:") for i in range(n_hashes)])
 
 
-def minhash_df(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
-    return docs.select(F.col(id_col), minhash_signature(text_col).alias("minhash"))
+def minhash_df(docs: DataFrame, id_col="doc_id", text_col="text",
+               n_hashes: int = N_MINHASH, k: int = SHINGLE_WORDS) -> DataFrame:
+    return docs.select(F.col(id_col),
+                       minhash_signature(text_col, n_hashes, k).alias("minhash"))
 
 
 def lsh_bands_df(docs: DataFrame, id_col="doc_id", text_col="text",
-                 n_bands: int = N_BANDS) -> DataFrame:
+                 n_hashes: int = N_MINHASH, n_bands: int = N_BANDS,
+                 k: int = SHINGLE_WORDS) -> DataFrame:
     """One row per (doc, band): band_key = md5 of the band's signature slice."""
-    rows_per_band = N_MINHASH // n_bands
-    mh = minhash_df(docs, id_col, text_col)
+    rows_per_band = n_hashes // n_bands
+    mh = minhash_df(docs, id_col, text_col, n_hashes, k)
     bands = [
         F.struct(F.lit(b).alias("band"),
                  F.md5(F.concat_ws("|", *[F.col("minhash")[b * rows_per_band + r]
@@ -82,9 +91,11 @@ def lsh_bands_df(docs: DataFrame, id_col="doc_id", text_col="text",
                     F.col("bk.band_key").alias("band_key")))
 
 
-def lsh_candidate_pairs(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+def lsh_candidate_pairs(docs: DataFrame, id_col="doc_id", text_col="text",
+                        n_hashes: int = N_MINHASH, n_bands: int = N_BANDS,
+                        k: int = SHINGLE_WORDS) -> DataFrame:
     """Near-dup candidate pairs: docs sharing any LSH band bucket."""
-    b = lsh_bands_df(docs, id_col, text_col)
+    b = lsh_bands_df(docs, id_col, text_col, n_hashes, n_bands, k)
     left = b.alias("l")
     right = b.alias("r")
     pairs = (left.join(right,

@@ -279,3 +279,36 @@ def test_embedding_lsh_tables_shape(spark):
     assert sig.count() == 4 * n  # one row per (vector, table)
     assert sig.agg(F.max("bucket")).first()[0] <= 15
     assert sig.select("tbl").distinct().count() == 4
+
+
+def test_minhash_parameterization_improves_recall(spark):
+    """More hashes/bands -> higher candidate recall at moderate Jaccard
+    (1-(1-j^r)^b); the defaults are demonstration-scale, production tunes
+    them up. Deterministic given the fixed salt family."""
+    import random
+    from snacktory_spark.textops import lsh_candidate_pairs
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(400)]
+    rows = []
+    for p in range(24):
+        base = rng.sample(vocab, 40)
+        variant = list(base)
+        # rewrite ~20% of the words -> moderate shingle overlap (J ≈ 0.3)
+        for i in rng.sample(range(40), 8):
+            variant[i] = rng.choice(vocab)
+        rows.append((2 * p, " ".join(base)))
+        rows.append((2 * p + 1, " ".join(variant)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {(2 * p, 2 * p + 1) for p in range(24)}
+
+    def recall(n_hashes, n_bands):
+        got = {(r["doc_a"], r["doc_b"])
+               for r in lsh_candidate_pairs(docs, n_hashes=n_hashes,
+                                            n_bands=n_bands).collect()}
+        return len(got & want) / len(want)
+
+    r_small = recall(8, 4)
+    r_big = recall(64, 32)
+    assert r_big > r_small
+    assert r_big >= 0.7
