@@ -349,6 +349,39 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(emb, planes, threshold=0.45, bits_per_table=4)
 
 
+def q_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF layout parse (north rule: 'HTML boilerplate strip, PDF/layout
+    parse'): synthesize a REAL single-page PDF per document (xref table,
+    FlateDecode'd content stream, Tj/TJ text operators — snacktory_spark.pdf,
+    stdlib zlib only), then recover the text with the pure-python PDF
+    extractor. Two Arrow mapInPandas stages over a binary column; narrow
+    maps, no shuffle. Oracle: recovered text must equal the source text
+    byte-exactly."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import pandas as pd
+    from snacktory_spark.multimodal import extract_pdf_text_df
+    from snacktory_spark.pipeline.extract_job import ensure_py_files
+
+    ensure_py_files(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def synth(batches):
+        from snacktory_spark.pdf import make_simple_pdf
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                # odd doc_ids exercise the TJ-array path, even ones Tj
+                "payload": [make_simple_pdf(t if isinstance(t, str) else "",
+                                            split_tj=bool(d % 2))
+                            for d, t in zip(pdf["doc_id"], pdf["text"])],
+            })
+
+    binary = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return extract_pdf_text_df(binary).select(
+        "doc_id", "pdf_text", "n_pages", "pdf_ok")
+
+
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-60 document fingerprints (near-dup sketch): one md5 per
     distinct token, bit-votes folded in a single JVM-side aggregate
@@ -470,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": q_doc_langid,
         "embedding_neardup": q_embedding_neardup,
         "doc_simhash": q_doc_simhash,
+        "pdf_roundtrip": q_pdf_roundtrip,
         "ivf_assign": q_ivf_assign,
         "conv_flatten": q_conv_flatten,
         "doc_bpe_fingerprint": q_doc_bpe_fingerprint,
@@ -600,6 +634,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "minhash_lsh_pairs": _MINHASH_SQL,
+        # the PDF writer/extractor pair is exact by construction: recovered
+        # layout text == source text, one page, ok=true for every document
+        "pdf_roundtrip": """
+            SELECT doc_id, coalesce(text, '') AS pdf_text,
+                   1::INT AS n_pages, true AS pdf_ok
+            FROM documents
+        """,
         "doc_simhash": r"""
             WITH t AS (
                 SELECT doc_id,

@@ -108,3 +108,49 @@ def make_fake_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
                      rng.randint(500, 60000) if kind != "image" else None,
                      payload))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# PDF payloads (REAL decode — snacktory_spark.pdf is stdlib-only)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.types import BooleanType as _BooleanType  # noqa: E402
+
+from pyspark.sql.types import LongType as _LongType  # noqa: E402
+
+PDF_TEXT_SCHEMA = StructType([
+    StructField("doc_id", _LongType(), False),
+    StructField("pdf_text", StringType(), True),
+    StructField("n_pages", IntegerType(), True),
+    StructField("pdf_ok", _BooleanType(), True),
+    StructField("pdf_error", StringType(), True),
+])
+
+
+def pdf_text_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: (doc_id, payload:binary) → extracted layout text.
+
+    Unlike image/audio decode, this path is REAL: snacktory_spark.pdf parses
+    the PDF object graph, inflates FlateDecode streams, and evaluates the
+    BT…ET text operators (stdlib zlib only — no external codec needed)."""
+    from .pdf import extract_pdf_text
+    for pdf in batches:
+        texts, pages, oks, errs = [], [], [], []
+        for payload in pdf["payload"]:
+            r = extract_pdf_text(bytes(payload) if payload is not None else b"")
+            texts.append(r["text"])
+            pages.append(r["n_pages"])
+            oks.append(r["ok"])
+            errs.append(r["error"])
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "pdf_text": texts,
+            "n_pages": pd.Series(pages, dtype="int32"),
+            "pdf_ok": oks,
+            "pdf_error": errs,
+        })
+
+
+def extract_pdf_text_df(df: DataFrame) -> DataFrame:
+    """(doc_id string, payload binary) → PDF_TEXT_SCHEMA. Narrow map."""
+    return df.mapInPandas(pdf_text_map, schema=PDF_TEXT_SCHEMA)

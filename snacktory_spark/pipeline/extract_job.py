@@ -288,12 +288,13 @@ def run_extract(spark: SparkSession, input_path: str, output_path: str,
             .partitionBy("bucket")
             .parquet(output_path))
 
-        # per-bucket manifest (rows/bytes/lineage) from ONE scan of this
-        # wave's written bucket dirs — the input is never re-read
+        # per-bucket manifest (rows/bytes/lineage) from ONE column-pruned
+        # scan of this wave's written bucket dirs — neither the input nor
+        # the extracted text column is re-read (byte sizes are UDF-emitted)
         written = spark.read.parquet(output_path).filter(F.col("bucket").isin(wave))
         rows = (written.groupBy("bucket")
                 .agg(F.count("*").alias("output_rows"),
-                     F.sum(F.octet_length("text")).alias("output_bytes"),
+                     F.sum("output_bytes").alias("output_bytes"),
                      F.sum("input_bytes").alias("input_bytes"),
                      F.sum(F.when(F.col("extract_ok"), 1).otherwise(0)).alias("ok_rows"),
                      F.sum(F.when(~F.col("extract_ok"), 1).otherwise(0)).alias("error_rows"),

@@ -80,6 +80,7 @@ EXTRACTED_SCHEMA = StructType(
     + list(EXTRACT_SCHEMA.fields)
     + [
         StructField("input_bytes", LongType(), True),
+        StructField("output_bytes", LongType(), True),
         StructField("input_file", StringType(), True),
     ]
 )

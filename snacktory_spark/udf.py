@@ -101,11 +101,15 @@ def extract_map_in_pandas(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
         out = _results_to_frame([extract_row(t, u) for t, u in zip(pdf["text"], url)])
         keys = [k for k in ("conv_id", "turn_idx", "role", "tool", "ts")
                 if k in pdf.columns]
-        # lineage columns (EXTRACTED_SCHEMA tail): exact input byte size +
-        # source file, so manifests derive from the written output alone
+        # lineage columns (EXTRACTED_SCHEMA tail): exact input/output byte
+        # sizes + source file, so manifests derive from a column-pruned scan
+        # of the written output alone (no re-read of either text column)
         out["input_bytes"] = [
             len(t.encode("utf-8")) if isinstance(t, str) else 0
             for t in pdf["text"]]
+        out["output_bytes"] = [
+            len(t.encode("utf-8")) if isinstance(t, str) else 0
+            for t in out["text"]]
         out["input_file"] = (pdf["input_file"].reset_index(drop=True)
                              if "input_file" in pdf.columns else None)
         yield pd.concat([pdf[keys].reset_index(drop=True), out], axis=1)

@@ -1,0 +1,92 @@
+"""PDF layout-parse tests: writer/extractor round-trip, operator coverage,
+hostile input, and the distributed binary-column path."""
+
+import sys
+import zlib
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+sys.path.insert(0, "/root/repo")
+
+from snacktory_spark.pdf import extract_pdf_text, make_simple_pdf
+
+
+@pytest.mark.parametrize("text", [
+    "Hello world",
+    "Parens (nested (deep)) and \\ backslash",
+    "Multi\nline\ttext with\rweird\fchars",
+    "unicode: café 海津市 Ω ✓",
+    "",
+    "x" * 5000,
+])
+@pytest.mark.parametrize("split_tj", [False, True])
+def test_roundtrip_exact(text, split_tj):
+    r = extract_pdf_text(make_simple_pdf(text, split_tj=split_tj))
+    assert r["ok"] and r["n_pages"] == 1
+    assert r["text"] == text
+
+
+def test_not_a_pdf():
+    r = extract_pdf_text(b"plain bytes")
+    assert not r["ok"] and r["n_pages"] == 0 and r["text"] == ""
+
+
+def test_truncated_pdf_never_raises():
+    full = make_simple_pdf("some body text here")
+    for cut in range(0, len(full), 37):
+        r = extract_pdf_text(full[:cut])
+        assert isinstance(r["text"], str) and isinstance(r["ok"], bool)
+
+
+def test_uncompressed_stream_and_octal_escapes():
+    content = rb"BT (A\051B\134C) Tj ET"  # \051=')' \134='\'
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n"
+           b"2 0 obj\n<< /Length " + str(len(content)).encode() +
+           b" >>\nstream\n" + content + b"\nendstream\nendobj\n")
+    r = extract_pdf_text(pdf)
+    assert r["ok"] and r["text"] == "A)B\\C" and r["n_pages"] == 1
+
+
+def test_unsupported_filter_skipped():
+    body = zlib.compress(b"BT (hidden) Tj ET")
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /Filter /DCTDecode /Length 3 >>\nstream\n\xff\xd8\xff\nendstream\nendobj\n"
+           b"2 0 obj\n<< /Filter /FlateDecode /Length " + str(len(body)).encode() +
+           b" >>\nstream\n" + body + b"\nendstream\nendobj\n")
+    r = extract_pdf_text(pdf)
+    assert r["ok"] and r["text"] == "hidden"
+
+
+def test_line_operators():
+    content = b"BT (line1) Tj 0 -14 Td (line2) Tj T* (line3) Tj (line4) ' ET"
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(content)).encode() +
+           b" >>\nstream\n" + content + b"\nendstream\nendobj\n")
+    r = extract_pdf_text(pdf)
+    assert r["text"] == "line1\nline2\nline3\nline4"
+
+
+def test_multi_page_count():
+    one = make_simple_pdf("x")
+    # crude two-page doc: duplicate the page object markers
+    two = one + b"\n9 0 obj\n<< /Type /Page >>\nendobj\n"
+    assert extract_pdf_text(two)["n_pages"] == 2
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=300))
+def test_roundtrip_property(text):
+    try:
+        pdf = make_simple_pdf(text, split_tj=len(text) % 2 == 0)
+    except UnicodeEncodeError:
+        return  # lone surrogates are not encodable text
+    r = extract_pdf_text(pdf)
+    assert r["ok"] and r["text"] == text
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=400))
+def test_extract_never_raises_on_junk(data):
+    r = extract_pdf_text(b"%PDF-" + data)
+    assert isinstance(r["text"], str)
+    assert isinstance(r["ok"], bool)
