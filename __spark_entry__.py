@@ -349,6 +349,21 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(emb, planes, threshold=0.45, bits_per_table=4)
 
 
+def q_turn_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of turn text length per role
+    (skew/quality diagnostics; Spark `percentile` == DuckDB quantile_cont)."""
+    from pyspark.sql import functions as F
+    sdir = _synth(sf_dir)
+    df = spark.read.parquet(f"{sdir}/transcripts.parquet")
+    lens = df.select("role", F.length("text").alias("n"))
+    pct = F.expr("percentile(n, array(0.5, 0.9, 0.99))")
+    return (lens.groupBy("role")
+            .agg(F.count("*").alias("n_turns"),
+                 F.round(pct[0], 4).alias("p50"),
+                 F.round(pct[1], 4).alias("p90"),
+                 F.round(pct[2], 4).alias("p99")))
+
+
 def q_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF layout parse (north rule: 'HTML boilerplate strip, PDF/layout
     parse'): synthesize a REAL single-page PDF per document (xref table,
@@ -504,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "doc_simhash": q_doc_simhash,
         "pdf_roundtrip": q_pdf_roundtrip,
+        "turn_length_quantiles": q_turn_length_quantiles,
         "ivf_assign": q_ivf_assign,
         "conv_flatten": q_conv_flatten,
         "doc_bpe_fingerprint": q_doc_bpe_fingerprint,
@@ -634,6 +650,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "minhash_lsh_pairs": _MINHASH_SQL,
+        "turn_length_quantiles": f"""
+            SELECT role, count(*) AS n_turns,
+                   round(quantile_cont(length(text), 0.5), 4) AS p50,
+                   round(quantile_cont(length(text), 0.9), 4) AS p90,
+                   round(quantile_cont(length(text), 0.99), 4) AS p99
+            FROM {tr} GROUP BY role
+        """,
         # the PDF writer/extractor pair is exact by construction: recovered
         # layout text == source text, one page, ok=true for every document
         "pdf_roundtrip": """

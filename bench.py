@@ -90,12 +90,14 @@ def main():
     # steady-state: same job again on warmed workers/JIT. Reported alongside
     # the one-shot number so the headline and the driver's measurement are
     # the same quantity (VERDICT r1 perf note: one-shot vs steady-state
-    # looked like a 2x discrepancy).
-    t0 = time.time()
-    n2 = bench_extracted(spark, f"{sdir}/transcripts.parquet",
-                         REPLICATE, CPUS).count()
-    dt2 = time.time() - t0
-    extras["turns_per_sec_steady"] = round(n2 / dt2, 1)
+    # looked like a 2x discrepancy). Skipped in extract-only (scaling-bench)
+    # mode, whose long replicated runs are already steady-state.
+    if not os.environ.get("SNACKTORY_BENCH_EXTRACT_ONLY"):
+        t0 = time.time()
+        n2 = bench_extracted(spark, f"{sdir}/transcripts.parquet",
+                             REPLICATE, CPUS).count()
+        dt2 = time.time() - t0
+        extras["turns_per_sec_steady"] = round(n2 / dt2, 1)
 
     # relational/window/dedup/ANN headliners from the driver query set
     qs = entrymod.queries()

@@ -18,6 +18,10 @@ Local smoke:
 
 The job is idempotently resumable: rerunning after a kill reprocesses only
 buckets missing from <output>/_manifest (see pipeline/extract_job.py).
+--output may be a scheme'd URI (file:, hdfs://, s3a://...): manifest I/O
+follows the output's Hadoop filesystem, so resume state lands next to the
+data on cluster deployments, and resuming against a different input or
+bucket count reprocesses instead of silently skipping.
 """
 
 from __future__ import annotations

@@ -216,11 +216,13 @@ def extracted_df(df: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS,
     """transcripts DataFrame → extracted DataFrame (lazy, no write)."""
     ensure_py_files(df.sparkSession)
     gated = (df
-             .select("conv_id", "turn_idx", "role", "tool", "ts", "text",
-                     # captured at the scan (before the exchange) so written
-                     # rows carry their source split; "" for non-file inputs
-                     F.input_file_name().alias("input_file"))
-             .filter(F.col("text").isNotNull() & (F.length("text") > 0)))
+             .select("conv_id", "turn_idx", "role", "tool", "ts", "text")
+             .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+             # input_file is captured at the scan stage but attached AFTER
+             # the filter: a projection containing input_file_name() (marked
+             # nondeterministic) blocks predicate pushdown, and the
+             # IsNotNull(text) gate must reach the parquet scan
+             .withColumn("input_file", F.input_file_name()))
     salt = F.xxhash64(F.col("conv_id"),
                       (F.col("turn_idx") / F.lit(salt_span)).cast("long"))
     if not partitions:
