@@ -89,6 +89,25 @@ def make_simple_pdf(text: str, split_tj: bool = False) -> bytes:
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.DOTALL)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+
+
+def _stream_bytes(body: bytes) -> tuple[bytes | None, int]:
+    """(raw stream bytes, dict-end offset) for an object body, honoring
+    /Length when it is a direct integer — the EOL before `endstream` is a
+    delimiter, NOT data, and data may itself end in \\r (a regex that
+    strips `\\r?\\n` would eat that byte; hypothesis found exactly this)."""
+    sm = _STREAM_START_RE.search(body)
+    if not sm:
+        return None, -1
+    head = body[:sm.start()]
+    lm = _LENGTH_RE.search(head)
+    if lm:
+        start = sm.end()
+        return body[start:start + int(lm.group(1))], sm.start()
+    fm = _STREAM_RE.search(body)  # /Length absent or an indirect ref
+    return (fm.group(1), sm.start()) if fm else (None, -1)
 _BT_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
 _PAGE_RE = re.compile(rb"/Type\s*/Page(?![sS])")
 
@@ -243,11 +262,10 @@ def extract_pdf_text(data: bytes) -> dict:
         chunks: list[str] = []
         for m in _OBJ_RE.finditer(data):
             body = m.group(3)
-            sm = _STREAM_RE.search(body)
-            if not sm:
+            raw, dict_end = _stream_bytes(body)
+            if raw is None:
                 continue
-            raw = sm.group(1)
-            head = body[:sm.start()]
+            head = body[:dict_end]
             if b"/FlateDecode" in head:
                 try:
                     raw = zlib.decompress(raw)

@@ -169,3 +169,84 @@ def test_extract_udf_error_row(spark):
     udf = make_extract_udf()
     rows = df.withColumn("res", udf(F.col("text"), F.col("url"))).select("res.extract_ok").collect()
     assert all(r["extract_ok"] is False for r in rows)
+
+
+def test_kill_mid_job_resume_completes(spark, synth_dir, tmp_path):
+    """North-rule contract: a job killed between waves resumes idempotently.
+    Simulated by making the manifest writer blow up after the first wave;
+    the resumed run processes only the missing buckets and the final output
+    equals an uninterrupted run's."""
+    import snacktory_spark.pipeline.extract_job as ej
+
+    src = f"{synth_dir}/transcripts.parquet"
+    out = str(tmp_path / "out_kill")
+
+    real_write = ej._ManifestIO.write_atomic
+    wrote = {"n": 0}
+
+    def dying_write(self, rec):
+        if wrote["n"] >= 2:  # die after committing 2 bucket manifests
+            raise RuntimeError("simulated kill")
+        wrote["n"] += 1
+        real_write(self, rec)
+
+    ej._ManifestIO.write_atomic = dying_write
+    try:
+        with pytest.raises(RuntimeError, match="simulated kill"):
+            ej.run_extract(spark, src, out, n_buckets=8, bucket_batch=2)
+    finally:
+        ej._ManifestIO.write_atomic = real_write
+
+    done_before = ej.load_manifest(out, expect_input_path=src, expect_n_buckets=8)
+    assert 0 < len(done_before) < 8  # partial progress survived the kill
+
+    m = ej.run_extract(spark, src, out, n_buckets=8, bucket_batch=2)
+    assert m["resumed_buckets_skipped"] == len(done_before)
+    assert len(ej.load_manifest(out)) == 8
+
+    # resumed output == uninterrupted run on a fresh dir
+    clean = str(tmp_path / "out_clean")
+    ej.run_extract(spark, src, clean, n_buckets=8)
+    a = spark.read.parquet(out).select("conv_id", "turn_idx", "text")
+    b = spark.read.parquet(clean).select("conv_id", "turn_idx", "text")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_hostile_inputs_never_fail_tasks(spark, tmp_path):
+    """Null text, empty text, binary junk, deep nesting, >500KB rows: every
+    row comes out extract_ok=true/false — never a task failure."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from snacktory_spark.pipeline.extract_job import run_extract
+
+    deep = "<div>" * 3000 + "core text " * 30 + "</div>" * 3000
+    big = "<html><body><p>" + ("word " * 120_000) + "</p></body></html>"  # ~600KB
+    junk = bytes(range(256)).decode("latin-1") * 4
+    rows = {
+        "conv_id": [f"h-{i}" for i in range(6)],
+        "turn_idx": [0] * 6,
+        "role": ["tool"] * 6,
+        "text": [None, "", junk, deep, big, "<p>ok fine</p>"],
+        "tool": [""] * 6,
+        "ts": [None] * 6,
+    }
+    src = str(tmp_path / "hostile.parquet")
+    pq.write_table(pa.table({
+        "conv_id": pa.array(rows["conv_id"], pa.string()),
+        "turn_idx": pa.array(rows["turn_idx"], pa.int32()),
+        "role": pa.array(rows["role"], pa.string()),
+        "text": pa.array(rows["text"], pa.string()),
+        "tool": pa.array(rows["tool"], pa.string()),
+        "ts": pa.array(rows["ts"], pa.timestamp("us", tz="UTC")),
+    }), src)
+
+    out = str(tmp_path / "hostile_out")
+    m = run_extract(spark, src, out, n_buckets=2, resume=False)
+    # null + empty text are gated at the scan; the other 4 must all extract
+    assert m["output_rows"] == 4
+    got = spark.read.parquet(out).select("conv_id", "extract_ok", "text").collect()
+    assert len(got) == 4
+    by_id = {r["conv_id"]: r for r in got}
+    assert by_id["h-3"]["extract_ok"] in (True, False)  # deep nesting handled
+    assert "core text" in by_id["h-3"]["text"] or by_id["h-3"]["extract_ok"] is False
+    assert by_id["h-5"]["text"] == "ok fine"
