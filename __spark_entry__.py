@@ -364,6 +364,23 @@ def q_turn_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(pct[2], 4).alias("p99")))
 
 
+def q_role_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation (ROLLUP): turn counts + chars by
+    (role, is_htmlish) with subtotals and a grand total — the reporting
+    shape over extraction telemetry."""
+    from pyspark.sql import functions as F
+    sdir = _synth(sf_dir)
+    df = spark.read.parquet(f"{sdir}/transcripts.parquet")
+    base = df.select(
+        "role",
+        F.col("text").rlike("<[a-zA-Z!]").alias("is_htmlish"),
+        F.length("text").alias("n"))
+    return (base.rollup("role", "is_htmlish")
+            .agg(F.count("*").alias("n_turns"),
+                 F.sum("n").cast("long").alias("total_chars"))
+            .select("role", "is_htmlish", "n_turns", "total_chars"))
+
+
 def q_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF layout parse (north rule: 'HTML boilerplate strip, PDF/layout
     parse'): synthesize a REAL single-page PDF per document (xref table,
@@ -520,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": q_doc_simhash,
         "pdf_roundtrip": q_pdf_roundtrip,
         "turn_length_quantiles": q_turn_length_quantiles,
+        "role_lang_rollup": q_role_lang_rollup,
         "ivf_assign": q_ivf_assign,
         "conv_flatten": q_conv_flatten,
         "doc_bpe_fingerprint": q_doc_bpe_fingerprint,
@@ -650,6 +668,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "minhash_lsh_pairs": _MINHASH_SQL,
+        "role_lang_rollup": f"""
+            SELECT role, regexp_matches(text, '<[a-zA-Z!]') AS is_htmlish,
+                   count(*) AS n_turns,
+                   sum(length(text))::BIGINT AS total_chars
+            FROM {tr}
+            GROUP BY ROLLUP (role, is_htmlish)
+        """,
         "turn_length_quantiles": f"""
             SELECT role, count(*) AS n_turns,
                    round(quantile_cont(length(text), 0.5), 4) AS p50,

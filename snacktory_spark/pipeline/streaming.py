@@ -127,3 +127,68 @@ def run_streaming_once(spark: SparkSession, input_dir: str, output_dir: str,
              .outputMode("append")
              .start())
     return query.awaitTermination(timeout_sec)
+
+
+class RateMetricsListener:
+    """StreamingQueryListener capturing per-micro-batch throughput.
+
+    Mirrors the batch job's manifest metrics for the incremental path:
+    every progress event appends one JSON line (batch id, input rows,
+    rows/sec, duration) to <metrics_path>; `snapshot()` returns the
+    in-memory list. Attach with `attach_rate_listener(spark, path)`.
+    """
+
+    def __init__(self, metrics_path: str | None = None):
+        import json as _json
+        self._json = _json
+        self.metrics_path = metrics_path
+        self.batches: list[dict] = []
+
+    # StreamingQueryListener duck-interface (registered via the pyspark
+    # wrapper below; events carry .progress dicts)
+    def on_progress(self, progress: dict) -> None:
+        rec = {
+            "query_id": progress.get("id"),
+            "batch_id": progress.get("batchId"),
+            "input_rows": progress.get("numInputRows"),
+            "rows_per_sec": progress.get("processedRowsPerSecond"),
+            "duration_ms": (progress.get("durationMs") or {}).get("triggerExecution"),
+            "timestamp": progress.get("timestamp"),
+        }
+        self.batches.append(rec)
+        if self.metrics_path:
+            with open(self.metrics_path, "a") as f:
+                f.write(self._json.dumps(rec) + "\n")
+
+    def snapshot(self) -> list[dict]:
+        return list(self.batches)
+
+
+def attach_rate_listener(spark: SparkSession, metrics_path: str | None = None):
+    """Register a RateMetricsListener on the session; returns (collector,
+    detach_fn)."""
+    import json as _json
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    collector = RateMetricsListener(metrics_path)
+
+    class _L(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            try:
+                collector.on_progress(_json.loads(event.progress.json))
+            except Exception:  # noqa: BLE001 — metrics must never kill a query
+                pass
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    listener = _L()
+    spark.streams.addListener(listener)
+    return collector, lambda: spark.streams.removeListener(listener)

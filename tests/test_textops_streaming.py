@@ -312,3 +312,39 @@ def test_minhash_parameterization_improves_recall(spark):
     r_big = recall(64, 32)
     assert r_big > r_small
     assert r_big >= 0.7
+
+
+def test_streaming_rate_metrics_listener(spark, tmp_path):
+    """Per-micro-batch throughput metrics captured via
+    StreamingQueryListener (incremental analog of the batch manifests)."""
+    import json
+    import pyarrow.parquet as pq
+    from snacktory_spark.data.synth import generate
+    from snacktory_spark.pipeline.streaming import attach_rate_listener, run_streaming_once
+
+    sdir = generate("/root/repo/data/synth/sf0.001", sf=0.001)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    t = pq.read_table(f"{sdir}/transcripts.parquet")
+    pq.write_table(t, str(in_dir / "part-0.parquet"))
+
+    mpath = str(tmp_path / "rates.jsonl")
+    collector, detach = attach_rate_listener(spark, mpath)
+    try:
+        assert run_streaming_once(spark, str(in_dir), str(tmp_path / "out"),
+                                  str(tmp_path / "ckpt"))
+        # listener delivery is async; wait briefly for the progress event
+        import time
+        for _ in range(40):
+            if collector.snapshot():
+                break
+            time.sleep(0.25)
+    finally:
+        detach()
+    batches = collector.snapshot()
+    assert batches, "no progress events captured"
+    assert sum(b["input_rows"] or 0 for b in batches) == t.num_rows
+    assert any((b["rows_per_sec"] or 0) > 0 for b in batches)
+    with open(mpath) as f:
+        lines = [json.loads(l) for l in f]
+    assert len(lines) == len(batches)
