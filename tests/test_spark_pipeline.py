@@ -250,3 +250,44 @@ def test_hostile_inputs_never_fail_tasks(spark, tmp_path):
     assert by_id["h-3"]["extract_ok"] in (True, False)  # deep nesting handled
     assert "core text" in by_id["h-3"]["text"] or by_id["h-3"]["extract_ok"] is False
     assert by_id["h-5"]["text"] == "ok fine"
+
+
+def test_bucketed_tables_join_without_shuffle(spark, synth_dir, tmp_path):
+    """Pre-bucketed tables (bucketBy conv_id) join with NO Exchange on
+    either side — the co-located-join strategy for repeated downstream
+    joins at 100 TB (bucketed sink keeps the join shuffle-free forever)."""
+    from pyspark.sql import functions as F
+
+    # spark.sql.warehouse.dir is static per-session; use a dedicated db in
+    # the default warehouse and drop it after (dir is gitignored). Clear any
+    # leftover location from an interrupted earlier run first.
+    shutil.rmtree("/root/repo/spark-warehouse/bkt.db", ignore_errors=True)
+    spark.sql("CREATE DATABASE IF NOT EXISTS bkt")
+    df = spark.read.parquet(f"{synth_dir}/transcripts.parquet")
+    (df.write.bucketBy(8, "conv_id").sortBy("conv_id")
+       .mode("overwrite").format("parquet").saveAsTable("bkt.turns"))
+    (df.groupBy("conv_id").agg(F.count("*").alias("n"))
+       .write.bucketBy(8, "conv_id").sortBy("conv_id")
+       .mode("overwrite").format("parquet").saveAsTable("bkt.convs"))
+
+    # disable broadcast so the join exercises the bucketed sort-merge path
+    # (at 100 TB neither side is broadcastable — that IS the scenario)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (spark.table("bkt.turns")
+             .join(spark.table("bkt.convs"), "conv_id")
+             .groupBy("conv_id").agg(F.count("*").alias("k"), F.max("n").alias("n")))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Bucketed: true" in plan, plan
+        # no shuffle below the join: both sides read pre-bucketed
+        join_part = plan.split("SortMergeJoin", 1)[1]
+        assert "Exchange" not in join_part, plan
+        rows = j.collect()
+        assert all(r["k"] == r["n"] for r in rows)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    spark.sql("DROP TABLE bkt.turns")
+    spark.sql("DROP TABLE bkt.convs")
+    spark.sql("DROP DATABASE bkt")
