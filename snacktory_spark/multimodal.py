@@ -2,12 +2,17 @@
 
 Image/audio/video payloads are carried as `binary` columns with a typed
 metadata struct; decode / feature-extraction / resize / frame-sampling run
-as Arrow-batched mapInPandas stages. The actual codecs are NOT available in
-this container (no PIL/ffmpeg), so the decode step is stubbed: by default it
-raises NotImplementedError; with deterministic_fake=True it produces a
-seeded, content-derived fake feature vector so the Spark-side plumbing
-(schema, batching, partitioning, UDF signatures) is fully exercised and
-tested.
+as Arrow-batched mapInPandas stages.
+
+Decode reality in this container (no PIL/ffmpeg):
+- **image: REAL for PNG and PPM/P6** via `snacktory_spark.imaging` (pure
+  python + stdlib zlib — full scanline-filter support, tested round-trip);
+  JPEG and other DCT codecs genuinely need native libs and fall back to the
+  deterministic fake (or NotImplementedError when fakes are disabled).
+- **pdf: REAL** via `snacktory_spark.pdf` (see extract_pdf_text_df below).
+- audio/video: stubbed — NotImplementedError by default,
+  `deterministic_fake=True` yields a seeded content-derived feature vector
+  so the Spark-side plumbing stays fully exercised.
 
 At 100 TB: payloads should live in their own parquet column chunk (they do —
 separate column), batches must stay small (binary rows are large), and
@@ -47,15 +52,26 @@ FEATURE_DIM = 16
 
 
 def decode_payload(payload: bytes, kind: str, deterministic_fake: bool = False):
-    """STUB: real decode needs PIL/torchaudio/ffmpeg (not in this container).
+    """Decode a media payload into a feature vector.
 
-    deterministic_fake derives a seeded pseudo-feature from the content hash
-    so tests exercise the full pipeline deterministically.
+    Images in a supported codec (PNG, PPM) are REALLY decoded: per-channel
+    mean/std + a 4x4 grayscale thumbnail (snacktory_spark.imaging). Other
+    kinds/codecs need native libs this container lacks: with
+    deterministic_fake=True they yield a seeded content-derived pseudo
+    feature (plumbing tests); otherwise NotImplementedError.
     """
+    if kind == "image":
+        from .imaging import ImageError, image_features, sniff_decode
+        try:
+            w, h, c, px = sniff_decode(payload)
+            return np.asarray(image_features(px, w, h, c), dtype=np.float32)
+        except ImageError:
+            pass  # unsupported codec (e.g. JPEG) → stub path below
     if not deterministic_fake:
         raise NotImplementedError(
-            "media decode requires image/audio libs not present in this "
-            "container; pass deterministic_fake=True for plumbing tests")
+            f"decode for kind={kind!r} in this codec requires media libs "
+            "not present in this container; pass deterministic_fake=True "
+            "for plumbing tests")
     digest = hashlib.sha256(payload).digest()
     arr = np.frombuffer((digest * ((FEATURE_DIM * 4) // len(digest) + 1))
                         [: FEATURE_DIM * 4], dtype=np.uint32)
@@ -97,16 +113,21 @@ def make_fake_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media table for plumbing tests."""
     import random
     rng = random.Random(seed)
+    from .imaging import encode_png
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = bytes(rng.getrandbits(8) for _ in range(rng.randint(64, 512)))
-        rows.append((f"m-{i:05d}", kind, f"{kind}/fake",
-                     rng.randint(16, 1024) if kind == "image" else None,
-                     rng.randint(16, 1024) if kind == "image" else None,
-                     rng.randint(500, 60000) if kind != "image" else None,
-                     payload))
+        if kind == "image":
+            # REAL decodable payload: a small random RGB PNG
+            w, h = rng.randint(4, 12), rng.randint(4, 12)
+            px = bytes(rng.getrandbits(8) for _ in range(w * h * 3))
+            rows.append((f"m-{i:05d}", "image", "image/png",
+                         w, h, None, encode_png(px, w, h, 3)))
+        else:
+            payload = bytes(rng.getrandbits(8) for _ in range(rng.randint(64, 512)))
+            rows.append((f"m-{i:05d}", kind, f"{kind}/fake", None, None,
+                         rng.randint(500, 60000), payload))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 

@@ -222,7 +222,9 @@ def test_multimodal_plumbing(spark):
     rows = out.collect()
     assert len(rows) == 30
     for r in rows:
-        assert len(r["feature"]) == FEATURE_DIM
+        # image rows are REALLY decoded (PNG): 2*3 channel stats + 4x4 thumb
+        want_dim = 22 if r["kind"] == "image" else FEATURE_DIM
+        assert len(r["feature"]) == want_dim, r["kind"]
         assert all(0.0 <= x <= 1.0 for x in r["feature"])
         assert r["n_bytes"] > 0 and len(r["sha256"]) == 64
     # determinism: same payload → same feature
@@ -231,10 +233,29 @@ def test_multimodal_plumbing(spark):
     assert all(again[r["media_id"]] == r["feature"] for r in rows)
 
 
+def test_multimodal_real_png_decode_matches_local(spark):
+    """The distributed image path really decodes: features equal the
+    locally computed ones for a known PNG."""
+    from snacktory_spark.imaging import encode_png, image_features
+    from snacktory_spark.multimodal import MEDIA_SCHEMA, extract_media_features
+    import random
+    rng = random.Random(7)
+    w, h = 6, 5
+    px = bytes(rng.getrandbits(8) for _ in range(w * h * 3))
+    png = encode_png(px, w, h, 3)
+    df = spark.createDataFrame([("p-1", "image", "image/png", w, h, None, png)],
+                               MEDIA_SCHEMA)
+    row = extract_media_features(df, deterministic_fake=False).first()
+    want = image_features(px, w, h, 3)
+    assert [round(x, 5) for x in row["feature"]] == [round(x, 5) for x in want]
+
+
 def test_multimodal_decode_stub_raises():
     from snacktory_spark.multimodal import decode_payload
     with pytest.raises(NotImplementedError):
-        decode_payload(b"xx", "image", deterministic_fake=False)
+        decode_payload(b"\xff\xd8\xffjpegish", "image", deterministic_fake=False)
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"xx", "audio", deterministic_fake=False)
 
 
 def test_embedding_neardup_bucketed_no_bnlj(spark):
