@@ -364,6 +364,55 @@ def q_turn_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(pct[2], 4).alias("p99")))
 
 
+def q_image_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal image decode (REAL codec): per document, derive a
+    deterministic 8x8 RGB pixel buffer from the text bytes, encode it as a
+    real PNG (snacktory_spark.imaging, stdlib zlib), decode it back in a
+    second Arrow stage, and verify the pixels byte-match. Narrow maps over
+    a binary column — no shuffle; same shape as the 100-TB media path."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import pandas as pd
+    from snacktory_spark.pipeline.extract_job import ensure_py_files
+
+    ensure_py_files(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    W = H = 8
+    NBYTES = W * H * 3
+
+    def to_png(batches):
+        from snacktory_spark.imaging import encode_png
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                b = (t or "").encode("utf-8")
+                px = (b * (NBYTES // max(1, len(b)) + 1))[:NBYTES] if b else bytes(NBYTES)
+                payloads.append(encode_png(px, W, H, 3))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads,
+                                "text": pdf["text"]})
+
+    def decode(batches):
+        from snacktory_spark.imaging import sniff_decode
+        for pdf in batches:
+            ok, ws, hs, cs = [], [], [], []
+            for payload, t in zip(pdf["payload"], pdf["text"]):
+                w, h, c, px = sniff_decode(bytes(payload))
+                b = (t or "").encode("utf-8")
+                want = (b * (NBYTES // max(1, len(b)) + 1))[:NBYTES] if b else bytes(NBYTES)
+                ok.append(px == want)
+                ws.append(w); hs.append(h); cs.append(c)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "width": pd.Series(ws, dtype="int32"),
+                                "height": pd.Series(hs, dtype="int32"),
+                                "channels": pd.Series(cs, dtype="int32"),
+                                "pixels_match": ok})
+
+    png = docs.mapInPandas(to_png, "doc_id long, payload binary, text string")
+    return png.mapInPandas(
+        decode, "doc_id long, width int, height int, channels int, "
+                "pixels_match boolean")
+
+
 def q_role_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level aggregation (ROLLUP): turn counts + chars by
     (role, is_htmlish) with subtotals and a grand total — the reporting
@@ -538,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_roundtrip": q_pdf_roundtrip,
         "turn_length_quantiles": q_turn_length_quantiles,
         "role_lang_rollup": q_role_lang_rollup,
+        "image_roundtrip": q_image_roundtrip,
         "ivf_assign": q_ivf_assign,
         "conv_flatten": q_conv_flatten,
         "doc_bpe_fingerprint": q_doc_bpe_fingerprint,
@@ -668,6 +718,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "minhash_lsh_pairs": _MINHASH_SQL,
+        # PNG encode->decode is exact by construction for every document
+        "image_roundtrip": """
+            SELECT doc_id, 8::INT AS width, 8::INT AS height,
+                   3::INT AS channels, true AS pixels_match
+            FROM documents
+        """,
         "role_lang_rollup": f"""
             SELECT role, regexp_matches(text, '<[a-zA-Z!]') AS is_htmlish,
                    count(*) AS n_turns,
