@@ -83,6 +83,8 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
                 zlib.crc32(tag + payload) & 0xFFFFFFFF):
             raise ImageError(f"bad CRC in {tag!r}")
         if tag == b"IHDR":
+            if len(payload) != 13:
+                raise ImageError("malformed IHDR")
             width, height, bit_depth, color_type, comp, filt, interlace = \
                 struct.unpack(">IIBBBBB", payload)
             if bit_depth != 8:
@@ -101,14 +103,22 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         pos += 12 + length
     if width is None or channels is None:
         raise ImageError("missing IHDR")
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error as e:
-        raise ImageError(f"corrupt IDAT: {e}") from None
     if width == 0 or height == 0:
         raise ImageError("zero-dimension image")
     stride = width * channels
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    if expected > (1 << 28):
+        raise ImageError("image dimensions exceed the decode cap")
+    try:
+        # bounded inflate: a crafted IDAT must not be able to OOM the
+        # executor (decompression bomb) — the exact output size is known
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected)
+        if d.unconsumed_tail or d.decompress(b"", 1):
+            raise ImageError("IDAT inflates past the declared image size")
+    except zlib.error as e:
+        raise ImageError(f"corrupt IDAT: {e}") from None
+    if len(raw) != expected:
         raise ImageError("scanline data size mismatch")
 
     out = bytearray(stride * height)
@@ -160,13 +170,21 @@ def decode_ppm(data: bytes) -> tuple[int, int, int, bytes]:
     while len(parts) < 3:
         while pos < len(data) and data[pos:pos + 1].isspace():
             pos += 1
+        if pos >= len(data):
+            raise ImageError("truncated PPM header")
         if data[pos:pos + 1] == b"#":  # comment to end of line
-            pos = data.find(b"\n", pos) + 1
+            nl = data.find(b"\n", pos)
+            if nl < 0:
+                raise ImageError("truncated PPM header")
+            pos = nl + 1
             continue
         start = pos
         while pos < len(data) and not data[pos:pos + 1].isspace():
             pos += 1
-        parts.append(int(data[start:pos]))
+        try:
+            parts.append(int(data[start:pos]))
+        except ValueError:
+            raise ImageError("malformed PPM header token") from None
     pos += 1  # the single whitespace after maxval
     width, height, maxval = parts
     if maxval != 255:
@@ -182,11 +200,18 @@ def decode_ppm(data: bytes) -> tuple[int, int, int, bytes]:
 # ---------------------------------------------------------------------------
 
 def sniff_decode(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode by magic bytes; ImageError for unsupported formats."""
-    if data.startswith(PNG_SIG):
-        return decode_png(data)
-    if data.startswith(b"P6"):
-        return decode_ppm(data)
+    """Decode by magic bytes; EVERY failure mode is ImageError (the Spark
+    decode path catches exactly that — a leaked struct.error/ValueError
+    would fail the executor task)."""
+    try:
+        if data.startswith(PNG_SIG):
+            return decode_png(data)
+        if data.startswith(b"P6"):
+            return decode_ppm(data)
+    except ImageError:
+        raise
+    except (ValueError, struct.error, OverflowError, MemoryError) as e:
+        raise ImageError(f"malformed image: {type(e).__name__}: {e}") from None
     raise ImageError("unsupported image format (supported: PNG, PPM/P6)")
 
 

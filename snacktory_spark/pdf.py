@@ -87,27 +87,58 @@ def make_simple_pdf(text: str, split_tj: bool = False) -> bytes:
 # extractor
 # ---------------------------------------------------------------------------
 
-_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.DOTALL)
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
-_STREAM_START_RE = re.compile(rb"stream\r?\n")
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+# the keyword only (lookbehind: 'endstream\n' must not match as a start)
+_STREAM_START_RE = re.compile(rb"(?<![a-zA-Z])stream\r?\n")
+# possessive \d++ (py3.11) — a backtracking (\d+) would let the indirect-ref
+# form '/Length 100 0 R' match '10' as a direct length (review finding)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d++)(?!\s+\d+\s+R)")
+
+# inflate cap: a crafted stream must not be able to OOM an executor
+# (decompression bomb); anything bigger than this is skipped as junk
+MAX_INFLATED = 1 << 26  # 64 MB per stream
 
 
-def _stream_bytes(body: bytes) -> tuple[bytes | None, int]:
-    """(raw stream bytes, dict-end offset) for an object body, honoring
-    /Length when it is a direct integer — the EOL before `endstream` is a
-    delimiter, NOT data, and data may itself end in \\r (a regex that
-    strips `\\r?\\n` would eat that byte; hypothesis found exactly this)."""
-    sm = _STREAM_START_RE.search(body)
-    if not sm:
-        return None, -1
-    head = body[:sm.start()]
-    lm = _LENGTH_RE.search(head)
-    if lm:
+def _iter_streams(data: bytes):
+    """Yield (dict_head, raw_stream_bytes) by sequential absolute-offset
+    scanning, honoring a direct-integer /Length.
+
+    Slicing by /Length from absolute offsets (not from a regex-delimited
+    object body) makes embedded keyword bytes inside compressed data —
+    'endobj', 'endstream', even 'stream' — harmless: the scan position
+    jumps past each consumed stream (review finding: the old
+    '(.*?)endobj' object regex truncated streams whose flate bytes
+    contained 'endobj'). The EOL before `endstream` is a delimiter, NOT
+    data — data may itself end in \\r (hypothesis found exactly this), so
+    the /Length-less fallback strips at most one EOL.
+    """
+    pos = 0
+    n = len(data)
+    while pos < n:
+        sm = _STREAM_START_RE.search(data, pos)
+        if sm is None:
+            return
+        # the stream's dict sits between the owning 'N G obj' and 'stream';
+        # scan back a bounded window for it
+        win_start = max(pos, sm.start() - 2048)
+        obj_at = data.rfind(b" obj", win_start, sm.start())
+        head = data[obj_at if obj_at >= 0 else win_start:sm.start()]
         start = sm.end()
-        return body[start:start + int(lm.group(1))], sm.start()
-    fm = _STREAM_RE.search(body)  # /Length absent or an indirect ref
-    return (fm.group(1), sm.start()) if fm else (None, -1)
+        lm = _LENGTH_RE.search(head)
+        if lm:
+            end = start + int(lm.group(1))
+            raw = data[start:end]
+        else:
+            em = data.find(b"endstream", start)
+            if em < 0:
+                return
+            raw = data[start:em]
+            if raw.endswith(b"\r\n"):
+                raw = raw[:-2]
+            elif raw.endswith((b"\n", b"\r")):
+                raw = raw[:-1]
+            end = em
+        yield head, raw
+        pos = max(end, start)
 _BT_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
 _PAGE_RE = re.compile(rb"/Type\s*/Page(?![sS])")
 
@@ -260,15 +291,13 @@ def extract_pdf_text(data: bytes) -> dict:
                     "error": "not a PDF (missing %PDF- header)"}
         n_pages = len(_PAGE_RE.findall(data))
         chunks: list[str] = []
-        for m in _OBJ_RE.finditer(data):
-            body = m.group(3)
-            raw, dict_end = _stream_bytes(body)
-            if raw is None:
-                continue
-            head = body[:dict_end]
+        for head, raw in _iter_streams(data):
             if b"/FlateDecode" in head:
                 try:
-                    raw = zlib.decompress(raw)
+                    d = zlib.decompressobj()
+                    raw = d.decompress(raw, MAX_INFLATED)
+                    if d.unconsumed_tail:
+                        continue  # decompression bomb — skip stream
                 except zlib.error:
                     continue
             elif b"/Filter" in head:

@@ -128,3 +128,32 @@ def test_decode_never_crashes_on_junk(data):
     except Exception as e:  # zlib/struct leaks would be bugs
         if not isinstance(e, ImageError):
             raise
+
+
+def test_malformed_headers_raise_image_error_not_valueerror():
+    """Truncated/garbled headers must surface as ImageError so the Spark
+    decode path degrades instead of failing the task (review finding)."""
+    for payload in (b"P6", b"P6\n", b"P6\n#only comment", b"P6\nx y\n255\n",
+                    PNG_SIG + _chunk(b"IHDR", b"\x00" * 5)):
+        with pytest.raises(ImageError):
+            sniff_decode(payload)
+
+
+def test_png_decompression_bomb_rejected():
+    """IDAT inflating past the IHDR-declared size is rejected before it
+    can exhaust memory (review finding)."""
+    # header says 2x2 RGB (expected 2*2*3+2*1 = 14 bytes of scanlines)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * 50_000_000, 9)
+    data = (PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", bomb)
+            + _chunk(b"IEND", b""))
+    with pytest.raises(ImageError):
+        decode_png(data)
+
+
+def test_png_absurd_dimensions_rejected():
+    ihdr = struct.pack(">IIBBBBB", 2 ** 20, 2 ** 20, 8, 2, 0, 0, 0)
+    data = (PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"")) + _chunk(b"IEND", b""))
+    with pytest.raises(ImageError):
+        decode_png(data)

@@ -90,3 +90,40 @@ def test_extract_never_raises_on_junk(data):
     r = extract_pdf_text(b"%PDF-" + data)
     assert isinstance(r["text"], str)
     assert isinstance(r["ok"], bool)
+
+
+def test_indirect_length_reference_falls_back():
+    """'/Length N 0 R' (indirect ref) must NOT be misread as a direct
+    length via regex backtracking (review finding): the extractor falls
+    back to the endstream scan and still recovers the text."""
+    content = zlib.compress(b"BT (hello world) Tj ET")
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Length 100 0 R /Filter /FlateDecode >>"
+           b"\nstream\n" + content + b"\nendstream\nendobj\n")
+    r = extract_pdf_text(pdf)
+    assert r["ok"] and r["text"] == "hello world"
+
+
+def test_embedded_endobj_bytes_in_stream_are_harmless():
+    """Compressed bytes containing 'endobj'/'endstream'/'stream' keywords
+    must not truncate the stream (review finding): /Length is sliced from
+    absolute offsets."""
+    raw = b"BT (first) Tj ET x" + b"endobj" + b"stream\n" + b"endstream" \
+          + b" BT ( second) Tj ET"
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(raw)).encode() +
+           b" >>\nstream\n" + raw + b"\nendstream\nendobj\n")
+    r = extract_pdf_text(pdf)
+    assert r["text"] == "first second"
+
+
+def test_decompression_bomb_stream_skipped():
+    """A stream inflating past MAX_INFLATED is skipped, not inflated."""
+    from snacktory_spark.pdf import MAX_INFLATED
+    bomb = zlib.compress(b"\x00" * (MAX_INFLATED + 1024), 9)  # ~64KB input
+    ok = zlib.compress(b"BT (survivor) Tj ET")
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /Length " + str(len(bomb)).encode() +
+           b" /Filter /FlateDecode >>\nstream\n" + bomb + b"\nendstream\nendobj\n"
+           b"2 0 obj\n<< /Length " + str(len(ok)).encode() +
+           b" /Filter /FlateDecode >>\nstream\n" + ok + b"\nendstream\nendobj\n")
+    r = extract_pdf_text(pdf)
+    assert r["ok"] and r["text"] == "survivor"
