@@ -240,7 +240,8 @@ def run_extract(spark: SparkSession, input_path: str, output_path: str,
                 salt_span: int = DEFAULT_SALT_SPAN,
                 partitions: int | None = None,
                 resume: bool = True,
-                bucket_batch: int | None = None) -> dict:
+                bucket_batch: int | None = None,
+                files_per_bucket: int | None = None) -> dict:
     """Run (or resume) the extraction job. Returns run metrics.
 
     Buckets are processed in WAVES of `bucket_batch` (default: quarter of
@@ -255,6 +256,15 @@ def run_extract(spark: SparkSession, input_path: str, output_path: str,
     metric (rows, input/output bytes, source files) is derived from one
     scan of the much smaller written output. input_rows counts rows that
     entered extraction, i.e. after the null/empty-text scan gate.
+
+    files_per_bucket (optional) bounds the sink's file count: without it,
+    every UDF partition that holds a bucket's rows writes a file into that
+    bucket dir (up to `partitions` files/bucket — fine for throughput, bad
+    for 100-TB namenode/manifest pressure). Setting it adds one exchange on
+    (bucket, file-salt) after extraction plus a sortWithinPartitions on
+    (conv_id, turn_idx), so each bucket dir gets ~files_per_bucket files
+    whose rows are stored in stable turn order (better scan locality and
+    parquet compression for downstream readers).
     """
     # Dynamic per-partition overwrite is load-bearing: with the static
     # default, wave 2 (or a resume) would DELETE every previously committed
@@ -286,6 +296,14 @@ def run_extract(spark: SparkSession, input_path: str, output_path: str,
         df = df_all.filter(F.col("bucket").isin(wave))
         out = extracted_df(df.drop("bucket"), n_buckets=n_buckets,
                            salt_span=salt_span, partitions=partitions)
+        if files_per_bucket:
+            fsalt = F.pmod(F.xxhash64("conv_id"), F.lit(files_per_bucket))
+            # leading "bucket" satisfies the dynamic-partition writer's
+            # required ordering, so it won't re-sort (and destroy the
+            # (conv_id, turn_idx) order) at write time
+            out = (out.repartition(len(wave) * files_per_bucket,
+                                   F.col("bucket"), fsalt)
+                   .sortWithinPartitions("bucket", "conv_id", "turn_idx"))
         (out.write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(output_path))

@@ -291,3 +291,33 @@ def test_bucketed_tables_join_without_shuffle(spark, synth_dir, tmp_path):
     spark.sql("DROP TABLE bkt.turns")
     spark.sql("DROP TABLE bkt.convs")
     spark.sql("DROP DATABASE bkt")
+
+
+def test_files_per_bucket_compaction(spark, synth_dir, tmp_path):
+    """files_per_bucket bounds sink file count and stores rows in stable
+    (conv_id, turn_idx) order within each file."""
+    import glob
+    from snacktory_spark.pipeline.extract_job import run_extract
+
+    out = str(tmp_path / "out_compact")
+    m = run_extract(spark, f"{synth_dir}/transcripts.parquet", out,
+                    n_buckets=4, files_per_bucket=1, resume=False)
+    assert m["output_rows"] > 0
+    for b in range(4):
+        files = glob.glob(f"{out}/bucket={b}/*.parquet")
+        assert len(files) <= 1, files  # empty buckets have none
+    # rows inside a file follow stable turn order
+    import pyarrow.parquet as pq
+    some = next(f for b in range(4)
+                for f in glob.glob(f"{out}/bucket={b}/*.parquet"))
+    t = pq.read_table(some, columns=["conv_id", "turn_idx"])
+    keys = list(zip(t.column("conv_id").to_pylist(),
+                    t.column("turn_idx").to_pylist()))
+    assert keys == sorted(keys)
+    # content identical to the uncompacted run
+    plain = str(tmp_path / "out_plain")
+    run_extract(spark, f"{synth_dir}/transcripts.parquet", plain,
+                n_buckets=4, resume=False)
+    a = spark.read.parquet(out).select("conv_id", "turn_idx", "text")
+    b2 = spark.read.parquet(plain).select("conv_id", "turn_idx", "text")
+    assert a.exceptAll(b2).count() == 0 and b2.exceptAll(a).count() == 0
