@@ -65,11 +65,14 @@ def empty_result(url: str = "") -> dict:
 
 def extract(html: str, url: str = "", max_content_size: int = 0,
             extract_images: bool = True,
-            formatter: OutputFormatter | None = None) -> dict:
+            formatter: OutputFormatter | None = None,
+            heuristics=None) -> dict:
     """ArticleTextExtractor.extractContent(JResult, String html, ...) (:403-419).
 
     `formatter` mirrors setOutputFormatter (:378): it replaces the default
-    fallback formatter; per-domain formatters still take precedence (:600)."""
+    fallback formatter; per-domain formatters still take precedence (:600).
+    `heuristics` mirrors the setUnlikely/setPositive/setNegative/setToRemove
+    tunables (:329-377) — see snacktory_spark.heuristics."""
     res = empty_result(url)
     if not html:
         raise ValueError("html string is empty!?")
@@ -79,7 +82,7 @@ def extract(html: str, url: str = "", max_content_size: int = 0,
 
     doc = dom_parse(html, url)
     result = _extract_retrying(res, doc, html, extract_images, max_content_size,
-                               formatter)
+                               formatter, heuristics)
 
     # malformed-HTML sanity retry (:411-418). The reference re-cleans with
     # htmlcleaner; our parser is a single implementation so we re-parse the
@@ -89,13 +92,15 @@ def extract(html: str, url: str = "", max_content_size: int = 0,
         recleaned = dom_parse(serialized, url)
         res = empty_result(url)
         result = _extract_retrying(res, recleaned, serialized,
-                                   extract_images, max_content_size, formatter)
+                                   extract_images, max_content_size, formatter,
+                                   heuristics)
     return result
 
 
 def _extract_retrying(res: dict, doc: Document, html: str, extract_images: bool,
                       max_content_size: int,
-                      formatter: OutputFormatter | None = None) -> dict:
+                      formatter: OutputFormatter | None = None,
+                      heuristics=None) -> dict:
     """extractContent(JResult, Document, ...) (:421-435).
 
     The reference clones the (about-to-be-mutated) document up front; we
@@ -103,11 +108,11 @@ def _extract_retrying(res: dict, doc: Document, html: str, extract_images: bool,
     tree (parsing is deterministic), no per-document deep copy.
     """
     result = _extract_content(res, doc, extract_images, max_content_size, True,
-                              formatter)
+                              formatter, heuristics)
     if len(result["text"]) == 0:
         result = _extract_content(res, dom_parse(html, res["url"]),
                                   extract_images, max_content_size, False,
-                                  formatter)
+                                  formatter, heuristics)
     if not result["text"].strip():
         result["text"] = result["description"]
     return result
@@ -115,7 +120,8 @@ def _extract_retrying(res: dict, doc: Document, html: str, extract_images: bool,
 
 def _extract_content(res: dict, doc: Document, extract_images: bool,
                      max_content_size: int, clean_scripts: bool,
-                     formatter: OutputFormatter | None = None) -> dict:
+                     formatter: OutputFormatter | None = None,
+                     heuristics=None) -> dict:
     """Main workhorse (:438-563)."""
     url = res["url"]
 
@@ -137,7 +143,7 @@ def _extract_content(res: dict, doc: Document, extract_images: bool,
 
     if clean_scripts:
         remove_scripts_and_styles(doc, res["domain"])
-    strip_unlikely_candidates(doc)
+    strip_unlikely_candidates(doc, heuristics)
 
     remove_nodes_per_domain(doc, res["domain"] or None)
     remove_nodes_per_domain(doc, res["top_private_domain"] or None)
@@ -151,7 +157,7 @@ def _extract_content(res: dict, doc: Document, extract_images: bool,
     else:
         nodes = get_nodes(doc)
         best_match_element = None
-        for candidate in get_best_match_elements(nodes):
+        for candidate in get_best_match_elements(nodes, heuristics):
             best_match_element = candidate
             if _process_best_element(res, extract_images, max_content_size,
                                      candidate, formatter):

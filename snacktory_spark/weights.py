@@ -19,6 +19,7 @@ import math
 
 from . import constants as C
 from .dom import Document, Element
+from .heuristics import DEFAULT as _DEFAULT_HEURISTICS, Heuristics
 from .shelper import count as s_count
 
 
@@ -62,7 +63,9 @@ def add_score(el: Element, score: int) -> None:
 
 # --- base weight (:2978-3058) ---------------------------------------------------
 
-def calc_weight(e: Element, has_highly_positive: bool) -> tuple[int, bool]:
+def calc_weight(e: Element, has_highly_positive: bool,
+                heur: Heuristics | None = None) -> tuple[int, bool]:
+    h = heur or _DEFAULT_HEURISTICS
     weight = 0
     attrs = e.attrs
     cls = attrs.get("class", "")
@@ -70,38 +73,38 @@ def calc_weight(e: Element, has_highly_positive: bool) -> tuple[int, bool]:
     itemprop = attrs.get("itemprop")
 
     if not has_highly_positive:
-        if itemprop is not None and _hit(C.HIGHLY_POSITIVE, itemprop):
+        if itemprop is not None and _hit(h.highly_positive, itemprop):
             weight += 350
             has_highly_positive = True
-        if cls and _hit(C.HIGHLY_POSITIVE, cls):
+        if cls and _hit(h.highly_positive, cls):
             weight += 200
             has_highly_positive = True
-        if ident and _hit(C.HIGHLY_POSITIVE, ident):
+        if ident and _hit(h.highly_positive, ident):
             weight += 90
             has_highly_positive = True
 
     if cls:
-        if _hit(C.POSITIVE, cls):
+        if _hit(h.positive, cls):
             weight += 35
-        if _hit(C.UNLIKELY, cls):
+        if _hit(h.unlikely, cls):
             weight -= 20
-        if _hit(C.NEGATIVE, cls):
+        if _hit(h.negative, cls):
             weight -= 50
     if ident:
-        if _hit(C.POSITIVE, ident):
+        if _hit(h.positive, ident):
             weight += 45
-        if _hit(C.UNLIKELY, ident):
+        if _hit(h.unlikely, ident):
             weight -= 20
-        if _hit(C.NEGATIVE, ident):
+        if _hit(h.negative, ident):
             weight -= 50
-        if _hit(C.HIGHLY_NEGATIVE, ident):
+        if _hit(h.highly_negative, ident):
             weight -= 700
 
     style = attrs.get("style")
-    if style and _hit(C.NEGATIVE_STYLE, style):
+    if style and _hit(h.negative_style, style):
         weight -= 50
 
-    if itemprop and _hit(C.POSITIVE, itemprop):
+    if itemprop and _hit(h.positive, itemprop):
         weight += 100
 
     return weight, has_highly_positive
@@ -138,7 +141,9 @@ def get_grand_child_weight(grandchild: Element) -> int:
     return weight
 
 
-def weight_child_nodes(root_el: Element) -> int:
+def weight_child_nodes(root_el: Element,
+                       heur: Heuristics | None = None) -> int:
+    h = heur or _DEFAULT_HEURISTICS
     weight = 0
     children_weight = 0
     caption = None
@@ -173,7 +178,7 @@ def weight_child_nodes(root_el: Element) -> int:
     great_grand_children_weight = 0
     for child in children:
         # negative-looking children penalize instead of contributing (:2799-2804)
-        if _hit(C.NEGATIVE, child.id()) or _hit(C.NEGATIVE, child.class_name()):
+        if _hit(h.negative, child.id()) or _hit(h.negative, child.class_name()):
             grand_children_weight -= 30
             continue
         for grandchild in child.children:
@@ -202,11 +207,12 @@ def weight_child_nodes(root_el: Element) -> int:
     return weight
 
 
-def get_weight(e: Element, checkextra: bool, has_highly_positive: bool) -> tuple[int, bool]:
+def get_weight(e: Element, checkextra: bool, has_highly_positive: bool,
+               heur: Heuristics | None = None) -> tuple[int, bool]:
     """ArticleTextExtractor.getWeight (:2662-2685)."""
-    weight, has_highly_positive = calc_weight(e, has_highly_positive)
+    weight, has_highly_positive = calc_weight(e, has_highly_positive, heur)
     weight += _java_round(len(e.own_text()) / 100.0 * 10)
-    weight += _java_round(weight_child_nodes(e) * 0.9)
+    weight += _java_round(weight_child_nodes(e, heur) * 0.9)
     if checkextra:
         xelem = e.select_first("[extragravityscore]")
         if xelem is not None:
@@ -233,13 +239,14 @@ def get_nodes(doc: Document) -> list[Element]:
     return nodes
 
 
-def get_best_match_elements(nodes) -> list[Element]:
+def get_best_match_elements(nodes, heur: Heuristics | None = None) -> list[Element]:
     """ArticleTextExtractor.getBestMatchElements (:689-783): elements sorted
     by (weight desc, document position asc)."""
     entries = []
     has_highly_positive = False
     for position, entry in enumerate(nodes):
-        weight, has_highly_positive = get_weight(entry, False, has_highly_positive)
+        weight, has_highly_positive = get_weight(entry, False,
+                                                 has_highly_positive, heur)
         entries.append((-weight, position, entry))
     entries.sort(key=lambda t: (t[0], t[1]))
     return [e for _, _, e in entries]
@@ -253,15 +260,17 @@ def get_best_match_element(nodes):
 
 # --- destructive cleaning (P3, P5, P6) ----------------------------------------------
 
-def strip_unlikely_candidates(doc: Document) -> None:
+def strip_unlikely_candidates(doc: Document,
+                              heur: Heuristics | None = None) -> None:
     """ArticleTextExtractor.stripUnlikelyCandidates (:3132-3148)."""
+    h = heur or _DEFAULT_HEURISTICS
     for body in doc.select("body"):
         for child in list(body.iter_descendants()):
             attrs = child.attrs
             class_name = attrs.get("class")
             ident = attrs.get("id")
-            if ((class_name and C.TO_REMOVE.search(class_name.lower()))
-                    or (ident and C.TO_REMOVE.search(ident.lower()))):
+            if ((class_name and h.to_remove.search(class_name.lower()))
+                    or (ident and h.to_remove.search(ident.lower()))):
                 child.remove()
 
 
