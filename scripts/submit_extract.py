@@ -39,6 +39,9 @@ def main(argv=None):
     p.add_argument("--salt-span", type=int, default=64)
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--files-per-bucket", type=int, default=None,
+                   help="bound sink file count per bucket (adds one exchange "
+                        "+ stable (conv_id, turn_idx) in-file ordering)")
     args = p.parse_args(argv)
 
     try:
@@ -51,7 +54,8 @@ def main(argv=None):
     metrics = run_extract(
         spark, args.input, args.output,
         n_buckets=args.buckets, salt_span=args.salt_span,
-        partitions=args.partitions, resume=not args.no_resume)
+        partitions=args.partitions, resume=not args.no_resume,
+        files_per_bucket=args.files_per_bucket)
     print(json.dumps(metrics))
     spark.stop()
 
