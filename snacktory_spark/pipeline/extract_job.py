@@ -235,13 +235,58 @@ def extracted_df(df: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS,
         "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int"))
 
 
+def extracted_dedup_df(df: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS,
+                       partitions: int | None = None) -> DataFrame:
+    """The reference's result cache (S6, SCache.java) re-expressed at
+    scale: extract each DISTINCT text exactly once, then join the result
+    back to every row by content hash.
+
+    Worth it when the duplicate ratio is high (templated pages, retried
+    tool turns, crawl re-fetches): UDF cost scales with DISTINCT texts,
+    while the added cost is one dropDuplicates shuffle of (hash, text) and
+    one hash-join on a 32-char key. Output schema and content match
+    extracted_df row for row (per-row input_file/input_bytes lineage is
+    preserved from the original scan); work distribution is by content
+    hash — uniform by construction, so no conversation-length skew."""
+    from ..udf import extract_distinct_map_in_pandas
+    from ..schema import EXTRACT_SCHEMA
+
+    ensure_py_files(df.sparkSession)
+    gated = (df
+             .select("conv_id", "turn_idx", "role", "tool", "ts", "text")
+             .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+             .withColumn("input_file", F.input_file_name()))
+    hashed = (gated
+              .withColumn("h", F.md5("text"))
+              # utf-8 input size per row, captured before text is dropped
+              .withColumn("input_bytes", F.octet_length("text").cast("long")))
+    if not partitions:
+        partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    distinct = (hashed.select("h", "text")
+                .dropDuplicates(["h"])
+                .repartition(partitions, "h"))
+    res_schema = ("h string, "
+                  + ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                              for f in EXTRACT_SCHEMA.fields)
+                  + ", output_bytes long")
+    res = distinct.mapInPandas(extract_distinct_map_in_pandas, schema=res_schema)
+    joined = hashed.drop("text").join(res, "h")
+    out = joined.select(
+        "conv_id", "turn_idx", "role", "tool", "ts",
+        *[f.name for f in EXTRACT_SCHEMA.fields],
+        "input_bytes", "output_bytes", "input_file")
+    return out.withColumn(
+        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int"))
+
+
 def run_extract(spark: SparkSession, input_path: str, output_path: str,
                 n_buckets: int = DEFAULT_N_BUCKETS,
                 salt_span: int = DEFAULT_SALT_SPAN,
                 partitions: int | None = None,
                 resume: bool = True,
                 bucket_batch: int | None = None,
-                files_per_bucket: int | None = None) -> dict:
+                files_per_bucket: int | None = None,
+                dedup_texts: bool = False) -> dict:
     """Run (or resume) the extraction job. Returns run metrics.
 
     Buckets are processed in WAVES of `bucket_batch` (default: quarter of
@@ -294,8 +339,12 @@ def run_extract(spark: SparkSession, input_path: str, output_path: str,
     for w in range(0, len(missing), bucket_batch):
         wave = missing[w:w + bucket_batch]
         df = df_all.filter(F.col("bucket").isin(wave))
-        out = extracted_df(df.drop("bucket"), n_buckets=n_buckets,
-                           salt_span=salt_span, partitions=partitions)
+        if dedup_texts:
+            out = extracted_dedup_df(df.drop("bucket"), n_buckets=n_buckets,
+                                     partitions=partitions)
+        else:
+            out = extracted_df(df.drop("bucket"), n_buckets=n_buckets,
+                               salt_span=salt_span, partitions=partitions)
         if files_per_bucket:
             fsalt = F.pmod(F.xxhash64("conv_id"), F.lit(files_per_bucket))
             # leading "bucket" satisfies the dynamic-partition writer's

@@ -113,3 +113,16 @@ def extract_map_in_pandas(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
         out["input_file"] = (pdf["input_file"].reset_index(drop=True)
                              if "input_file" in pdf.columns else None)
         yield pd.concat([pdf[keys].reset_index(drop=True), out], axis=1)
+
+
+def extract_distinct_map_in_pandas(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage for the dedup-extract path: (h, text) batches →
+    (h, <EXTRACT_SCHEMA fields>, output_bytes). One extraction per DISTINCT
+    text; the caller joins results back to every row by h."""
+    for pdf in iterator:
+        out = _results_to_frame([extract_row(t, "") for t in pdf["text"]])
+        out.insert(0, "h", pdf["h"].reset_index(drop=True))
+        out["output_bytes"] = [
+            len(t.encode("utf-8")) if isinstance(t, str) else 0
+            for t in out["text"]]
+        yield out

@@ -321,3 +321,45 @@ def test_files_per_bucket_compaction(spark, synth_dir, tmp_path):
     a = spark.read.parquet(out).select("conv_id", "turn_idx", "text")
     b2 = spark.read.parquet(plain).select("conv_id", "turn_idx", "text")
     assert a.exceptAll(b2).count() == 0 and b2.exceptAll(a).count() == 0
+
+
+def test_dedup_extract_matches_plain(spark, synth_dir, tmp_path):
+    """dedup_texts extracts each distinct text once and joins results back:
+    output must equal the plain path row for row (including lineage), and
+    the distinct stage must see exactly one row per unique text."""
+    from pyspark.sql import functions as F
+    from snacktory_spark.pipeline.extract_job import (extracted_dedup_df,
+                                                      extracted_df,
+                                                      read_transcripts,
+                                                      run_extract)
+
+    df = read_transcripts(spark, f"{synth_dir}/transcripts.parquet")
+    cols = [c for c in extracted_df(df).columns if c != "input_file"]
+    plain = extracted_df(df).select(cols)
+    dedup = extracted_dedup_df(df).select(cols)
+    assert dedup.exceptAll(plain).count() == 0
+    assert plain.exceptAll(dedup).count() == 0
+
+    # end-to-end through run_extract with heavy duplication
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    html = ("<html><head><title>Dup</title></head><body><div class='article-body'>"
+            + "<p>repeated body paragraph with plenty of text to extract "
+              "for the dedup cache demonstration, again and again.</p>" * 3
+            + "</div></body></html>")
+    n = 120
+    src = str(tmp_path / "dups.parquet")
+    pq.write_table(pa.table({
+        "conv_id": pa.array([f"d-{i % 7}" for i in range(n)], pa.string()),
+        "turn_idx": pa.array([i // 7 for i in range(n)], pa.int32()),
+        "role": pa.array(["tool"] * n, pa.string()),
+        "text": pa.array([html] * n, pa.string()),
+        "tool": pa.array([""] * n, pa.string()),
+        "ts": pa.array([None] * n, pa.timestamp("us", tz="UTC")),
+    }), src)
+    out = str(tmp_path / "dedup_out")
+    m = run_extract(spark, src, out, n_buckets=2, dedup_texts=True, resume=False)
+    assert m["output_rows"] == n
+    got = spark.read.parquet(out)
+    assert got.filter(F.col("title") == "Dup").count() == n
+    assert got.select("text").distinct().count() == 1
