@@ -115,6 +115,33 @@ def q_extract_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _extracted(spark, sf_dir)
 
 
+def q_extract_turns_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-extract path (S6 result cache at scale): each DISTINCT
+    text extracted once, results hash-joined back. Must produce EXACTLY
+    the same per-turn output as q_extract_turns — same oracle."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+    from snacktory_spark.pipeline.extract_job import (extracted_dedup_df,
+                                                      read_transcripts)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sdir = _synth(sf_dir)
+    df = read_transcripts(spark, f"{sdir}/transcripts.parquet")
+    out = extracted_dedup_df(df)
+    return out.select(
+        "conv_id", "turn_idx", "title", "text", "author_name",
+        "raw_author_name", "author_description",
+        F.date_format("date", "yyyy-MM-dd HH:mm:ss").alias("date_str"),
+        "language", "description", "canonical_url", "domain",
+        "top_private_domain", "image_url", "favicon_url", "video_url",
+        "rss_url", "type", "sitename",
+        F.array_join("keywords", "|").alias("keywords_str"),
+        F.array_join(F.transform("images", lambda x: x["src"]), "|").alias("images_str"),
+        F.array_join(F.transform("links", lambda x: x["url"]), "|").alias("links_str"),
+        "extract_ok")
+
+
 def q_golden_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Golden-fixture verification join (FIXTURES.md §2): extracted turns vs
     the expectation table; emits per-assertion pass booleans."""
@@ -587,6 +614,7 @@ def q_doc_bpe_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_turns": q_extract_turns,
+        "extract_turns_dedup": q_extract_turns_dedup,
         "golden_equality": q_golden_equality,
         "turn_ordering": q_turn_ordering,
         "conv_stats": q_conv_stats,
@@ -617,6 +645,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+_EXTRACT_ORACLE = """
+    SELECT conv_id, turn_idx, title, text, author_name,
+           raw_author_name, author_description, date_str,
+           language, description, canonical_url, domain,
+           top_private_domain, image_url, favicon_url, video_url,
+           rss_url, type, sitename, keywords_str, images_str,
+           links_str, extract_ok
+    FROM {ee}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     tr = f"read_parquet('{SF01_DIR}/transcripts.parquet')"
     ee = f"read_parquet('{SF01_DIR}/expected_extraction.parquet')"
@@ -624,15 +663,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         # distributed extraction == deterministic single-node extraction,
         # over EVERY JResult field (list fields pre-serialized at synth time)
-        "extract_turns": f"""
-            SELECT conv_id, turn_idx, title, text, author_name,
-                   raw_author_name, author_description, date_str,
-                   language, description, canonical_url, domain,
-                   top_private_domain, image_url, favicon_url, video_url,
-                   rss_url, type, sitename, keywords_str, images_str,
-                   links_str, extract_ok
-            FROM {ee}
-        """,
+        "extract_turns": _EXTRACT_ORACLE.format(ee=ee),
+        # the dedup-extract path must produce the identical per-turn output
+        "extract_turns_dedup": _EXTRACT_ORACLE.format(ee=ee),
         "golden_equality": f"""
             SELECT e.conv_id, e.turn_idx,
                    CASE WHEN x.exp_title IS NULL THEN true

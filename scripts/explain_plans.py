@@ -85,7 +85,16 @@ def main():
                      "60); bit votes fold in one aggregate over a vote "
                      "array. Narrow map — no exchange."))
 
-    # 9. pdf round-trip: two narrow python stages, no shuffle
+    # 9. dedup-extract: UDF over DISTINCT texts + hash-join back
+    from snacktory_spark.pipeline.extract_job import extracted_dedup_df
+    sections.append(("dedup-extract (result cache at scale)",
+                     plan_of(extracted_dedup_df(tdf)),
+                     "HashAggregate(keys=[h]) dedup → ONE MapInPandas over "
+                     "distinct texts → SortMergeJoin/ShuffledHashJoin back "
+                     "on the md5 key. No nested-loop join; lineage columns "
+                     "come from the original scan side."))
+
+    # 10. pdf round-trip: two narrow python stages, no shuffle
     sections.append(("pdf_roundtrip (binary-column layout parse)",
                      plan_of(em.q_pdf_roundtrip(spark, SF_DIR)),
                      "Two MapInPandas stages (synthesize PDF, extract text) "
