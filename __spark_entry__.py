@@ -490,6 +490,23 @@ def q_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "pdf_text", "n_pages", "pdf_ok")
 
 
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster labeling: MinHash/LSH candidates verified at
+    Jaccard ≥ 0.5, then connected components via iterative min-label
+    propagation (one shuffle per iteration, converges on no-change) — the
+    keeper-election step of web-scale dedup. Oracle: DuckDB recursive CTE
+    computing the same transitive closure."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+    from snacktory_spark.textops import (connected_components, jaccard_pairs,
+                                         lsh_candidate_pairs)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = (jaccard_pairs(docs, lsh_candidate_pairs(docs))
+             .filter(F.col("jaccard") >= 0.5))
+    return connected_components(pairs)
+
+
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-60 document fingerprints (near-dup sketch): one md5 per
     distinct token, bit-votes folded in a single JVM-side aggregate
@@ -634,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": q_doc_langid,
         "embedding_neardup": q_embedding_neardup,
         "doc_simhash": q_doc_simhash,
+        "neardup_components": q_neardup_components,
         "pdf_roundtrip": q_pdf_roundtrip,
         "turn_length_quantiles": q_turn_length_quantiles,
         "role_lang_rollup": q_role_lang_rollup,
@@ -773,6 +791,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "minhash_lsh_pairs": _MINHASH_SQL,
+        # same verified pairs, then transitive closure by recursive CTE —
+        # must equal Spark's iterative min-label propagation exactly
+        "neardup_components": f"""
+            WITH RECURSIVE mpairs AS ({_MINHASH_SQL}),
+            fpairs AS (SELECT doc_a, doc_b FROM mpairs WHERE jaccard >= 0.5),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM fpairs
+                      UNION SELECT doc_b, doc_a FROM fpairs),
+            reach(id, label) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.id
+            )
+            SELECT id AS doc_id, min(label)::BIGINT AS component
+            FROM reach GROUP BY id
+        """,
         # PNG encode->decode is exact by construction for every document
         "image_roundtrip": """
             SELECT doc_id, 8::INT AS width, 8::INT AS height,

@@ -283,3 +283,45 @@ def ivf_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
         best_d = F.when(cond, d).otherwise(best_d)
     return emb.select("vec_id", best_idx.alias("cell"),
                       F.round(F.sqrt(best_d), 4).alias("dist"))
+
+
+def connected_components(pairs: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b", max_iter: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs by iterative min-label
+    propagation — the final step of large-scale dedup (pick one keeper per
+    duplicate cluster). Returns (doc_id, component) where component is the
+    smallest id in the cluster.
+
+    Each iteration is one shuffle (join + groupBy on ids); iterations
+    needed = graph diameter (~log n for near-dup clusters, which are small
+    and dense). Converges when no label changes; max_iter bounds
+    pathological chains. The driver loop holds only per-iteration COUNTS,
+    never rows."""
+    from pyspark.sql import functions as F
+
+    edges = (pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+             .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+             .distinct()
+             # localCheckpoint TRUNCATES LINEAGE — with plain persist the
+             # logical plan doubles every iteration and Catalyst analysis
+             # time explodes (the standard iterative-DataFrame pitfall)
+             .localCheckpoint())
+    labels = (edges.select(F.col("a").alias("id")).distinct()
+              .withColumn("label", F.col("id"))
+              .localCheckpoint())
+    for _ in range(max_iter):
+        prop = (edges.join(labels, edges["a"] == labels["id"])
+                .groupBy(F.col("b").alias("nid"))
+                .agg(F.min("label").alias("nlabel")))
+        merged = (labels.join(prop, labels["id"] == F.col("nid"), "left")
+                  .select(labels["id"], labels["label"],
+                          F.least(labels["label"],
+                                  F.coalesce(F.col("nlabel"), labels["label"]))
+                          .alias("new_label"))
+                  .localCheckpoint())
+        changed = merged.filter(F.col("new_label") != F.col("label")).count()
+        labels = merged.select("id", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("component"))

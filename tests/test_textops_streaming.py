@@ -369,3 +369,24 @@ def test_streaming_rate_metrics_listener(spark, tmp_path):
     with open(mpath) as f:
         lines = [json.loads(l) for l in f]
     assert len(lines) == len(batches)
+
+
+def test_connected_components_known_topology(spark):
+    """Chain, triangle, and pair resolve to min-id components; a long chain
+    converges within the iteration bound."""
+    from snacktory_spark.textops import connected_components
+    pairs = [(1, 2), (2, 3),          # chain 1-2-3
+             (10, 11), (11, 12), (10, 12),  # triangle
+             (20, 21)]                # pair
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    # 12-node chain: min label needs ~11 hops — still converges
+    chain = [(i, i + 1) for i in range(100, 112)]
+    df2 = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    got2 = {r["doc_id"]: r["component"]
+            for r in connected_components(df2).collect()}
+    assert set(got2.values()) == {100}
+    assert len(got2) == 13
