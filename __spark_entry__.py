@@ -490,6 +490,22 @@ def q_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "pdf_text", "n_pages", "pdf_ok")
 
 
+def q_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unrolled Lloyd's k-means (2 assign→mean rounds from fixed seed
+    centroids = embeddings 1..4): the iterative-ML aggregation shape
+    (narrow assignment map + one shuffle per round; tiny centroid table
+    driver-held). Deterministic via fixed-precision centroid means."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+    from snacktory_spark.textops import kmeans_fit
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seeds = [r["embedding"] for r in
+             emb.filter(F.col("vec_id").isin(1, 2, 3, 4)).orderBy("vec_id").collect()]
+    assigned, _cents = kmeans_fit(emb, seeds, n_iter=2)
+    return assigned
+
+
 def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster labeling: MinHash/LSH candidates verified at
     Jaccard ≥ 0.5, then connected components via iterative min-label
@@ -652,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "doc_simhash": q_doc_simhash,
         "neardup_components": q_neardup_components,
+        "kmeans_2iter": q_kmeans_2iter,
         "pdf_roundtrip": q_pdf_roundtrip,
         "turn_length_quantiles": q_turn_length_quantiles,
         "role_lang_rollup": q_role_lang_rollup,
@@ -791,6 +808,40 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "minhash_lsh_pairs": _MINHASH_SQL,
+        # unrolled 2-iteration Lloyd's: assign -> rounded mean -> assign ->
+        # rounded mean -> final assign, identical tie-breaking (lowest cell)
+        "kmeans_2iter": """
+            WITH c0 AS (SELECT vec_id - 1 AS cell, embedding AS ce
+                        FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+            a1 AS (SELECT vec_id, embedding, cell FROM (
+                     SELECT e.vec_id, e.embedding, c.cell,
+                            row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY list_distance(e.embedding, c.ce) ASC,
+                                         c.cell ASC) AS rn
+                     FROM embeddings e, c0 c) WHERE rn = 1),
+            m1 AS (SELECT cell, p, round(avg(embedding[p + 1]), 6) AS m
+                   FROM a1, range(64) t(p) GROUP BY cell, p),
+            c1m AS (SELECT cell, list(m ORDER BY p) AS ce FROM m1 GROUP BY cell),
+            c1 AS (SELECT c0.cell, coalesce(c1m.ce, c0.ce) AS ce
+                   FROM c0 LEFT JOIN c1m ON c0.cell = c1m.cell),
+            a2 AS (SELECT vec_id, embedding, cell FROM (
+                     SELECT e.vec_id, e.embedding, c.cell,
+                            row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY list_distance(e.embedding, c.ce) ASC,
+                                         c.cell ASC) AS rn
+                     FROM embeddings e, c1 c) WHERE rn = 1),
+            m2 AS (SELECT cell, p, round(avg(embedding[p + 1]), 6) AS m
+                   FROM a2, range(64) t(p) GROUP BY cell, p),
+            c2m AS (SELECT cell, list(m ORDER BY p) AS ce FROM m2 GROUP BY cell),
+            c2 AS (SELECT c1.cell, coalesce(c2m.ce, c1.ce) AS ce
+                   FROM c1 LEFT JOIN c2m ON c1.cell = c2m.cell)
+            SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_distance(e.embedding, c.ce) ASC,
+                                    c.cell ASC) AS rn
+                FROM embeddings e, c2 c) WHERE rn = 1
+        """,
         # same verified pairs, then transitive closure by recursive CTE —
         # must equal Spark's iterative min-label propagation exactly
         "neardup_components": f"""

@@ -325,3 +325,59 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
             break
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("component"))
+
+
+def kmeans_assign(emb: DataFrame, centroids: list[list[float]],
+                  id_col: str = "vec_id",
+                  emb_col: str = "embedding") -> DataFrame:
+    """One Lloyd assignment step: nearest centroid per vector (ties to the
+    lowest cell index). Same shape as ivf_assign but returns the embedding
+    too, so a mean step can follow."""
+    def dist2(cvec):
+        arr = F.array(*[F.lit(float(x)) for x in cvec])
+        return F.aggregate(F.zip_with(F.col(emb_col), arr,
+                                      lambda a, b: (a - b) * (a - b)),
+                           F.lit(0.0), lambda a, x: a + x)
+    best_idx = F.lit(0)
+    best_d = dist2(centroids[0])
+    for i, c in enumerate(centroids[1:], start=1):
+        d = dist2(c)
+        cond = d < best_d
+        best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
+        best_d = F.when(cond, d).otherwise(best_d)
+    return emb.select(F.col(id_col), F.col(emb_col), best_idx.alias("cell"))
+
+
+def kmeans_update(assigned: DataFrame, dim: int,
+                  emb_col: str = "embedding") -> DataFrame:
+    """One Lloyd update step: per-cell coordinate-wise mean, JVM-side
+    (posexplode + groupBy — one shuffle)."""
+    exploded = assigned.select(
+        "cell", F.posexplode(F.col(emb_col)).alias("pos", "val"))
+    # round(…, 6): double summation order differs across partitionings and
+    # engines; fixed-precision centroids keep assignments deterministic
+    return (exploded.groupBy("cell", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.transform("pm", lambda x: x["m"]).alias("centroid")))
+
+
+def kmeans_fit(emb: DataFrame, init_centroids: list[list[float]],
+               n_iter: int = 2, id_col: str = "vec_id",
+               emb_col: str = "embedding") -> tuple[DataFrame, list[list[float]]]:
+    """Unrolled Lloyd's k-means: n_iter (assign → mean) rounds from fixed
+    seed centroids. Returns (final assignments, final centroids). Each
+    round is one narrow assignment map + one shuffle for the means; the
+    k×dim centroid table is driver-held (tiny) and re-broadcast as
+    literals — the standard Spark k-means shape."""
+    cents = [list(map(float, c)) for c in init_centroids]
+    assigned = None
+    for _ in range(n_iter):
+        assigned = kmeans_assign(emb, cents, id_col, emb_col)
+        got = {r["cell"]: list(r["centroid"])
+               for r in kmeans_update(assigned, len(cents[0]), emb_col).collect()}
+        # empty cells keep their previous centroid (standard convention)
+        cents = [got.get(i, cents[i]) for i in range(len(cents))]
+    assigned = kmeans_assign(emb, cents, id_col, emb_col)
+    return assigned.select(id_col, "cell"), cents

@@ -390,3 +390,22 @@ def test_connected_components_known_topology(spark):
             for r in connected_components(df2).collect()}
     assert set(got2.values()) == {100}
     assert len(got2) == 13
+
+
+def test_kmeans_fit_separates_planted_clusters(spark):
+    """2 Lloyd iterations from off-center seeds recover two planted blobs."""
+    import random
+    from snacktory_spark.textops import kmeans_fit
+    rng = random.Random(5)
+    rows = []
+    for i in range(30):  # blob A around +1, blob B around -1
+        base = 1.0 if i % 2 == 0 else -1.0
+        rows.append((i, [base + rng.uniform(-0.1, 0.1) for _ in range(8)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    seeds = [[0.3] * 8, [-0.2] * 8]  # off-center but on the right sides
+    assigned, cents = kmeans_fit(emb, seeds, n_iter=2)
+    got = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    assert all(got[i] == 0 for i in range(0, 30, 2))
+    assert all(got[i] == 1 for i in range(1, 30, 2))
+    # means moved to the blob centers
+    assert abs(cents[0][0] - 1.0) < 0.1 and abs(cents[1][0] + 1.0) < 0.1
