@@ -72,20 +72,11 @@ def _synth(sf_dir: str) -> str:
     return ensure_synth(sf_dir, SYNTH_ROOT, include_extraction=False)
 
 
-def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run the full distributed extraction over the synthetic transcripts."""
-    import sys
-    sys.path.insert(0, "/root/repo")
+def _oracle_projection(out: "DataFrame"):
+    """The 23-column oracle-comparable projection of an extracted frame —
+    shared by the plain and dedup extraction queries so their serialization
+    can never drift apart."""
     from pyspark.sql import functions as F
-    from snacktory_spark.pipeline.extract_job import extracted_df, read_transcripts
-
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    sdir = _synth(sf_dir)
-    df = read_transcripts(spark, f"{sdir}/transcripts.parquet")
-    out = extracted_df(df)
-    # every JResult field is oracle-checked: scalars verbatim, list fields
-    # as deterministic '|'-joined serializations (matches synth.py's
-    # expected_extraction.parquet)
     return out.select(
         "conv_id", "turn_idx", "title", "text", "author_name",
         "raw_author_name", "author_description",
@@ -97,6 +88,21 @@ def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.transform("images", lambda x: x["src"]), "|").alias("images_str"),
         F.array_join(F.transform("links", lambda x: x["url"]), "|").alias("links_str"),
         "extract_ok")
+
+
+def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the full distributed extraction over the synthetic transcripts;
+    every JResult field is oracle-checked: scalars verbatim, list fields as
+    deterministic '|'-joined serializations (matches synth.py's
+    expected_extraction.parquet)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from snacktory_spark.pipeline.extract_job import extracted_df, read_transcripts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sdir = _synth(sf_dir)
+    df = read_transcripts(spark, f"{sdir}/transcripts.parquet")
+    return _oracle_projection(extracted_df(df))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -128,18 +134,7 @@ def q_extract_turns_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     sdir = _synth(sf_dir)
     df = read_transcripts(spark, f"{sdir}/transcripts.parquet")
-    out = extracted_dedup_df(df)
-    return out.select(
-        "conv_id", "turn_idx", "title", "text", "author_name",
-        "raw_author_name", "author_description",
-        F.date_format("date", "yyyy-MM-dd HH:mm:ss").alias("date_str"),
-        "language", "description", "canonical_url", "domain",
-        "top_private_domain", "image_url", "favicon_url", "video_url",
-        "rss_url", "type", "sitename",
-        F.array_join("keywords", "|").alias("keywords_str"),
-        F.array_join(F.transform("images", lambda x: x["src"]), "|").alias("images_str"),
-        F.array_join(F.transform("links", lambda x: x["url"]), "|").alias("links_str"),
-        "extract_ok")
+    return _oracle_projection(extracted_dedup_df(df))
 
 
 def q_golden_equality(spark: SparkSession, sf_dir: str) -> DataFrame:

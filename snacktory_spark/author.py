@@ -51,7 +51,7 @@ def cleanup(author_name: str) -> str:
     return inner_trim(s)
 
 
-def extract_author_name(doc: Document) -> str:
+def extract_author_name(doc: Document, heuristics=None) -> str:
     """extractAuthorName (:1955-2263) — order is semantics, preserved."""
     author_name = ""
 
@@ -198,7 +198,7 @@ def extract_author_name(doc: Document) -> str:
                                      ":containsOwn(edited by), "
                                      ":containsOwn(editing by)")
             if matches:
-                best_match = get_best_match_element(matches)
+                best_match = get_best_match_element(matches, heuristics)
                 if best_match is not None:
                     author_name = best_match.text()
         except Exception:
@@ -237,7 +237,8 @@ _AUTHOR_DESC_RULES = [
 ]
 
 
-def extract_author_description(doc: Document, author_name: str) -> str:
+def extract_author_description(doc: Document, author_name: str,
+                               heuristics=None) -> str:
     """extractAuthorDescription (:2266-2567)."""
     if author_name == "":
         return ""
@@ -269,7 +270,7 @@ def extract_author_description(doc: Document, author_name: str) -> str:
         author_name = author_name.strip()
         if len(author_name) > 8:
             nodes = doc.select(f":containsOwn({author_name.lower()})")
-            best_match = get_best_match_element(nodes)
+            best_match = get_best_match_element(nodes, heuristics)
             if best_match is not None:
                 author_desc = best_match.text()
     except Exception:

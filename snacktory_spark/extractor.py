@@ -135,9 +135,10 @@ def _extract_content(res: dict, doc: Document, extract_images: bool,
     res["sitename"] = extract_sitename(doc)
     res["language"] = extract_language(doc)
 
-    res["raw_author_name"] = extract_author_name(doc)
+    res["raw_author_name"] = extract_author_name(doc, heuristics)
     res["author_name"] = author_cleanup(res["raw_author_name"])
-    res["author_description"] = extract_author_description(doc, res["author_name"])
+    res["author_description"] = extract_author_description(
+        doc, res["author_name"], heuristics)
 
     res["date"] = extract_date_from_document(doc, url)
 

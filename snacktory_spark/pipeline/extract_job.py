@@ -257,7 +257,10 @@ def extracted_dedup_df(df: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS,
              .filter(F.col("text").isNotNull() & (F.length("text") > 0))
              .withColumn("input_file", F.input_file_name()))
     hashed = (gated
-              .withColumn("h", F.md5("text"))
+              # sha256, not md5: the hash is a content-EQUALITY key here
+              # (md5 chosen-prefix collisions are practical, and a collision
+              # would silently assign one page's extraction to another)
+              .withColumn("h", F.sha2(F.col("text"), 256))
               # utf-8 input size per row, captured before text is dropped
               .withColumn("input_bytes", F.octet_length("text").cast("long")))
     if not partitions:
@@ -296,7 +299,9 @@ def run_extract(spark: SparkSession, input_path: str, output_path: str,
     bounds the blast radius of a failure.
 
     The input text column is scanned exactly ONCE per wave (the extract
-    pass itself). The extraction UDF is strictly 1-row-in/1-row-out and
+    pass itself); with dedup_texts=True it is read twice (hash side +
+    distinct side of the self-join) in exchange for extracting each
+    distinct text once. The extraction UDF is strictly 1-row-in/1-row-out and
     emits input_bytes + input_file lineage columns, so every manifest
     metric (rows, input/output bytes, source files) is derived from one
     scan of the much smaller written output. input_rows counts rows that
@@ -346,7 +351,12 @@ def run_extract(spark: SparkSession, input_path: str, output_path: str,
             out = extracted_df(df.drop("bucket"), n_buckets=n_buckets,
                                salt_span=salt_span, partitions=partitions)
         if files_per_bucket:
-            fsalt = F.pmod(F.xxhash64("conv_id"), F.lit(files_per_bucket))
+            # distinct hash seed: pmod(xxhash64(conv_id), k) with the SAME
+            # hash as the bucket column is fully correlated when
+            # gcd(k, n_buckets) > 1 (power-of-two defaults collapse every
+            # bucket to ONE salt -> one skewed write task; review finding)
+            fsalt = F.pmod(F.xxhash64(F.lit("fsalt"), F.col("conv_id")),
+                           F.lit(files_per_bucket))
             # leading "bucket" satisfies the dynamic-partition writer's
             # required ordering, so it won't re-sort (and destroy the
             # (conv_id, turn_idx) order) at write time

@@ -323,6 +323,11 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         labels = merged.select("id", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations (component diameter exceeds max_iter); raise "
+            "max_iter")
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("component"))
 
@@ -348,7 +353,7 @@ def kmeans_assign(emb: DataFrame, centroids: list[list[float]],
     return emb.select(F.col(id_col), F.col(emb_col), best_idx.alias("cell"))
 
 
-def kmeans_update(assigned: DataFrame, dim: int,
+def kmeans_update(assigned: DataFrame,
                   emb_col: str = "embedding") -> DataFrame:
     """One Lloyd update step: per-cell coordinate-wise mean, JVM-side
     (posexplode + groupBy — one shuffle)."""
@@ -376,7 +381,7 @@ def kmeans_fit(emb: DataFrame, init_centroids: list[list[float]],
     for _ in range(n_iter):
         assigned = kmeans_assign(emb, cents, id_col, emb_col)
         got = {r["cell"]: list(r["centroid"])
-               for r in kmeans_update(assigned, len(cents[0]), emb_col).collect()}
+               for r in kmeans_update(assigned, emb_col).collect()}
         # empty cells keep their previous centroid (standard convention)
         cents = [got.get(i, cents[i]) for i in range(len(cents))]
     assigned = kmeans_assign(emb, cents, id_col, emb_col)

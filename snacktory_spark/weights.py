@@ -29,12 +29,17 @@ def _java_round(x: float) -> int:
 
 
 # class/id attribute values repeat across thousands of elements; memoize the
-# regex verdicts per (pattern, value). Bounded: cleared when oversized.
-_VERDICTS: dict[tuple[int, str], bool] = {}
+# regex verdicts per (pattern SOURCE, value). Keyed by the pattern string,
+# NOT id(pattern): per-instance Heuristics patterns are garbage-collectable,
+# and a freed pattern's address can be reused by a different compiled regex
+# (review finding — id() keys could serve stale verdicts). str hashes are
+# cached by CPython, so the string key costs one hash after first use.
+# Bounded: cleared when oversized.
+_VERDICTS: dict[tuple[str, str], bool] = {}
 
 
 def _hit(pattern, s: str) -> bool:
-    key = (id(pattern), s)
+    key = (pattern.pattern, s)
     v = _VERDICTS.get(key)
     if v is None:
         if len(_VERDICTS) > 100_000:
@@ -252,9 +257,9 @@ def get_best_match_elements(nodes, heur: Heuristics | None = None) -> list[Eleme
     return [e for _, _, e in entries]
 
 
-def get_best_match_element(nodes):
+def get_best_match_element(nodes, heur: Heuristics | None = None):
     """ArticleTextExtractor.getBestMatchElement (:680-686)."""
-    ordered = get_best_match_elements(nodes)
+    ordered = get_best_match_elements(nodes, heur)
     return ordered[0] if ordered else None
 
 

@@ -65,3 +65,21 @@ def test_setters_chain():
          .set_negative("n").add_negative("o").set_highly_negative("hn")
          .set_to_remove("tr"))
     assert isinstance(e, ArticleTextExtractor)
+
+
+def test_heuristics_reach_author_election():
+    """setNegative must influence the author-name weight election like the
+    reference's instance patterns do (ArticleTextExtractor.java:2247)."""
+    html = """<html><body>
+    <div class='meta a-one'>Alice Author writes about spark pipelines
+    and distributed systems for this publication today</div>
+    <div class='meta b-two'>Bob Byline covers storage engines and query
+    optimizers with great enthusiasm every single week</div>
+    <div class='article-body'><p>%s</p></div></body></html>""" % (
+        "body text for the article with plenty of words here " * 5)
+    base = ArticleTextExtractor().extract_content(html)
+    tuned = (ArticleTextExtractor().set_negative("a-one")
+             .set_positive("b-two").extract_content(html))
+    assert "Alice" in base["raw_author_name"]
+    assert "Bob" in tuned["raw_author_name"]
+    assert "Alice" not in tuned["raw_author_name"]

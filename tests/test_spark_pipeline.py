@@ -363,3 +363,18 @@ def test_dedup_extract_matches_plain(spark, synth_dir, tmp_path):
     got = spark.read.parquet(out)
     assert got.filter(F.col("title") == "Dup").count() == n
     assert got.select("text").distinct().count() == 1
+
+
+def test_files_per_bucket_salt_independent_of_bucket(spark, synth_dir, tmp_path):
+    """With gcd(files_per_bucket, n_buckets) > 1 a salt derived from the
+    same conv-hash as the bucket collapses to ONE file per bucket (review
+    finding); the independent-seed salt must actually split buckets."""
+    import glob
+    from snacktory_spark.pipeline.extract_job import run_extract
+
+    out = str(tmp_path / "out_salt")
+    run_extract(spark, f"{synth_dir}/transcripts.parquet", out,
+                n_buckets=4, files_per_bucket=2, resume=False)
+    counts = [len(glob.glob(f"{out}/bucket={b}/*.parquet")) for b in range(4)]
+    assert max(counts) == 2, counts  # at least one bucket really split
+    assert all(c <= 2 for c in counts)

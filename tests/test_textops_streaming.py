@@ -409,3 +409,11 @@ def test_kmeans_fit_separates_planted_clusters(spark):
     assert all(got[i] == 1 for i in range(1, 30, 2))
     # means moved to the blob centers
     assert abs(cents[0][0] - 1.0) < 0.1 and abs(cents[1][0] + 1.0) < 0.1
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from snacktory_spark.textops import connected_components
+    chain = [(i, i + 1) for i in range(5)]
+    df = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2)
