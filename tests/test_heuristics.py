@@ -83,3 +83,13 @@ def test_heuristics_reach_author_election():
     assert "Alice" in base["raw_author_name"]
     assert "Bob" in tuned["raw_author_name"]
     assert "Alice" not in tuned["raw_author_name"]
+
+
+def test_author_utils_cleanup_facebook_profile():
+    """AuthorUtilsTest.cleanupFacebookProfileUrl (utils/AuthorUtilsTest.java:15-33)."""
+    from snacktory_spark.author import cleanup
+    for url in ("https://www.facebook.com/bbcnews",
+                "http://facebook.com/bbcnews",
+                "www.facebook.com/bbcnews",
+                "facebook.com/bbcnews"):
+        assert cleanup(url) == "bbcnews"
