@@ -369,9 +369,20 @@ def run_extract(spark: SparkSession, input_path: str, output_path: str,
 
         # per-bucket manifest (rows/bytes/lineage) from ONE column-pruned
         # scan of this wave's written bucket dirs — neither the input nor
-        # the extracted text column is re-read (byte sizes are UDF-emitted)
-        written = spark.read.parquet(output_path).filter(F.col("bucket").isin(wave))
-        rows = (written.groupBy("bucket")
+        # the extracted text column is re-read (byte sizes are UDF-emitted).
+        # EXPLICIT schema: a fully-empty wave writes no data files and
+        # schema inference would fail (empty-input robustness)
+        from pyspark.sql.types import IntegerType, StructField, StructType
+        written_schema = StructType(
+            list(EXTRACTED_SCHEMA.fields)
+            + [StructField("bucket", IntegerType(), True)])
+        try:
+            written = (spark.read.schema(written_schema).parquet(output_path)
+                       .filter(F.col("bucket").isin(wave)))
+            rows_ok = True
+        except Exception:
+            rows_ok = False  # nothing ever written (e.g. empty input)
+        rows = [] if not rows_ok else (written.groupBy("bucket")
                 .agg(F.count("*").alias("output_rows"),
                      F.sum("output_bytes").alias("output_bytes"),
                      F.sum("input_bytes").alias("input_bytes"),

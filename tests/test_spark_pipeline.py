@@ -378,3 +378,27 @@ def test_files_per_bucket_salt_independent_of_bucket(spark, synth_dir, tmp_path)
     counts = [len(glob.glob(f"{out}/bucket={b}/*.parquet")) for b in range(4)]
     assert max(counts) == 2, counts  # at least one bucket really split
     assert all(c <= 2 for c in counts)
+
+
+def test_empty_input_completes_and_resumes(spark, tmp_path):
+    """A wave that writes no data files must still manifest its buckets
+    (schema inference over an empty output dir used to crash; explicit
+    read schema fixes it) and a resume must short-circuit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from snacktory_spark.pipeline.extract_job import load_manifest, run_extract
+
+    src = str(tmp_path / "empty.parquet")
+    pq.write_table(pa.table({
+        "conv_id": pa.array([], pa.string()),
+        "turn_idx": pa.array([], pa.int32()),
+        "role": pa.array([], pa.string()),
+        "text": pa.array([], pa.string()),
+        "tool": pa.array([], pa.string()),
+        "ts": pa.array([], pa.timestamp("us", tz="UTC")),
+    }), src)
+    out = str(tmp_path / "out_empty")
+    m = run_extract(spark, src, out, n_buckets=4, resume=False)
+    assert m["output_rows"] == 0 and m["waves"] == 1
+    assert len(load_manifest(out)) == 4  # empty buckets are complete too
+    assert run_extract(spark, src, out, n_buckets=4).get("skipped") is True
