@@ -402,3 +402,18 @@ def test_empty_input_completes_and_resumes(spark, tmp_path):
     assert m["output_rows"] == 0 and m["waves"] == 1
     assert len(load_manifest(out)) == 4  # empty buckets are complete too
     assert run_extract(spark, src, out, n_buckets=4).get("skipped") is True
+
+
+def test_dedup_and_compaction_compose(spark, synth_dir, tmp_path):
+    """dedup_texts + files_per_bucket together: distinct-text extraction,
+    bounded file count, full row fan-back."""
+    import glob
+    from snacktory_spark.pipeline.extract_job import run_extract
+
+    out = str(tmp_path / "out_combo")
+    m = run_extract(spark, f"{synth_dir}/transcripts.parquet", out,
+                    n_buckets=4, dedup_texts=True, files_per_bucket=1,
+                    resume=False)
+    assert m["output_rows"] > 0
+    assert all(len(glob.glob(f"{out}/bucket={b}/*.parquet")) <= 1
+               for b in range(4))
