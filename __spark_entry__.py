@@ -501,6 +501,51 @@ def q_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned
 
 
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-free hash
+    bucketing (md5 of the id — portable to any engine, stable across
+    reruns/cluster sizes): 80/10/10. The split is a pure narrow map."""
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+               16, 10).cast("long") % 100
+    split = (F.when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+    return docs.select("doc_id", "lang", split.alias("split"))
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag documents containing any 8-gram of
+    the (tiny, broadcast) benchmark set — here the first 8 words of docs
+    1-3 stand in for a benchmark. Cross-join against a k-row bench table is
+    a broadcast nested-loop over k literals, the standard decontam shape
+    (k ≈ thousands of eval n-grams at production scale)."""
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    bench = (docs.filter(F.col("doc_id").isin(1, 2, 3))
+             .select(F.concat_ws(" ", F.slice(toks, 1, 8)).alias("gram")))
+    flagged = (docs.crossJoin(F.broadcast(bench))
+               .groupBy("doc_id")
+               .agg(F.max(F.lower(F.col("text")).contains(F.col("gram")))
+                    .alias("contaminated")))
+    return flagged
+
+
+def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: documents in stable doc_id order are
+    assigned to fixed-budget shards by exclusive prefix sum of token counts
+    (floor(cumsum_before / budget)) — the deterministic sharding step
+    before tokenizer/packing jobs. One window over the global order."""
+    from pyspark.sql import Window, functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    cum_before = F.coalesce(F.sum(n_tok).over(w), F.lit(0))
+    return (docs.filter(F.length("text") > 0)
+            .select("doc_id", n_tok.alias("n_tokens"),
+                    F.floor(cum_before / F.lit(2000)).cast("long").alias("shard")))
+
+
 def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster labeling: MinHash/LSH candidates verified at
     Jaccard ≥ 0.5, then connected components via iterative min-label
@@ -664,6 +709,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": q_doc_simhash,
         "neardup_components": q_neardup_components,
         "kmeans_2iter": q_kmeans_2iter,
+        "train_split": q_train_split,
+        "decontaminate": q_decontaminate,
+        "token_pack": q_token_pack,
         "pdf_roundtrip": q_pdf_roundtrip,
         "turn_length_quantiles": q_turn_length_quantiles,
         "role_lang_rollup": q_role_lang_rollup,
@@ -803,6 +851,35 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "minhash_lsh_pairs": _MINHASH_SQL,
+        "train_split": """
+            SELECT doc_id, lang,
+                   CASE WHEN h < 80 THEN 'train'
+                        WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+            FROM (SELECT doc_id, lang,
+                         ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT
+                             % 100 AS h
+                  FROM documents)
+        """,
+        "decontaminate": r"""
+            WITH bench AS (
+                SELECT array_to_string(list_slice(
+                           regexp_split_to_array(trim(lower(text)), '\s+'),
+                           1, 8), ' ') AS gram
+                FROM documents WHERE doc_id IN (1, 2, 3))
+            SELECT d.doc_id, bool_or(contains(lower(d.text), b.gram))
+                       AS contaminated
+            FROM documents d, bench b GROUP BY d.doc_id
+        """,
+        "token_pack": r"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                   (coalesce(sum(len(regexp_split_to_array(trim(text), '\s+')))
+                             OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) // 2000)::BIGINT
+                       AS shard
+            FROM documents WHERE length(text) > 0
+        """,
         # unrolled 2-iteration Lloyd's: assign -> rounded mean -> assign ->
         # rounded mean -> final assign, identical tie-breaking (lowest cell)
         "kmeans_2iter": """
