@@ -139,8 +139,56 @@ def _iter_streams(data: bytes):
             end = em
         yield head, raw
         pos = max(end, start)
-_BT_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
 _PAGE_RE = re.compile(rb"/Type\s*/Page(?![sS])")
+
+_DELIMS = b" \t\r\n\x00()[]<>/%"
+
+
+def _iter_text_blocks(raw: bytes):
+    """Yield the operator bytes of each BT…ET text block.
+
+    A regex `BT(.*?)ET` is wrong: 'ET' (or 'BT') appearing INSIDE a (…)
+    string literal terminates the block early (hypothesis found text '0ET'
+    extracting as ''). This scanner skips string literals (escape-aware)
+    and only accepts BT/ET at delimiter boundaries."""
+    n = len(raw)
+    pos = 0
+    while True:
+        i = raw.find(b"BT", pos)
+        if i < 0:
+            return
+        if ((i > 0 and raw[i - 1] not in _DELIMS)
+                or (i + 2 < n and raw[i + 2] not in _DELIMS)):
+            pos = i + 2
+            continue
+        j = i + 2
+        end = -1
+        while j < n:
+            c = raw[j]
+            if c == 0x28:  # ( string literal — skip, honoring escapes
+                depth = 1
+                j += 1
+                while j < n and depth:
+                    b = raw[j]
+                    if b == 0x5C:
+                        j += 2
+                        continue
+                    if b == 0x28:
+                        depth += 1
+                    elif b == 0x29:
+                        depth -= 1
+                    j += 1
+                continue
+            if (c == 0x45 and raw[j + 1:j + 2] == b"T"
+                    and raw[j - 1] in _DELIMS
+                    and (j + 2 >= n or raw[j + 2] in _DELIMS)):
+                end = j
+                break
+            j += 1
+        if end < 0:
+            return
+        yield raw[i + 2:end]
+        pos = end + 2
 
 
 def _unescape_string(body: bytes) -> str:
@@ -302,8 +350,8 @@ def extract_pdf_text(data: bytes) -> dict:
                     continue
             elif b"/Filter" in head:
                 continue  # unsupported filter (DCT, LZW, ...) — skip stream
-            for bt in _BT_RE.finditer(raw):
-                _emit_text_block(bt.group(1), chunks)
+            for block in _iter_text_blocks(raw):
+                _emit_text_block(block, chunks)
         text = "".join(chunks)
         return {"text": text, "n_pages": n_pages, "ok": True, "error": None}
     except Exception as e:  # noqa: BLE001 — robustness over a 10^12-row table

@@ -127,3 +127,22 @@ def test_decompression_bomb_stream_skipped():
            b" /Filter /FlateDecode >>\nstream\n" + ok + b"\nendstream\nendobj\n")
     r = extract_pdf_text(pdf)
     assert r["ok"] and r["text"] == "survivor"
+
+
+@pytest.mark.parametrize("text", [
+    "0ET", "ET", "BT", "x ET y BT z", "a (nested) ET (b)",
+    "operators Tj TJ Td T* inside the text ET BT",
+])
+@pytest.mark.parametrize("split_tj", [False, True])
+def test_operator_keywords_inside_strings(text, split_tj):
+    """'ET'/'BT' (and operator names) INSIDE string literals must not
+    terminate or open text blocks (hypothesis-found: '0ET' -> '')."""
+    r = extract_pdf_text(make_simple_pdf(text, split_tj=split_tj))
+    assert r["ok"] and r["text"] == text
+
+
+def test_multiple_text_blocks():
+    content = b"BT (one) Tj ET junk BT (two) Tj ET"
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(content)).encode() +
+           b" >>\nstream\n" + content + b"\nendstream\nendobj\n")
+    assert extract_pdf_text(pdf)["text"] == "onetwo"
