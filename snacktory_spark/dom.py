@@ -740,19 +740,25 @@ def _fast_feed(tb: _TreeBuilder, html: str) -> None:
             tm = _tagfind.match(html, lt + 1)
             sm = _locatestart.match(html, lt)
             j = sm.end()
-            if j >= n:
-                seg = html[lt:]
-                tb.handle_data(_unescape(seg) if "&" in seg else seg)
-                break
-            ch = html[j]
+            ch = html[j] if j < n else ""
             if ch == ">":
                 end_pos = j + 1
-            elif ch == "/" and html[j + 1:j + 2] == ">":
+            elif ch == "/" and html.startswith("/>", j):
                 end_pos = j + 2
+            elif ch == "" or ch == "/" or ch == "=" or ch.isalpha():
+                # check_for_whole_start_tag returns -1 (incomplete: EOF, a
+                # lone '/', or end inside an attribute). With the whole
+                # document in hand that resolves at close(): consume to the
+                # next '>' inclusive (else to '<', else one char) as data —
+                # an attr value containing '<!-- -->' must come out as TEXT,
+                # not be re-scanned as a comment (hypothesis-found)
+                pos = _bogus_markup_data(tb, html, lt)
+                continue
             else:
-                # junk where '>' should be: emit '<' as data (tolerant-ish)
-                tb.handle_data("<")
-                pos = lt + 1
+                # junk where '>' should be: check_for_whole_start_tag
+                # returns j — the '<tag attrs' prefix is SILENTLY skipped
+                # and scanning resumes at the junk character
+                pos = j
                 continue
             tag = tm.group(1).lower()
             attrs = []

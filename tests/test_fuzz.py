@@ -21,6 +21,10 @@ _fragment = st.one_of(
         "<", ">", "</", "<>", "< div>", "<a href='x y'>", '<a href="q>r">',
         "<p/>", "<div class=a class=b>", '<a ; href="/z">', "</p>", "</nope>",
         "<input value='&quot;'>",
+        # junk / truncated start tags (stdlib has three distinct behaviors:
+        # complete, incomplete->close()-time bogus data, silent skip)
+        '<A 0="<!-- c -->', '<a b="x', '<a b !>x', '<a "junk">t',
+        '<a b="x <p>hi', '<a b=">t</a>more', '<a/', '<a ',
     ]),
     st.builds(lambda t, txt: f"<{t}>{txt}", st.sampled_from(_TAGS),
               st.text(alphabet=string.ascii_letters + " <>&'\"", max_size=20)),
