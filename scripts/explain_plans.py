@@ -101,6 +101,24 @@ def main():
                      "back-to-back with NO Exchange between them — narrow "
                      "maps pipeline within the same stage."))
 
+    # 11. token_pack: two-level prefix sum — the Window must be PARTITIONED
+    # (by _pid), never a global single-partition Sort+Window (VERDICT r2 #1)
+    sections.append(("token_pack (two-level exclusive prefix sum)",
+                     plan_of(em.q_token_pack(spark, SF_DIR)),
+                     "Window is partitioned by _pid (P parallel local "
+                     "cumsums after a range repartition); the per-partition "
+                     "offsets join is a BroadcastHashJoin on a P-row dim. "
+                     "No unpartitioned Window, no global Sort."))
+
+    # 12. decontaminate: exploded 8-grams hash-joined against bench grams —
+    # must be BroadcastHashJoin, never BroadcastNestedLoopJoin (VERDICT r2 #2)
+    sections.append(("decontaminate (8-gram broadcast hash join)",
+                     plan_of(em.q_decontaminate(spark, SF_DIR)),
+                     "Generate(explode) of JVM-built gram arrays feeding a "
+                     "BroadcastHashJoin against the distinct bench grams, "
+                     "then partial+final hash agg. No nested-loop join, no "
+                     "per-document substring scans."))
+
     with open("/root/repo/BENCH/PLANS.md", "w") as f:
         f.write("# Physical plans of the headline queries\n\n"
                 "Generated by scripts/explain_plans.py (local[4], AQE on).\n")
