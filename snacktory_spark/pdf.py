@@ -89,9 +89,11 @@ def make_simple_pdf(text: str, split_tj: bool = False) -> bytes:
 
 # the keyword only (lookbehind: 'endstream\n' must not match as a start)
 _STREAM_START_RE = re.compile(rb"(?<![a-zA-Z])stream\r?\n")
-# possessive \d++ (py3.11) — a backtracking (\d+) would let the indirect-ref
-# form '/Length 100 0 R' match '10' as a direct length (review finding)
-_LENGTH_RE = re.compile(rb"/Length\s+(\d++)(?!\s+\d+\s+R)")
+# (?!\d) pins the match to the FULL digit run — a bare (\d+) would let the
+# indirect-ref form '/Length 100 0 R' backtrack to match '10' as a direct
+# length (review finding). Written without a possessive quantifier (\d++,
+# py>=3.11 only) so the module imports on any executor Python (ADVICE r2).
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 
 # inflate cap: a crafted stream must not be able to OOM an executor
 # (decompression bomb); anything bigger than this is skipped as junk
@@ -118,10 +120,13 @@ def _iter_streams(data: bytes):
         if sm is None:
             return
         # the stream's dict sits between the owning 'N G obj' and 'stream';
-        # scan back a bounded window for it
-        win_start = max(pos, sm.start() - 2048)
-        obj_at = data.rfind(b" obj", win_start, sm.start())
-        head = data[obj_at if obj_at >= 0 else win_start:sm.start()]
+        # scan back to the nearest ' obj' with NO fixed cap — a 2048-byte
+        # window truncated long dicts, losing /Filter and /Length and
+        # letting flate bytes be read as raw text operators (ADVICE r2).
+        # The backscan is bounded below by pos (already-consumed bytes), so
+        # windows are disjoint across iterations: total work stays O(n).
+        obj_at = data.rfind(b" obj", pos, sm.start())
+        head = data[obj_at if obj_at >= 0 else pos:sm.start()]
         start = sm.end()
         lm = _LENGTH_RE.search(head)
         if lm:

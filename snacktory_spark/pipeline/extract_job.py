@@ -29,6 +29,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -122,6 +123,7 @@ class _ManifestIO:
     """
 
     def __init__(self, spark: SparkSession | None, output_path: str):
+        self.out = output_path.rstrip("/")
         self.mdir = manifest_dir(output_path)
         self.hadoop = bool(_SCHEME_RE.match(output_path))
         if self.hadoop:
@@ -184,6 +186,68 @@ class _ManifestIO:
                         yield json.load(f)
                 except (json.JSONDecodeError, OSError):
                     continue  # torn write from a killed run = incomplete
+
+    def clean_stale(self, keep: set[int]) -> list[int]:
+        """Delete bucket data dirs and manifest records NOT certified
+        complete-and-compatible (ADVICE r2).
+
+        Dynamic partition overwrite only clears partitions the new run
+        writes, so a prior run with a different input_path / n_buckets (or
+        a dirty non-resume dir) leaves bucket=N dirs the new run never
+        touches — silently corrupting the combined dataset. Anything not
+        in `keep` is either stale-incompatible or incomplete-and-about-to-
+        be-rewritten; deleting both is safe and restores the invariant
+        "every bucket dir on disk has a matching manifest record".
+        Returns the bucket numbers whose data dirs were removed."""
+        removed = []
+        if self.hadoop:
+            opath = self._jPath(self.out)
+            if self._fs.exists(opath):
+                for st in self._fs.listStatus(opath):
+                    name = st.getPath().getName()
+                    if (st.isDirectory() and name.startswith("bucket=")):
+                        try:
+                            b = int(name.split("=", 1)[1])
+                        except ValueError:
+                            continue
+                        if b not in keep:
+                            self._fs.delete(st.getPath(), True)
+                            removed.append(b)
+            mpath = self._jPath(self.mdir)
+            if self._fs.exists(mpath):
+                for st in self._fs.listStatus(mpath):
+                    name = st.getPath().getName()
+                    b = _manifest_bucket(name)
+                    if b is not None and b not in keep:
+                        self._fs.delete(st.getPath(), False)
+        else:
+            if os.path.isdir(self.out):
+                for name in os.listdir(self.out):
+                    full = os.path.join(self.out, name)
+                    if os.path.isdir(full) and name.startswith("bucket="):
+                        try:
+                            b = int(name.split("=", 1)[1])
+                        except ValueError:
+                            continue
+                        if b not in keep:
+                            shutil.rmtree(full, ignore_errors=True)
+                            removed.append(b)
+            if os.path.isdir(self.mdir):
+                for name in os.listdir(self.mdir):
+                    b = _manifest_bucket(name)
+                    if b is not None and b not in keep:
+                        try:
+                            os.remove(os.path.join(self.mdir, name))
+                        except OSError:
+                            pass
+        return sorted(removed)
+
+
+def _manifest_bucket(name: str) -> int | None:
+    """bucket number of a manifest file name ('bucket-00007.json'), else
+    None (tmp files are also claimed: a torn .tmp is never a valid record)."""
+    m = re.match(r"bucket-(\d+)\.json(\.tmp)?$", name)
+    return int(m.group(1)) if m else None
 
 
 def load_manifest(output_path: str, spark: SparkSession | None = None,
@@ -319,18 +383,42 @@ def run_extract(spark: SparkSession, input_path: str, output_path: str,
     # Dynamic per-partition overwrite is load-bearing: with the static
     # default, wave 2 (or a resume) would DELETE every previously committed
     # bucket directory under output_path (ADVICE r1). build_session sets it,
-    # but run_extract accepts any SparkSession — enforce it here.
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # but run_extract accepts any SparkSession — enforce it here, and
+    # restore the caller's value afterwards: leaving it flipped silently
+    # changes overwrite semantics of UNRELATED partitioned writes later in
+    # the same session (ADVICE r2).
+    _MODE_KEY = "spark.sql.sources.partitionOverwriteMode"
+    try:
+        prev_mode = spark.conf.get(_MODE_KEY)
+    except Exception:
+        prev_mode = "static"  # spark's shipped default
+    spark.conf.set(_MODE_KEY, "dynamic")
+    try:
+        return _run_extract_waves(
+            spark, input_path, output_path, n_buckets, salt_span,
+            partitions, resume, bucket_batch, files_per_bucket, dedup_texts)
+    finally:
+        spark.conf.set(_MODE_KEY, prev_mode or "static")
 
+
+def _run_extract_waves(spark, input_path, output_path, n_buckets, salt_span,
+                       partitions, resume, bucket_batch, files_per_bucket,
+                       dedup_texts) -> dict:
     df_all = read_transcripts(spark, input_path)
 
     mio = _ManifestIO(spark, output_path)
     done = load_manifest(output_path, spark=spark,
                          expect_input_path=input_path,
                          expect_n_buckets=n_buckets) if resume else {}
+    # Purge bucket dirs/manifests not certified by `done` BEFORE processing:
+    # an incompatible prior run (different input_path / n_buckets) or a
+    # non-resume rerun leaves data dirs dynamic overwrite never clears,
+    # silently corrupting the combined dataset (ADVICE r2).
+    stale = mio.clean_stale(keep=set(done))
     missing = [b for b in range(n_buckets) if b not in done]
     if not missing:
-        return {"skipped": True, "completed_buckets": len(done)}
+        return {"skipped": True, "completed_buckets": len(done),
+                "stale_buckets_removed": len(stale)}
     if bucket_batch is None:
         bucket_batch = max(8, len(missing) // 4)
 
@@ -339,7 +427,8 @@ def run_extract(spark: SparkSession, input_path: str, output_path: str,
 
     totals = {"input_rows": 0, "input_bytes": 0, "output_rows": 0,
               "ok_rows": 0, "error_rows": 0, "buckets_written": 0,
-              "resumed_buckets_skipped": len(done), "waves": 0}
+              "resumed_buckets_skipped": len(done), "waves": 0,
+              "stale_buckets_removed": len(stale)}
 
     for w in range(0, len(missing), bucket_batch):
         wave = missing[w:w + bucket_batch]

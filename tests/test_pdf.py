@@ -115,6 +115,31 @@ def test_embedded_endobj_bytes_in_stream_are_harmless():
     assert r["text"] == "first second"
 
 
+def test_long_stream_dict_keeps_filter():
+    """A stream dict longer than 2KB (e.g. huge /Metadata blobs between
+    'obj' and 'stream') must still surface /Filter and /Length: the old
+    2048-byte backscan cap dropped them, scanning flate bytes as raw text
+    operators and emitting garbage with ok=true (ADVICE r2)."""
+    content = zlib.compress(b"BT (long dict survives) Tj ET")
+    padding = b"/Pad (" + b"x" * 4096 + b") "
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< " + padding +
+           b"/Length " + str(len(content)).encode() +
+           b" /Filter /FlateDecode >>\nstream\n" + content +
+           b"\nendstream\nendobj\n")
+    r = extract_pdf_text(pdf)
+    assert r["ok"] and r["text"] == "long dict survives"
+
+
+def test_length_regex_is_portable_and_exact():
+    """_LENGTH_RE must compile without py3.11-only possessive quantifiers
+    (it must import on any executor Python) and still reject indirect
+    references without backtracking into their digits (ADVICE r2)."""
+    from snacktory_spark.pdf import _LENGTH_RE
+    assert _LENGTH_RE.search(b"/Length 100 0 R") is None
+    assert _LENGTH_RE.search(b"/Length 1024 /Filter").group(1) == b"1024"
+    assert _LENGTH_RE.search(b"/Length 7\n>>").group(1) == b"7"
+
+
 def test_decompression_bomb_stream_skipped():
     """A stream inflating past MAX_INFLATED is skipped, not inflated."""
     from snacktory_spark.pdf import MAX_INFLATED

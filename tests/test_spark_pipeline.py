@@ -123,6 +123,17 @@ def test_manifest_hadoop_fs_branch(spark, synth_dir, tmp_path):
                and r["first_input_file"] for r in nonempty)
     m2 = run_extract(spark, f"{synth_dir}/transcripts.parquet", out, n_buckets=4)
     assert m2.get("skipped") is True
+    # stale-purge must also work through the Hadoop FS branch: a 2-bucket
+    # rerun into the same file: dir removes bucket=2..3 data AND manifests
+    m3 = run_extract(spark, f"{synth_dir}/transcripts.parquet", out, n_buckets=2)
+    assert m3["stale_buckets_removed"] >= 2
+    local = tmp_path / "out_hfs"
+    on_disk = {d for d in os.listdir(local) if d.startswith("bucket=")}
+    assert on_disk == {"bucket=0", "bucket=1"}
+    visible = sorted(n for n in os.listdir(mdir)
+                     if n.endswith(".json") and not n.startswith("."))
+    assert visible == ["bucket-00000.json", "bucket-00001.json"]
+    assert spark.read.parquet(out).count() == m3["output_rows"]
 
 
 def test_manifest_mismatch_forces_rerun(spark, synth_dir, tmp_path):
@@ -140,6 +151,45 @@ def test_manifest_mismatch_forces_rerun(spark, synth_dir, tmp_path):
     assert len(load_manifest(out, expect_n_buckets=8)) == 8
     # different input path: nothing may be skipped either
     assert load_manifest(out, expect_input_path="other/input.parquet") == {}
+
+
+def test_mismatch_rerun_purges_stale_buckets(spark, synth_dir, tmp_path):
+    """An 8-bucket run followed by a 2-bucket rerun into the SAME dir must
+    not leave bucket=2..7 dirs behind: dynamic partition overwrite only
+    clears partitions the new run writes, so stale dirs silently corrupt
+    the on-disk dataset vs the manifest totals (ADVICE r2)."""
+    import os
+    from snacktory_spark.pipeline.extract_job import run_extract
+
+    src = f"{synth_dir}/transcripts.parquet"
+    out = str(tmp_path / "out_stale")
+    run_extract(spark, src, out, n_buckets=8)
+    m = run_extract(spark, src, out, n_buckets=2)
+    assert m["stale_buckets_removed"] >= 6  # at least old buckets 2..7
+    on_disk = {d for d in os.listdir(out) if d.startswith("bucket=")}
+    assert on_disk == {"bucket=0", "bucket=1"}
+    # on-disk rows must equal what the manifest reports — the exact
+    # corruption ADVICE r2 measured (239 on disk vs 125 in the manifest)
+    disk_rows = spark.read.parquet(out).count()
+    assert disk_rows == m["output_rows"]
+    # an already-complete compatible resume still reports clean state
+    m2 = run_extract(spark, src, out, n_buckets=2)
+    assert m2["skipped"] is True and m2["stale_buckets_removed"] == 0
+
+
+def test_run_extract_restores_overwrite_mode(spark, synth_dir, tmp_path):
+    """run_extract must not leak partitionOverwriteMode=dynamic into the
+    caller's session (ADVICE r2)."""
+    from snacktory_spark.pipeline.extract_job import run_extract
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.set(key, "static")
+    try:
+        run_extract(spark, f"{synth_dir}/transcripts.parquet",
+                    str(tmp_path / "out_mode"), n_buckets=2)
+        assert spark.conf.get(key).lower() == "static"
+    finally:
+        spark.conf.unset(key)
 
 
 def test_extract_udf_scalar(spark):
