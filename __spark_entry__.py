@@ -435,6 +435,80 @@ def q_image_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pixels_match boolean")
 
 
+def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal JPEG decode (REAL baseline codec, snacktory_spark.jpeg):
+    per document, derive a deterministic smooth RGB gradient seeded by the
+    text's sha256, encode it as a real baseline JPEG (per-doc varying
+    dims, quality 85-95, 4:4:4/4:2:0, restart intervals), decode it back
+    in a second Arrow stage, and verify dims match exactly and pixels
+    within the lossy-codec tolerance. Narrow maps over a binary column —
+    no shuffle; the codec is cross-validated against Java ImageIO in
+    tests/test_jpeg.py."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import pandas as pd
+    from snacktory_spark.pipeline.extract_job import ensure_py_files
+
+    ensure_py_files(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def _pixels(doc_id, text):
+        import hashlib
+        import numpy as np
+        w = 8 + (int(doc_id) % 3) * 4
+        h = 8 + (int(doc_id) % 2) * 8
+        d = hashlib.sha256((text or "").encode("utf-8")).digest()
+        base = np.array(list(d[:3]), dtype=float) * 0.35 + 48.0
+        gx = np.linspace(0.0, 96.0, w)
+        gy = np.linspace(0.0, 64.0, h)
+        img = base[None, None, :] + gx[None, :, None] + gy[:, None, None]
+        return w, h, np.clip(img, 0, 255).astype(np.uint8)
+
+    def to_jpeg(batches):
+        from snacktory_spark.jpeg import encode_jpeg
+        for pdf in batches:
+            payloads = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                w, h, img = _pixels(doc_id, t)
+                payloads.append(encode_jpeg(
+                    img.tobytes(), w, h, 3,
+                    quality=85 + (int(doc_id) % 3) * 5,
+                    subsample=bool(int(doc_id) % 2),
+                    restart_interval=int(doc_id) % 3))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads,
+                                "text": pdf["text"]})
+
+    def decode(batches):
+        import numpy as np
+        from snacktory_spark.imaging import sniff_decode
+        for pdf in batches:
+            ok, ws, hs, cs = [], [], [], []
+            for doc_id, payload, t in zip(pdf["doc_id"], pdf["payload"],
+                                          pdf["text"]):
+                w, h, c, px = sniff_decode(bytes(payload))
+                ew, eh, want = _pixels(doc_id, t)
+                got = np.frombuffer(px, dtype=np.uint8)
+                # 24 covers worst-case 4:2:0 chroma edge loss on smooth
+                # gradients (measured 18 across sf0.01); a mis-decode is
+                # off by >100
+                err_ok = (got.size == want.size and
+                          int(np.abs(got.astype(int)
+                                     - want.reshape(-1).astype(int)).max())
+                          <= 24)
+                ok.append((w, h, c) == (ew, eh, 3) and err_ok)
+                ws.append(w); hs.append(h); cs.append(c)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "width": pd.Series(ws, dtype="int32"),
+                                "height": pd.Series(hs, dtype="int32"),
+                                "channels": pd.Series(cs, dtype="int32"),
+                                "jpeg_ok": ok})
+
+    jpg = docs.mapInPandas(to_jpeg, "doc_id long, payload binary, text string")
+    return jpg.mapInPandas(
+        decode, "doc_id long, width int, height int, channels int, "
+                "jpeg_ok boolean")
+
+
 def q_role_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level aggregation (ROLLUP): turn counts + chars by
     (role, is_htmlish) with subtotals and a grand total — the reporting
@@ -782,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_length_quantiles": q_turn_length_quantiles,
         "role_lang_rollup": q_role_lang_rollup,
         "image_roundtrip": q_image_roundtrip,
+        "jpeg_roundtrip": q_jpeg_roundtrip,
         "ivf_assign": q_ivf_assign,
         "conv_flatten": q_conv_flatten,
         "doc_bpe_fingerprint": q_doc_bpe_fingerprint,
@@ -1010,6 +1085,15 @@ def oracle_sql() -> dict[str, str]:
         "image_roundtrip": """
             SELECT doc_id, 8::INT AS width, 8::INT AS height,
                    3::INT AS channels, true AS pixels_match
+            FROM documents
+        """,
+        # JPEG is lossy: dims are exact, pixels within codec tolerance —
+        # both folded into jpeg_ok, true for every document by construction
+        "jpeg_roundtrip": """
+            SELECT doc_id,
+                   (8 + (doc_id % 3) * 4)::INT AS width,
+                   (8 + (doc_id % 2) * 8)::INT AS height,
+                   3::INT AS channels, true AS jpeg_ok
             FROM documents
         """,
         "role_lang_rollup": f"""

@@ -4,9 +4,9 @@ The container ships no PIL/ffmpeg, but PNG's critical path needs nothing
 beyond zlib: this module implements a real encoder/decoder for
 non-interlaced 8-bit PNG (color types 0 grayscale / 2 RGB / 6 RGBA, all
 five scanline filters) plus binary PPM (P6), nearest-neighbor resize, and
-per-channel feature extraction. JPEG/video/audio remain stubbed in
-multimodal.py (DCT/codec work genuinely needs native libs); PNG/PPM decode
-is REAL and tested round-trip.
+per-channel feature extraction. Baseline JPEG is REAL too — see
+snacktory_spark.jpeg (numpy DCT + pure-python Huffman, cross-validated
+against Java ImageIO); video/audio remain stubbed in multimodal.py.
 
 PNG format per the public spec (RFC 2083): 8-byte signature, chunked
 layout (IHDR/IDAT/IEND + CRC32), IDAT = zlib-compressed scanlines, each
@@ -208,11 +208,15 @@ def sniff_decode(data: bytes) -> tuple[int, int, int, bytes]:
             return decode_png(data)
         if data.startswith(b"P6"):
             return decode_ppm(data)
+        if data.startswith(b"\xFF\xD8"):
+            from .jpeg import decode_jpeg  # lazy: needs numpy
+            return decode_jpeg(data)
     except ImageError:
         raise
-    except (ValueError, struct.error, OverflowError, MemoryError) as e:
+    except (ValueError, struct.error, OverflowError, MemoryError,
+            IndexError) as e:
         raise ImageError(f"malformed image: {type(e).__name__}: {e}") from None
-    raise ImageError("unsupported image format (supported: PNG, PPM/P6)")
+    raise ImageError("unsupported image format (supported: PNG, JPEG, PPM/P6)")
 
 
 def resize_nearest(pixels: bytes, width: int, height: int, channels: int,

@@ -5,10 +5,13 @@ metadata struct; decode / feature-extraction / resize / frame-sampling run
 as Arrow-batched mapInPandas stages.
 
 Decode reality in this container (no PIL/ffmpeg):
-- **image: REAL for PNG and PPM/P6** via `snacktory_spark.imaging` (pure
-  python + stdlib zlib — full scanline-filter support, tested round-trip);
-  JPEG and other DCT codecs genuinely need native libs and fall back to the
-  deterministic fake (or NotImplementedError when fakes are disabled).
+- **image: REAL for PNG, baseline JPEG, and PPM/P6** — PNG/PPM via
+  `snacktory_spark.imaging` (pure python + stdlib zlib, full
+  scanline-filter support), JPEG via `snacktory_spark.jpeg` (baseline
+  sequential: Huffman entropy decode, numpy IDCT, 4:4:4/4:2:2/4:2:0,
+  restart markers; cross-validated against Java ImageIO both directions).
+  Progressive JPEG and exotic codecs fall back to the deterministic fake
+  (or NotImplementedError when fakes are disabled).
 - **pdf: REAL** via `snacktory_spark.pdf` (see extract_pdf_text_df below).
 - audio/video: stubbed — NotImplementedError by default,
   `deterministic_fake=True` yields a seeded content-derived feature vector
@@ -54,9 +57,10 @@ FEATURE_DIM = 16
 def decode_payload(payload: bytes, kind: str, deterministic_fake: bool = False):
     """Decode a media payload into a feature vector.
 
-    Images in a supported codec (PNG, PPM) are REALLY decoded: per-channel
-    mean/std + a 4x4 grayscale thumbnail (snacktory_spark.imaging). Other
-    kinds/codecs need native libs this container lacks: with
+    Images in a supported codec (PNG, baseline JPEG, PPM) are REALLY
+    decoded: per-channel mean/std + a 4x4 grayscale thumbnail
+    (snacktory_spark.imaging / .jpeg). Other kinds/codecs need native
+    libs this container lacks: with
     deterministic_fake=True they yield a seeded content-derived pseudo
     feature (plumbing tests); otherwise NotImplementedError.
     """
@@ -66,7 +70,7 @@ def decode_payload(payload: bytes, kind: str, deterministic_fake: bool = False):
             w, h, c, px = sniff_decode(payload)
             return np.asarray(image_features(px, w, h, c), dtype=np.float32)
         except ImageError:
-            pass  # unsupported codec (e.g. JPEG) → stub path below
+            pass  # unsupported codec (e.g. progressive JPEG) → stub below
     if not deterministic_fake:
         raise NotImplementedError(
             f"decode for kind={kind!r} in this codec requires media libs "
@@ -114,16 +118,23 @@ def make_fake_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
     import random
     rng = random.Random(seed)
     from .imaging import encode_png
+    from .jpeg import encode_jpeg
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
         if kind == "image":
-            # REAL decodable payload: a small random RGB PNG
+            # REAL decodable payload: alternate small random RGB PNGs and
+            # baseline JPEGs (the two codecs a web corpus is made of)
             w, h = rng.randint(4, 12), rng.randint(4, 12)
             px = bytes(rng.getrandbits(8) for _ in range(w * h * 3))
-            rows.append((f"m-{i:05d}", "image", "image/png",
-                         w, h, None, encode_png(px, w, h, 3)))
+            if (i // 3) % 2:
+                rows.append((f"m-{i:05d}", "image", "image/jpeg",
+                             w, h, None, encode_jpeg(px, w, h, 3,
+                                                     quality=92)))
+            else:
+                rows.append((f"m-{i:05d}", "image", "image/png",
+                             w, h, None, encode_png(px, w, h, 3)))
         else:
             payload = bytes(rng.getrandbits(8) for _ in range(rng.randint(64, 512)))
             rows.append((f"m-{i:05d}", kind, f"{kind}/fake", None, None,
