@@ -411,6 +411,24 @@ def test_kmeans_fit_separates_planted_clusters(spark):
     assert abs(cents[0][0] - 1.0) < 0.1 and abs(cents[1][0] + 1.0) < 0.1
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir mode (cluster fault tolerance, VERDICT r2): same
+    labels as the localCheckpoint default, and the iteration state really
+    lands in the reliable directory."""
+    import os
+    from snacktory_spark.textops import connected_components
+
+    pairs = [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    ckdir = str(tmp_path / "cc_ck")
+    got = {r["doc_id"]: r["component"]
+           for r in connected_components(df, checkpoint_dir=ckdir).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    # RDD checkpoint files were actually written to the reliable location
+    written = [os.path.join(dp, f) for dp, _, fs in os.walk(ckdir) for f in fs]
+    assert written, "no checkpoint state written to checkpoint_dir"
+
+
 def test_connected_components_nonconvergence_raises(spark):
     from snacktory_spark.textops import connected_components
     chain = [(i, i + 1) for i in range(5)]
