@@ -509,6 +509,58 @@ def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "jpeg_ok boolean")
 
 
+def q_streaming_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming oracled by BATCH EQUIVALENCE (VERDICT r2 item
+    7): the watermarked windowed aggregation (streaming_conv_stats) runs
+    with trigger=availableNow to a parquet sink, twice — the second pass
+    adds a far-future watermark sentinel row that closes every real
+    window, so append mode emits exactly the batch aggregation of the
+    input. The sentinel's own window stays open (watermark never passes
+    it), so the returned rows equal plain batch SQL over the transcripts
+    — which is the DuckDB oracle."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import sys
+    import tempfile
+    sys.path.insert(0, "/root/repo")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from snacktory_spark.pipeline.streaming import run_streaming_stats_once
+
+    sdir = _synth(sf_dir)
+    tmp = tempfile.mkdtemp(prefix="stream_cs_")
+    in_dir = os.path.join(tmp, "in")
+    out_dir = os.path.join(tmp, "out")
+    ck = os.path.join(tmp, "ck")
+    os.makedirs(in_dir)
+    src = f"{sdir}/transcripts.parquet"
+    parts = sorted(glob.glob(os.path.join(src, "*.parquet"))) \
+        if os.path.isdir(src) else [src]
+    for i, p in enumerate(parts):
+        shutil.copy(p, os.path.join(in_dir, f"part-{i:05d}.parquet"))
+    if not run_streaming_stats_once(spark, in_dir, out_dir, ck):
+        raise RuntimeError("streaming pass 1 did not terminate")
+    sentinel = pa.table({
+        "conv_id": pa.array(["__wm_sentinel__"], pa.string()),
+        "turn_idx": pa.array([0], pa.int32()),
+        "role": pa.array(["user"], pa.string()),
+        "text": pa.array(["watermark sentinel"], pa.string()),
+        "tool": pa.array([""], pa.string()),
+        "ts": pa.array([dt.datetime(2030, 1, 1,
+                                    tzinfo=dt.timezone.utc)],
+                       pa.timestamp("us", tz="UTC")),
+    })
+    pq.write_table(sentinel, os.path.join(in_dir, "part-sentinel.parquet"))
+    if not run_streaming_stats_once(spark, in_dir, out_dir, ck):
+        raise RuntimeError("streaming pass 2 did not terminate")
+    return (spark.read.parquet(out_dir)
+            .filter(F.col("conv_id") != "__wm_sentinel__")
+            .select("win_start", "conv_id", "n_turns", "total_chars"))
+
+
 def q_role_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level aggregation (ROLLUP): turn counts + chars by
     (role, is_htmlish) with subtotals and a grand total — the reporting
@@ -855,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_roundtrip": q_pdf_roundtrip,
         "turn_length_quantiles": q_turn_length_quantiles,
         "role_lang_rollup": q_role_lang_rollup,
+        "streaming_conv_stats": q_streaming_conv_stats,
         "image_roundtrip": q_image_roundtrip,
         "jpeg_roundtrip": q_jpeg_roundtrip,
         "ivf_assign": q_ivf_assign,
@@ -1095,6 +1148,15 @@ def oracle_sql() -> dict[str, str]:
                    (8 + (doc_id % 2) * 8)::INT AS height,
                    3::INT AS channels, true AS jpeg_ok
             FROM documents
+        """,
+        # streaming availableNow + watermark sentinel == plain batch agg
+        # (hour windows are epoch-aligned, so date_trunc matches F.window)
+        "streaming_conv_stats": f"""
+            SELECT date_trunc('hour', ts)::TIMESTAMP AS win_start, conv_id,
+                   count(*) AS n_turns,
+                   sum(length(text))::BIGINT AS total_chars
+            FROM {tr}
+            GROUP BY 1, 2
         """,
         "role_lang_rollup": f"""
             SELECT role, regexp_matches(text, '<[a-zA-Z!]') AS is_htmlish,

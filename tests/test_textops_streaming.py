@@ -411,6 +411,35 @@ def test_kmeans_fit_separates_planted_clusters(spark):
     assert abs(cents[0][0] - 1.0) < 0.1 and abs(cents[1][0] + 1.0) < 0.1
 
 
+def test_minhash_production_params_recall(spark):
+    """Production-parameter LSH (128 hashes / 32 bands, r=4) must recover
+    essentially all true near-dup pairs at j>=0.7 on a seeded corpus —
+    the parameterization documented in textops.minhash_signature actually
+    delivers (VERDICT r2 item 6; full table in BENCH/minhash_recall.md)."""
+    import sys
+    sys.path.insert(0, "/root/repo/scripts")
+    from minhash_recall import build_corpus, ground_truth
+    from snacktory_spark.textops import lsh_candidate_pairs
+
+    rows = build_corpus(n_base=60, seed=7)
+    truth = ground_truth(rows)
+    high = {p for p, j in truth.items() if j >= 0.7}
+    assert len(high) >= 20, "corpus must plant enough high-j pairs"
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = {(r["doc_a"], r["doc_b"])
+             for r in lsh_candidate_pairs(docs, n_hashes=128,
+                                          n_bands=32).collect()}
+    recall = len(high & cands) / len(high)
+    assert recall >= 0.95
+    # and the curve is steeper than the demo config in the mid band
+    mid = {p for p, j in truth.items() if 0.5 <= j < 0.7}
+    if mid:
+        demo = {(r["doc_a"], r["doc_b"])
+                for r in lsh_candidate_pairs(docs, n_hashes=8,
+                                             n_bands=4).collect()}
+        assert len(mid & cands) >= len(mid & demo)
+
+
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
     """checkpoint_dir mode (cluster fault tolerance, VERDICT r2): same
     labels as the localCheckpoint default, and the iteration state really
