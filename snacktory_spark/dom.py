@@ -474,6 +474,22 @@ _AFTERHEAD_TO_HEAD = frozenset(
     "base basefont bgsound link meta noframes script style title".split())
 
 
+# start tags whose HTML5 InBody branch does NOT "reconstruct the active
+# formatting elements" (block/structural/table/head-ish); everything else
+# (phrasing, img/br/input, unknown tags) reconstructs before insertion
+_NO_RECONSTRUCT_TAGS = frozenset({
+    "address", "article", "aside", "blockquote", "center", "details",
+    "dialog", "dir", "div", "dl", "fieldset", "figcaption", "figure",
+    "footer", "header", "hgroup", "main", "menu", "nav", "ol", "p",
+    "section", "summary", "ul", "h1", "h2", "h3", "h4", "h5", "h6",
+    "pre", "listing", "form", "li", "dd", "dt", "plaintext", "table",
+    "hr", "textarea", "iframe", "noembed", "noframes", "script", "style",
+    "title", "noscript", "colgroup", "col", "caption", "thead", "tbody",
+    "tfoot", "tr", "td", "th", "frameset", "frame", "base", "basefont",
+    "bgsound", "link", "meta",
+})
+
+
 class _TreeBuilder(HTMLParser):
     # HTML5 rawtext elements: contents are tokenized as text, never as child
     # elements (html.parser only does script/style by default; jsoup follows
@@ -492,6 +508,16 @@ class _TreeBuilder(HTMLParser):
         self.state = "head"  # head | afterhead | body
         # open-element stack; parents for new nodes
         self.stack: list[Element] = []
+        # active-formatting <a> (HTML5 12.2.6.3, restricted to `a`): an
+        # unclosed <a> popped implicitly (ancestor closed first) stays
+        # "active" and is RECONSTRUCTED — cloned around subsequent
+        # character/phrasing insertions — until an explicit </a> or the
+        # next <a> start tag removes it. jsoup (the reference's parser)
+        # implements the full algorithm; `a` is the one formatting element
+        # whose reconstruction changes extraction output (link lists) —
+        # reference testMaCNN's malformed `</a</li>` depends on it.
+        self.active_a: dict | None = None   # attrs of the active <a>
+        self.open_a: Element | None = None  # its currently-open element
 
     # current insertion point
     def _top(self) -> Element:
@@ -514,6 +540,7 @@ class _TreeBuilder(HTMLParser):
                     target.attrs[k] = v if v is not None else ""
             if tag == "body":
                 self.state = "body"
+                self._note_popped(self.stack)
                 self.stack = []
             return
 
@@ -530,6 +557,17 @@ class _TreeBuilder(HTMLParser):
 
         self._implied_end(tag)
 
+        if tag == "a" and self.active_a is not None:
+            # HTML5 "a start tag with an a in the formatting list": act as
+            # if </a> was seen (adoption-agency-lite), then insert fresh
+            if self.open_a is not None and self.open_a in self.stack:
+                del self.stack[self.stack.index(self.open_a):]
+            self.active_a = None
+            self.open_a = None
+        elif (self.active_a is not None and parent is None
+              and tag not in _NO_RECONSTRUCT_TAGS):
+            self._reconstruct_a()
+
         adict = {}
         for k, v in attrs:
             k = k.lower()
@@ -540,6 +578,26 @@ class _TreeBuilder(HTMLParser):
 
         if tag not in VOID_TAGS and not self_closing:
             self.stack.append(el)
+            if tag == "a":
+                self.active_a = adict
+                self.open_a = el
+
+    def _reconstruct_a(self):
+        """Re-open a clone of the active <a> at the insertion point if it
+        was implicitly popped (HTML5 'reconstruct the active formatting
+        elements', restricted to a)."""
+        if self.active_a is None or self.open_a is not None:
+            return
+        if self.state != "body" and not self.stack:
+            return
+        el = Element("a", dict(self.active_a), None, self.doc)
+        self._top().append_child(el)
+        self.stack.append(el)
+        self.open_a = el
+
+    def _note_popped(self, removed):
+        if self.open_a is not None and self.open_a in removed:
+            self.open_a = None  # stays active -> reconstruction armed
 
     def _implied_end(self, tag):
         """Close elements implied-closed by the incoming start tag."""
@@ -567,6 +625,7 @@ class _TreeBuilder(HTMLParser):
         for i in range(len(self.stack) - 1, -1, -1):
             t = self.stack[i].tag
             if t == tag:
+                self._note_popped(self.stack[i:])
                 del self.stack[i:]
                 return
             if t in stop_at:
@@ -574,16 +633,27 @@ class _TreeBuilder(HTMLParser):
 
     def handle_endtag(self, tag):
         if tag in ("html", "head", "body"):
+            self._note_popped(self.stack)
             self.stack = []
             if tag == "head" and self.state == "head":
                 self.state = "afterhead"
             elif tag == "body":
                 self.state = "body"
             return
+        if tag == "a":
+            # explicit </a> (matched or not) removes the active formatting
+            # entry — an already-popped <a> stops reconstructing (HTML5
+            # adoption agency's not-in-open-stack branch)
+            self.active_a = None
         for i in range(len(self.stack) - 1, -1, -1):
             if self.stack[i].tag == tag:
+                self._note_popped(self.stack[i:])
                 del self.stack[i:]
+                if tag == "a":
+                    self.open_a = None
                 return
+        if tag == "a":
+            self.open_a = None
         # unmatched end tag: ignore
 
     def handle_data(self, data):
@@ -592,6 +662,7 @@ class _TreeBuilder(HTMLParser):
                 self.state = "body"
             else:
                 return
+        self._reconstruct_a()
         top = self._top()
         # merge adjacent text nodes
         if top.child_nodes and isinstance(top.child_nodes[-1], TextNode):

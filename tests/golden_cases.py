@@ -133,13 +133,14 @@ GOLDEN_CASES = [
     },
 ]
 
-# Fixtures whose reference assertions our implementation does not yet meet,
-# with the diagnosed cause. These are candidates to fix in later rounds.
-# (Status as of scripts/golden_report.json: 295/300 auto-ported reference
-# tests pass; 1114/1120 assertions.)
+# Fixtures whose reference assertions our implementation does not meet,
+# with the diagnosed cause. Both remaining entries are reference-REPO bugs
+# (missing/mismatched fixtures), not implementation divergences.
+# (Status as of scripts/golden_report.json: 295/297 auto-ported reference
+# tests pass; 1250/1253 assertions. testMaCNN was closed in round 3 by
+# implementing HTML5 active-formatting reconstruction for <a> in dom.py.)
 KNOWN_DIVERGENCES: dict[str, str] = {
     "testCanonical6": "fixture cio.com_no_canonical missing from reference repo",
-    "testMaCNN": "links_count 13 vs 17 (implied-close tree difference)",
     "testWayFair": ("expected text ('As the centerpiece of any dining room…') "
                     "is absent from the shipped fixture in any encoding "
                     "(raw/entity/json-unescaped) — fixture/test mismatch in "
