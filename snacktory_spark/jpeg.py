@@ -239,7 +239,19 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     """→ (width, height, channels, raw row-major samples).
 
     channels is 1 (grayscale) or 3 (RGB). Raises ImageError on anything
-    outside 8-bit baseline/extended-sequential Huffman JPEG."""
+    outside 8-bit baseline/extended-sequential Huffman JPEG — hostile
+    input contract: never any other exception type."""
+    try:
+        return _decode_jpeg(data)
+    except ImageError:
+        raise
+    except (ValueError, IndexError, struct.error, OverflowError,
+            MemoryError) as e:
+        raise ImageError(
+            f"malformed JPEG: {type(e).__name__}: {e}") from None
+
+
+def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     if len(data) < 4 or data[0:2] != b"\xFF\xD8":
         raise ImageError("not a JPEG (no SOI)")
     pos = 2
@@ -299,6 +311,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 raise ImageError(f"{nc}-component JPEG not supported")
             if w == 0 or h == 0 or w * h > MAX_PIXELS:
                 raise ImageError("image dimensions out of bounds")
+            if len(seg) < 6 + 3 * nc:
+                raise ImageError("truncated SOF component list")
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
@@ -327,6 +341,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
 
 def _decode_scan(data, pos, seg, frame, qt, huff, restart_interval):
     w, h, comps = frame
+    if not seg or len(seg) < 1 + 2 * seg[0]:
+        raise ImageError("truncated SOS header")
     ns = seg[0]
     if ns != len(comps):
         raise ImageError("partial/multi-scan files not supported")
@@ -543,8 +559,13 @@ def encode_jpeg(pixels: bytes, width: int, height: int, channels: int = 3,
         q = qlum if ci == 0 else qchrom
         blocks, nby, nbx = _plane_blocks(plane)
         coefs = _fdct_blocks(blocks - 128.0)
-        comp_blocks.append(np.round(coefs / q[None, :, :]).astype(np.int32)
-                           .reshape(nby, nbx, 8, 8))
+        quantized = np.round(coefs / q[None, :, :]).astype(np.int32)
+        # T.81 8-bit baseline bounds coefficients to 11 bits; with an
+        # all-ones quant table (quality=100) an adversarial block can
+        # quantize to 1025 — clamp like libjpeg's range limit, else the
+        # AC table (categories <= 10) has no code for it
+        np.clip(quantized, -1023, 1023, out=quantized)
+        comp_blocks.append(quantized.reshape(nby, nbx, 8, 8))
         comp_dims.append((nby, nbx))
 
     enc_dc_lum = {s: (c, ln) for s, c, ln in _build_codes(DC_LUM_BITS, DC_LUM_VALS)}

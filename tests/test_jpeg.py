@@ -71,6 +71,35 @@ def test_restart_intervals(ri):
     assert np.sqrt(((got - img.astype(float)) ** 2).mean()) < 6.0
 
 
+def test_quality_100_adversarial_pattern():
+    """quality=100 makes every quant value 1; an aligned cosine pattern
+    quantizes past +/-1023 without the libjpeg-style range clamp (review
+    finding: the AC table has no category 11 — unclamped this KeyErrored)."""
+    n = np.arange(8)
+    pat = np.sign(np.cos(np.pi * (2 * n + 1) * 4 / 16))
+    blk = (128 + 127 * np.outer(pat, pat)).astype(np.uint8)
+    img = np.stack([blk] * 3, axis=-1)
+    w, h, c, raw = decode_jpeg(encode_jpeg(img.tobytes(), 8, 8, 3, quality=100))
+    got = np.frombuffer(raw, dtype=np.uint8).reshape(8, 8, 3).astype(int)
+    assert np.abs(got - img.astype(int)).max() <= 24
+
+
+def test_corrupted_valid_file_never_leaks():
+    """Bit-flip fuzz over a valid file: ImageError or success only."""
+    import random
+    rng = random.Random(1)
+    base = bytearray(encode_jpeg(
+        np.full((16, 16, 3), 100, np.uint8).tobytes(), 16, 16, 3))
+    for _ in range(300):
+        b2 = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            b2[rng.randrange(len(b2))] = rng.getrandbits(8)
+        try:
+            decode_jpeg(bytes(b2))
+        except ImageError:
+            pass
+
+
 def test_sniff_decode_routes_jpeg():
     w, h = 8, 8
     img = _gradient(w, h)
