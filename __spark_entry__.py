@@ -738,6 +738,135 @@ def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters: per document, the
+    duplicate-2-gram fraction (1 - distinct/total) and the top-2-gram
+    fraction (most frequent 2-gram's share) — the standard signals for
+    dropping looping/boilerplate generations from a training corpus.
+    Shape: JVM-side gram arrays -> explode -> two partial+final hash aggs
+    (per-gram counts, then per-doc moments). Scales: both aggs combine
+    map-side."""
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = (docs.select("doc_id", toks.alias("toks"))
+            .filter(F.size("toks") >= 2))
+    grams = F.transform(F.sequence(F.lit(1), F.size("toks") - 1), _gram2_at)
+    g = base.select("doc_id", F.explode(grams).alias("gram"))
+    counts = g.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    return (counts.groupBy("doc_id")
+            .agg(F.sum("c").alias("n_grams"),
+                 F.count("*").alias("n_distinct"),
+                 F.max("c").alias("top_c"))
+            .select("doc_id", F.col("n_grams").cast("long").alias("n_grams"),
+                    F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_grams"),
+                            4).alias("dup_gram_frac"),
+                    F.round(F.col("top_c") / F.col("n_grams"), 4)
+                    .alias("top_gram_frac")))
+
+
+def _gram2_at(i):
+    """2-token gram at 1-based index i (module-level: no captures in HOF
+    lambdas)."""
+    from pyspark.sql import functions as F
+    return F.concat_ws(" ", F.slice("toks", i, 2))
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+1-555-\d{4}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (training-data hygiene op): regex redaction of
+    emails / phone numbers / IPs with typed placeholder tokens, plus
+    per-doc match counts. The synth corpus has no PII, so each doc gets a
+    deterministic doc_id-derived contact line appended first (same
+    construction in the oracle) — the regexes then do real work. Narrow
+    map, no shuffle; the regex dialect sticks to the Java/RE2 common
+    subset so engines agree."""
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seeded = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(seeded, _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE, "<PHONE>"),
+        _PII_IP, "<IP>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(seeded, F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(seeded, F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_count(seeded, F.lit(_PII_IP)).cast("long").alias("n_ips"),
+        F.length(red).cast("long").alias("redacted_len"),
+        F.substring(red, -34, 34).alias("redacted_tail"))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: per-language keep rates
+    (en 50%, others 20%) decided by a salted content-free md5 bucket —
+    stable across engines, reruns, and cluster sizes, independent of the
+    train/val/test split hash (different salt). Narrow map."""
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))),
+        1, 4), 16, 10).cast("long") % 1000
+    rate = F.when(F.col("lang") == "en", 500).otherwise(200)
+    return (docs.filter(h < rate)
+            .select("doc_id", "lang", h.cast("long").alias("bucket")))
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style passage-level dedup: split each document into 3-token
+    chunks (stand-ins for lines/paragraphs — the synth corpus has no
+    newlines), keep only each chunk's FIRST occurrence corpus-wide
+    (ordered by doc_id then position), and reassemble documents from
+    their surviving chunks. One shuffle for the first-occurrence window
+    (hash-partitioned by chunk — uniform), one for the per-doc
+    reassembly. The standard shape for line-dedup over a web corpus."""
+    from pyspark.sql import Window, functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = (docs.filter(F.length("text") > 0)
+            .select("doc_id", toks.alias("toks")))
+    n_chunks = F.floor((F.size("toks") + 2) / 3).cast("int")
+    chunks = F.transform(F.sequence(F.lit(0), n_chunks - 1), _chunk3_at)
+    pos = base.select("doc_id", F.posexplode(chunks).alias("pos", "chunk"))
+    w = Window.partitionBy("chunk").orderBy("doc_id", "pos")
+    keep = (pos.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1))
+    agg = (keep.groupBy("doc_id")
+           .agg(F.count("*").alias("n_kept"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("pos", "chunk"))),
+                        _chunk_field),
+                    " ").alias("dedup_text")))
+    return (base.select("doc_id")
+            .join(agg, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept"),
+                    F.coalesce("dedup_text", F.lit("")).alias("dedup_text")))
+
+
+def _chunk3_at(i):
+    """3-token chunk at 0-based chunk index i (no captures in HOF lambdas)."""
+    from pyspark.sql import functions as F
+    return F.concat_ws(" ", F.slice("toks", i * 3 + 1, 3))
+
+
+def _chunk_field(x):
+    return x["chunk"]
+
+
 def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster labeling: MinHash/LSH candidates verified at
     Jaccard ≥ 0.5, then connected components via iterative min-label
@@ -904,6 +1033,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split": q_train_split,
         "decontaminate": q_decontaminate,
         "token_pack": q_token_pack,
+        "doc_repetition": q_doc_repetition,
+        "pii_redact": q_pii_redact,
+        "stratified_sample": q_stratified_sample,
+        "chunk_dedup": q_chunk_dedup,
         "pdf_roundtrip": q_pdf_roundtrip,
         "turn_length_quantiles": q_turn_length_quantiles,
         "role_lang_rollup": q_role_lang_rollup,
@@ -1074,6 +1207,95 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(list_has_any(t.doc_grams, b.grams), false)
                        AS contaminated
             FROM t CROSS JOIN bench b
+        """,
+        "doc_repetition": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                FROM documents),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, len(t)),
+                           i -> array_to_string(list_slice(t, i, i + 1),
+                                                ' '))) AS gram
+                FROM toks WHERE len(t) >= 2),
+            counts AS (
+                SELECT doc_id, gram, count(*) AS c
+                FROM grams GROUP BY doc_id, gram)
+            SELECT doc_id, sum(c)::BIGINT AS n_grams,
+                   round(1.0 - count(*) / sum(c), 4) AS dup_gram_frac,
+                   round(max(c) / sum(c), 4) AS top_gram_frac
+            FROM counts GROUP BY doc_id
+        """,
+        "pii_redact": r"""
+            WITH seeded AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id::VARCHAR ||
+                       '@example.com or +1-555-' ||
+                       lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+                       ' ip 10.' || (doc_id % 256)::VARCHAR || '.0.1' AS s
+                FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(s,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+                       AS n_emails,
+                   len(regexp_extract_all(s, '\+1-555-\d{4}'))::BIGINT
+                       AS n_phones,
+                   len(regexp_extract_all(s,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT
+                       AS n_ips,
+                   length(regexp_replace(regexp_replace(regexp_replace(s,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\+1-555-\d{4}', '<PHONE>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>',
+                       'g'))::BIGINT AS redacted_len,
+                   right(regexp_replace(regexp_replace(regexp_replace(s,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\+1-555-\d{4}', '<PHONE>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>',
+                       'g'), 34) AS redacted_tail
+            FROM seeded
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang,
+                   ('0x' || substring(md5('strat:' || doc_id::VARCHAR),
+                                      1, 4))::BIGINT % 1000 AS bucket
+            FROM documents
+            WHERE ('0x' || substring(md5('strat:' || doc_id::VARCHAR),
+                                     1, 4))::BIGINT % 1000
+                  < CASE WHEN lang = 'en' THEN 500 ELSE 200 END
+        """,
+        "chunk_dedup": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                FROM documents WHERE length(text) > 0),
+            chunked AS (
+                SELECT doc_id,
+                       list_transform(range(0, (len(t) + 2) // 3),
+                           i -> array_to_string(
+                                    list_slice(t, i * 3 + 1, i * 3 + 3),
+                                    ' ')) AS ch
+                FROM toks),
+            chunks AS (
+                SELECT doc_id, unnest(range(len(ch))) AS pos,
+                       unnest(ch) AS chunk
+                FROM chunked),
+            keep AS (
+                SELECT doc_id, pos, chunk,
+                       row_number() OVER (PARTITION BY chunk
+                                          ORDER BY doc_id, pos) AS rn
+                FROM chunks),
+            agg AS (
+                SELECT doc_id, count(*) AS n_kept,
+                       string_agg(chunk, ' ' ORDER BY pos) AS dedup_text
+                FROM keep WHERE rn = 1 GROUP BY doc_id)
+            SELECT t.doc_id, coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+                   coalesce(a.dedup_text, '') AS dedup_text
+            FROM toks t LEFT JOIN agg a USING (doc_id)
         """,
         "token_pack": r"""
             SELECT doc_id,

@@ -119,6 +119,22 @@ def main():
                      "then partial+final hash agg. No nested-loop join, no "
                      "per-document substring scans."))
 
+    # 13. chunk_dedup: first-occurrence window — WindowGroupLimit applies
+    # partial top-1 per chunk BEFORE the exchange (map-side prune)
+    sections.append(("chunk_dedup (CCNet-style passage dedup)",
+                     plan_of(em.q_chunk_dedup(spark, SF_DIR)),
+                     "Sort+WindowGroupLimit partial/final around one "
+                     "chunk-hash exchange (first occurrence pruned "
+                     "map-side), ObjectHashAggregate reassembly, broadcast "
+                     "join back to the doc list."))
+
+    # 14. doc_repetition: two-level agg, both with partial combine
+    sections.append(("doc_repetition (Gopher repetition filters)",
+                     plan_of(em.q_doc_repetition(spark, SF_DIR)),
+                     "Generate(explode) -> partial+final HashAggregate on "
+                     "(doc_id, gram) -> partial+final HashAggregate on "
+                     "doc_id. No joins, no windows."))
+
     with open("/root/repo/BENCH/PLANS.md", "w") as f:
         f.write("# Physical plans of the headline queries\n\n"
                 "Generated by scripts/explain_plans.py (local[4], AQE on).\n")
