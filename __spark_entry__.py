@@ -532,33 +532,46 @@ def q_streaming_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sdir = _synth(sf_dir)
     tmp = tempfile.mkdtemp(prefix="stream_cs_")
-    in_dir = os.path.join(tmp, "in")
-    out_dir = os.path.join(tmp, "out")
-    ck = os.path.join(tmp, "ck")
-    os.makedirs(in_dir)
-    src = f"{sdir}/transcripts.parquet"
-    parts = sorted(glob.glob(os.path.join(src, "*.parquet"))) \
-        if os.path.isdir(src) else [src]
-    for i, p in enumerate(parts):
-        shutil.copy(p, os.path.join(in_dir, f"part-{i:05d}.parquet"))
-    if not run_streaming_stats_once(spark, in_dir, out_dir, ck):
-        raise RuntimeError("streaming pass 1 did not terminate")
-    sentinel = pa.table({
-        "conv_id": pa.array(["__wm_sentinel__"], pa.string()),
-        "turn_idx": pa.array([0], pa.int32()),
-        "role": pa.array(["user"], pa.string()),
-        "text": pa.array(["watermark sentinel"], pa.string()),
-        "tool": pa.array([""], pa.string()),
-        "ts": pa.array([dt.datetime(2030, 1, 1,
-                                    tzinfo=dt.timezone.utc)],
-                       pa.timestamp("us", tz="UTC")),
-    })
-    pq.write_table(sentinel, os.path.join(in_dir, "part-sentinel.parquet"))
-    if not run_streaming_stats_once(spark, in_dir, out_dir, ck):
-        raise RuntimeError("streaming pass 2 did not terminate")
-    return (spark.read.parquet(out_dir)
-            .filter(F.col("conv_id") != "__wm_sentinel__")
-            .select("win_start", "conv_id", "n_turns", "total_chars"))
+    try:
+        in_dir = os.path.join(tmp, "in")
+        out_dir = os.path.join(tmp, "out")
+        ck = os.path.join(tmp, "ck")
+        os.makedirs(in_dir)
+        src = f"{sdir}/transcripts.parquet"
+        parts = sorted(glob.glob(os.path.join(src, "*.parquet"))) \
+            if os.path.isdir(src) else [src]
+        for i, p in enumerate(parts):
+            shutil.copy(p, os.path.join(in_dir, f"part-{i:05d}.parquet"))
+        if not run_streaming_stats_once(spark, in_dir, out_dir, ck):
+            raise RuntimeError("streaming pass 1 did not terminate")
+        sentinel = pa.table({
+            "conv_id": pa.array(["__wm_sentinel__"], pa.string()),
+            "turn_idx": pa.array([0], pa.int32()),
+            "role": pa.array(["user"], pa.string()),
+            "text": pa.array(["watermark sentinel"], pa.string()),
+            "tool": pa.array([""], pa.string()),
+            "ts": pa.array([dt.datetime(2030, 1, 1,
+                                        tzinfo=dt.timezone.utc)],
+                           pa.timestamp("us", tz="UTC")),
+        })
+        pq.write_table(sentinel, os.path.join(in_dir, "part-sentinel.parquet"))
+        if not run_streaming_stats_once(spark, in_dir, out_dir, ck):
+            raise RuntimeError("streaming pass 2 did not terminate")
+        # materialize the (small: one row per conv x hour window) result so
+        # the workspace — a full input copy + sink + checkpoint — can be
+        # deleted before returning (review finding: it leaked per call).
+        # The scale path is the writeStream sink itself; this query is the
+        # batch-equivalence EVIDENCE, so driver-sizing the window stats is
+        # the point, not a compromise.
+        rows = (spark.read.parquet(out_dir)
+                .filter(F.col("conv_id") != "__wm_sentinel__")
+                .select("win_start", "conv_id", "n_turns", "total_chars")
+                .collect())
+        return spark.createDataFrame(
+            rows, "win_start timestamp, conv_id string, n_turns long, "
+                  "total_chars long")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def q_role_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -663,7 +676,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = F.when(
         F.size("toks") >= 8,
         F.transform(F.sequence(F.lit(1), F.size("toks") - 7),
-                    _gram8_at)
+                    _gram_at(8))
     ).otherwise(F.array().cast("array<string>"))
     exploded = tok_docs.select(
         "doc_id", F.explode_outer(grams).alias("gram"))
@@ -675,11 +688,24 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged
 
 
-def _gram8_at(i):
-    """8-token gram starting at 1-based token index i (module-level helper:
-    pyspark HOF lambdas must not carry captures via default args)."""
+def _gram_at(k):
+    """k-token gram at 1-based token index i, as a HOF lambda. Closure
+    factory (not default-arg capture — pyspark HOF arity detection would
+    misread the extra param as the index argument)."""
     from pyspark.sql import functions as F
-    return F.concat_ws(" ", F.slice("toks", i, 8))
+
+    def g(i):
+        return F.concat_ws(" ", F.slice("toks", i, k))
+    return g
+
+
+def _chunk_at(k):
+    """k-token chunk at 0-based chunk index i, as a HOF lambda."""
+    from pyspark.sql import functions as F
+
+    def g(i):
+        return F.concat_ws(" ", F.slice("toks", i * k + 1, k))
+    return g
 
 
 def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -693,15 +719,23 @@ def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole table through ONE task). Level 1: range-repartition the
     narrow (doc_id, n_tokens) projection by doc_id, tag rows with their
     range-partition id, and reduce per-partition token totals (P tiny
-    rows, collected). Level 2: the driver turns totals into exclusive
-    per-partition offsets (broadcast back as a P-row dim), and each
-    partition computes its LOCAL running sum in parallel (window
-    partitioned by pid = P concurrent sorts of N/P rows). offset[pid] +
-    local_cumsum_before is exact regardless of where the range boundaries
-    land, so the result is identical to the global window. The persist
-    pins spark_partition_id() between the totals pass and the cumsum pass
-    (range sampling must not re-deal rows); only the 2-column projection
-    is cached (~16 B/row — memory-and-disk safe at corpus scale)."""
+    rows). Level 2: exclusive per-partition offsets via a window over the
+    P-row totals (single partition of P rows — trivially small), broadcast
+    back, and each partition computes its LOCAL running sum in parallel
+    (window partitioned by pid = P concurrent sorts of N/P rows).
+    offset[pid] + local_cumsum_before is exact regardless of where range
+    boundaries land, so the result equals the global window.
+
+    Fully LAZY — no driver collect, no persist (review finding: the first
+    cut ran a job and pinned a cache at query-BUILD time). pid consistency
+    between the totals branch and the cumsum branch is guaranteed by
+    exchange reuse: both read the identical repartitionByRange subplan, so
+    exactly ONE range shuffle executes and both branches see the same
+    partition deal (AQE runtime stage reuse — the executed plan shows
+    `ReusedExchange [...] Exchange rangepartitioning`; with AQE off the
+    static ReuseExchange rule fires instead; both are default-on). The
+    offsets window is unpartitioned but runs over the P-row totals table
+    only — single-partition by design, never over data rows."""
     from pyspark.sql import Window, functions as F
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
@@ -709,33 +743,22 @@ def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", n_tok.alias("n_tokens")))
     n_parts = max(spark.sparkContext.defaultParallelism, 2)
     parts = (base.repartitionByRange(n_parts, "doc_id")
-             .withColumn("_pid", F.spark_partition_id())
-             .persist())
-    try:
-        totals = sorted(
-            (r["_pid"], r["tot"]) for r in
-            parts.groupBy("_pid").agg(
-                F.sum("n_tokens").alias("tot")).collect())
-        offsets, acc = [], 0
-        for pid, tot in totals:
-            offsets.append((pid, acc))
-            acc += int(tot)
-        off_df = spark.createDataFrame(offsets, "_pid INT, _off BIGINT")
-        w = (Window.partitionBy("_pid").orderBy("doc_id")
+             .withColumn("_pid", F.spark_partition_id()))
+    totals = parts.groupBy("_pid").agg(F.sum("n_tokens").alias("_tot"))
+    w_off = (Window.orderBy("_pid")
              .rowsBetween(Window.unboundedPreceding, -1))
-        local_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-        out = (parts
-               .withColumn("_local_before", local_before)
-               .join(F.broadcast(off_df), "_pid")
-               .select("doc_id", "n_tokens",
-                       F.floor((F.col("_off") + F.col("_local_before"))
-                               / F.lit(2000)).cast("long").alias("shard")))
-        # the returned plan still reads `parts`, so no unpersist here;
-        # ContextCleaner reclaims the cached blocks when the plan is GC'd
-        return out
-    except Exception:
-        parts.unpersist()
-        raise
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_tot").over(w_off), F.lit(0))
+        .cast("long").alias("_off"))
+    w_local = (Window.partitionBy("_pid").orderBy("doc_id")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    local_before = F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    return (parts
+            .withColumn("_local_before", local_before)
+            .join(F.broadcast(offsets), "_pid")
+            .select("doc_id", "n_tokens",
+                    F.floor((F.col("_off") + F.col("_local_before"))
+                            / F.lit(2000)).cast("long").alias("shard")))
 
 
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -751,7 +774,8 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     base = (docs.select("doc_id", toks.alias("toks"))
             .filter(F.size("toks") >= 2))
-    grams = F.transform(F.sequence(F.lit(1), F.size("toks") - 1), _gram2_at)
+    grams = F.transform(F.sequence(F.lit(1), F.size("toks") - 1),
+                        _gram_at(2))
     g = base.select("doc_id", F.explode(grams).alias("gram"))
     counts = g.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
     return (counts.groupBy("doc_id")
@@ -764,12 +788,6 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("top_c") / F.col("n_grams"), 4)
                     .alias("top_gram_frac")))
 
-
-def _gram2_at(i):
-    """2-token gram at 1-based index i (module-level: no captures in HOF
-    lambdas)."""
-    from pyspark.sql import functions as F
-    return F.concat_ws(" ", F.slice("toks", i, 2))
 
 
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -836,7 +854,7 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (docs.filter(F.length("text") > 0)
             .select("doc_id", toks.alias("toks")))
     n_chunks = F.floor((F.size("toks") + 2) / 3).cast("int")
-    chunks = F.transform(F.sequence(F.lit(0), n_chunks - 1), _chunk3_at)
+    chunks = F.transform(F.sequence(F.lit(0), n_chunks - 1), _chunk_at(3))
     pos = base.select("doc_id", F.posexplode(chunks).alias("pos", "chunk"))
     w = Window.partitionBy("chunk").orderBy("doc_id", "pos")
     keep = (pos.withColumn("rn", F.row_number().over(w))
@@ -856,11 +874,6 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_kept"),
                     F.coalesce("dedup_text", F.lit("")).alias("dedup_text")))
 
-
-def _chunk3_at(i):
-    """3-token chunk at 0-based chunk index i (no captures in HOF lambdas)."""
-    from pyspark.sql import functions as F
-    return F.concat_ws(" ", F.slice("toks", i * 3 + 1, 3))
 
 
 def _chunk_field(x):

@@ -105,10 +105,14 @@ def main():
     # (by _pid), never a global single-partition Sort+Window (VERDICT r2 #1)
     sections.append(("token_pack (two-level exclusive prefix sum)",
                      plan_of(em.q_token_pack(spark, SF_DIR)),
-                     "Window is partitioned by _pid (P parallel local "
-                     "cumsums after a range repartition); the per-partition "
-                     "offsets join is a BroadcastHashJoin on a P-row dim. "
-                     "No unpartitioned Window, no global Sort."))
+                     "Data window is partitioned by _pid (P parallel local "
+                     "cumsums after a range repartition); the offsets side "
+                     "aggregates to P rows, cumsums them in one trivially "
+                     "small partition, and broadcast-joins back. The static "
+                     "plan shows two rangepartitioning exchanges; at "
+                     "runtime AQE stage reuse executes ONE (the executed "
+                     "plan's totals branch is a ReusedExchange) — no "
+                     "data-row global Window or Sort anywhere."))
 
     # 12. decontaminate: exploded 8-grams hash-joined against bench grams —
     # must be BroadcastHashJoin, never BroadcastNestedLoopJoin (VERDICT r2 #2)

@@ -365,6 +365,11 @@ def _decode_scan(data, pos, seg, frame, qt, huff, restart_interval):
         if m == 0x00:
             cur.append(0xFF)
             i += 2
+        elif m == 0xFF:
+            # fill byte before a marker (T.81 B.1.1.2) — legal padding,
+            # skip ONE 0xFF and reprocess (review finding: treating
+            # FF FF as end-of-scan rejected valid hardware-encoder files)
+            i += 1
         elif 0xD0 <= m <= 0xD7:
             segments.append(bytes(cur))
             cur = bytearray()

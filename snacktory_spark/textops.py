@@ -303,43 +303,63 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     stores lineage-truncated blocks in EXECUTOR memory/disk — fast, but on
     a real cluster an executor loss makes the mid-iteration state
     unrecoverable. Pass a reliable location (HDFS/S3 path) for cluster
-    runs: iteration state is then written through DataFrame.checkpoint()
-    to that filesystem and survives executor failures. Same plan shape,
-    one extra FS write per iteration."""
+    runs: each iteration's state is pinned by an explicit parquet
+    round-trip there — same lineage-truncation effect, survives executor
+    failures, and (review finding) unlike RDD checkpoint files (never
+    cleaned by default) superseded snapshots are deleted as the loop
+    advances: the dir holds at most the edge set + two label snapshots
+    during the run, and edges + the final labels after it (delete the dir
+    once the result is consumed). Session state (checkpoint dir conf) is
+    never touched."""
     from pyspark.sql import functions as F
 
     if checkpoint_dir is not None:
         spark = pairs.sparkSession
-        prev_dir = spark.sparkContext.getCheckpointDir()
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        base = checkpoint_dir.rstrip("/")
+        seq = {"n": 0}
 
         def _pin(df):
-            return df.checkpoint(eager=True)
+            path = f"{base}/state-{seq['n']:05d}.parquet"
+            seq["n"] += 1
+            df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path), path
+
+        def _drop(path):
+            if path is None:
+                return
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.delete(jpath, True)
     else:
         def _pin(df):
-            return df.localCheckpoint()
+            return df.localCheckpoint(), None
 
-    edges = (pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-             .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-             .distinct())
-    # checkpointing TRUNCATES LINEAGE — with plain persist the logical
-    # plan doubles every iteration and Catalyst analysis time explodes
-    # (the standard iterative-DataFrame pitfall)
-    edges = _pin(edges)
-    labels = _pin(edges.select(F.col("a").alias("id")).distinct()
-                  .withColumn("label", F.col("id")))
+        def _drop(path):
+            pass
+
+    edges0 = (pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+              .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+              .distinct())
+    # pinning TRUNCATES LINEAGE — with plain persist the logical plan
+    # doubles every iteration and Catalyst analysis time explodes (the
+    # standard iterative-DataFrame pitfall)
+    edges, _edges_path = _pin(edges0)
+    labels, label_path = _pin(edges.select(F.col("a").alias("id")).distinct()
+                               .withColumn("label", F.col("id")))
     for _ in range(max_iter):
         prop = (edges.join(labels, edges["a"] == labels["id"])
                 .groupBy(F.col("b").alias("nid"))
                 .agg(F.min("label").alias("nlabel")))
-        merged = _pin(labels.join(prop, labels["id"] == F.col("nid"), "left")
-                      .select(labels["id"], labels["label"],
-                              F.least(labels["label"],
-                                      F.coalesce(F.col("nlabel"),
-                                                 labels["label"]))
-                              .alias("new_label")))
+        merged, new_path = _pin(
+            labels.join(prop, labels["id"] == F.col("nid"), "left")
+            .select(labels["id"], labels["label"],
+                    F.least(labels["label"],
+                            F.coalesce(F.col("nlabel"), labels["label"]))
+                    .alias("new_label")))
         changed = merged.filter(F.col("new_label") != F.col("label")).count()
         labels = merged.select("id", F.col("new_label").alias("label"))
+        _drop(label_path)  # superseded snapshot — new state is on disk
+        label_path = new_path
         if changed == 0:
             break
     else:
@@ -347,9 +367,6 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
             f"connected_components did not converge in {max_iter} "
             "iterations (component diameter exceeds max_iter); raise "
             "max_iter")
-    if checkpoint_dir is not None and prev_dir is not None:
-        # all checkpoints are eager, so the dir can be handed back now
-        spark.sparkContext.setCheckpointDir(prev_dir)
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("component"))
 
