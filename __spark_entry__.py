@@ -897,6 +897,30 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+def q_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper election — the step dedup exists for: every document is
+    marked kept/dropped, keeping exactly one representative (the min
+    doc_id = the component label) per near-dup cluster and every
+    unclustered doc. Composes the whole near-dup path (MinHash/LSH →
+    Jaccard verify → connected components) with one final broadcast join
+    of the (small) cluster labeling against the corpus."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+    from snacktory_spark.textops import (connected_components, jaccard_pairs,
+                                         lsh_candidate_pairs)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = (jaccard_pairs(docs, lsh_candidate_pairs(docs))
+             .filter(F.col("jaccard") >= 0.5))
+    comp = connected_components(pairs)
+    return (docs.select("doc_id")
+            .join(F.broadcast(comp), "doc_id", "left")
+            .select("doc_id",
+                    (F.col("component").isNull()
+                     | (F.col("component") == F.col("doc_id")))
+                    .alias("kept")))
+
+
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-60 document fingerprints (near-dup sketch): one md5 per
     distinct token, bit-votes folded in a single JVM-side aggregate
@@ -1047,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "token_pack": q_token_pack,
         "doc_repetition": q_doc_repetition,
+        "dedup_keeper": q_dedup_keeper,
         "pii_redact": q_pii_redact,
         "stratified_sample": q_stratified_sample,
         "chunk_dedup": q_chunk_dedup,
@@ -1368,6 +1393,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(label)::BIGINT AS component
             FROM reach GROUP BY id
+        """,
+        "dedup_keeper": f"""
+            WITH RECURSIVE mpairs AS ({_MINHASH_SQL}),
+            fpairs AS (SELECT doc_a, doc_b FROM mpairs WHERE jaccard >= 0.5),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM fpairs
+                      UNION SELECT doc_b, doc_a FROM fpairs),
+            reach(id, label) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.id
+            ),
+            comp AS (SELECT id AS doc_id, min(label) AS component
+                     FROM reach GROUP BY id)
+            SELECT d.doc_id,
+                   (c.component IS NULL OR c.component = d.doc_id) AS kept
+            FROM documents d LEFT JOIN comp c USING (doc_id)
         """,
         # PNG encode->decode is exact by construction for every document
         "image_roundtrip": """
