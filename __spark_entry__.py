@@ -574,6 +574,63 @@ def q_streaming_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_av_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio/video decode (REAL codecs, snacktory_spark.av):
+    per document synthesize a deterministic PCM WAV sine (frequency
+    seeded by doc_id, chosen on an exact FFT bin) and a small Y4M clip
+    (frame count + luma seeded by doc_id), then decode both in a second
+    Arrow stage: FFT dominant frequency, duration, frame sampling and
+    luma stats. Narrow maps over binary columns — no shuffle. Oracle is
+    the closed form of the same seeds."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import pandas as pd
+    from snacktory_spark.pipeline.extract_job import ensure_py_files
+
+    ensure_py_files(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        from snacktory_spark.av import encode_wav, encode_y4m
+        for pdf in batches:
+            wavs, clips = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                freq = 200 + (d % 20) * 20  # multiple of 4 Hz = exact bin
+                t = np.arange(2000) / 8000.0
+                wavs.append(encode_wav(0.4 * np.sin(2 * np.pi * freq * t),
+                                       8000))
+                nf = 3 + d % 4
+                frames = [np.full((8, 8), (d * 7 + j * 11) % 256, np.uint8)
+                          for j in range(nf)]
+                clips.append(encode_y4m(frames, fps=25))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "wav": wavs,
+                                "clip": clips})
+
+    def feats(batches):
+        from snacktory_spark.av import audio_features, video_features
+        for pdf in batches:
+            dom, dur, nfr, nsm, luma = [], [], [], [], []
+            for wav, clip in zip(pdf["wav"], pdf["clip"]):
+                af = audio_features(bytes(wav))
+                vf = video_features(bytes(clip), every_k=2)
+                dur.append(int(round(af[0] * 1000)))
+                dom.append(int(round(af[3])))
+                nfr.append(int(vf[0]))
+                nsm.append(int(vf[1]))
+                luma.append(round(vf[2], 4))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "duration_ms": dur, "dom_freq": dom,
+                                "n_frames": nfr, "n_sampled": nsm,
+                                "mean_luma": luma})
+
+    av = docs.mapInPandas(synth, "doc_id long, wav binary, clip binary")
+    return av.mapInPandas(
+        feats, "doc_id long, duration_ms long, dom_freq long, "
+               "n_frames long, n_sampled long, mean_luma double")
+
+
 def q_role_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level aggregation (ROLLUP): turn counts + chars by
     (role, is_htmlish) with subtotals and a grand total — the reporting
@@ -1081,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_conv_stats": q_streaming_conv_stats,
         "image_roundtrip": q_image_roundtrip,
         "jpeg_roundtrip": q_jpeg_roundtrip,
+        "av_features": q_av_features,
         "ivf_assign": q_ivf_assign,
         "conv_flatten": q_conv_flatten,
         "doc_bpe_fingerprint": q_doc_bpe_fingerprint,
@@ -1433,6 +1491,20 @@ def oracle_sql() -> dict[str, str]:
                    sum(length(text))::BIGINT AS total_chars
             FROM {tr}
             GROUP BY 1, 2
+        """,
+        # audio dominant freq / duration and video frame stats are the
+        # closed form of the same doc_id seeds (sine on an exact FFT bin;
+        # constant-luma frames)
+        "av_features": """
+            SELECT doc_id,
+                   250::BIGINT AS duration_ms,
+                   (200 + (doc_id % 20) * 20)::BIGINT AS dom_freq,
+                   (3 + doc_id % 4)::BIGINT AS n_frames,
+                   ((3 + doc_id % 4 + 1) // 2)::BIGINT AS n_sampled,
+                   round(list_avg(list_transform(
+                       range(0, (3 + doc_id % 4)::INT, 2),
+                       j -> (doc_id * 7 + j * 11) % 256)), 4) AS mean_luma
+            FROM documents
         """,
         "role_lang_rollup": f"""
             SELECT role, regexp_matches(text, '<[a-zA-Z!]') AS is_htmlish,

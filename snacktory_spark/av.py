@@ -1,0 +1,246 @@
+"""Pure-python audio/video decode for the multimodal pipeline.
+
+The container ships no ffmpeg/libsndfile, but two real, widely-used
+formats need nothing beyond struct + numpy:
+
+- **WAV (RIFF PCM)**: canonical uncompressed audio interchange. Full
+  chunk walk (RIFF/fmt/data, unknown chunks skipped), PCM 8-bit
+  unsigned / 16-bit signed, any channel count/sample rate. Real DSP
+  features: duration, RMS, zero-crossing rate, dominant frequency and
+  spectral centroid via numpy rFFT.
+- **Y4M (YUV4MPEG2)**: ffmpeg's raw-video interchange format. Header
+  parse (W/H/F/C tags), C420/C444 frame layout, frame iteration without
+  materializing the whole clip, every-k-th frame sampling, per-frame
+  luma statistics — the frame-sample + feature-extract shape a training
+  pipeline runs over video.
+
+Compressed codecs (MP3/AAC/H.264/VP9) genuinely need native libs and
+remain declared stubs in multimodal.py. Reference parity: the reference
+treats audio/video as opaque URLs (HtmlFetcher extension routing); these
+decoders serve SURVEY §2's multimodal-column ops.
+
+Hostile-input contract (same as imaging.py/jpeg.py/pdf.py): every
+failure raises ImageError (shared error type for media codecs); decoded
+sizes are capped so crafted headers can't OOM an executor.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .imaging import ImageError
+
+MAX_AUDIO_SAMPLES = 1 << 24   # 16M samples decoded cap (~6 min stereo 44k1)
+MAX_VIDEO_PIXELS = 1 << 26    # total pixels across sampled frames
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM)
+# ---------------------------------------------------------------------------
+
+def encode_wav(samples: np.ndarray, sample_rate: int,
+               bits: int = 16) -> bytes:
+    """PCM WAV from float samples in [-1, 1]; shape (n,) or (n, channels)."""
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    if bits == 16:
+        pcm = np.clip(np.round(arr * 32767.0), -32768, 32767) \
+            .astype("<i2").tobytes()
+    elif bits == 8:
+        pcm = np.clip(np.round(arr * 127.0 + 128.0), 0, 255) \
+            .astype(np.uint8).tobytes()
+    else:
+        raise ImageError("encode_wav supports 8 or 16 bits")
+    block = ch * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate,
+                      sample_rate * block, block, bits)
+    out = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm))
+           + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return out
+
+
+def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
+    """→ (sample_rate, channels, float64 samples (n, ch) in [-1, 1]).
+
+    Raises ImageError for anything but PCM 8/16-bit RIFF WAVE."""
+    try:
+        return _decode_wav(data)
+    except ImageError:
+        raise
+    except (ValueError, IndexError, struct.error, OverflowError,
+            MemoryError) as e:
+        raise ImageError(f"malformed WAV: {type(e).__name__}: {e}") from None
+
+
+def _decode_wav(data: bytes):
+    if len(data) < 12 or data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ImageError("not a RIFF WAVE file")
+    pos = 12
+    fmt = None
+    pcm = None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + size]
+        if tag == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            pcm = body
+        # chunks are word-aligned: odd sizes are padded with one byte
+        pos += 8 + size + (size & 1)
+        if fmt is not None and pcm is not None:
+            break
+    if fmt is None or pcm is None:
+        raise ImageError("WAV missing fmt/data chunk")
+    audio_fmt, ch, rate, _brate, _block, bits = fmt
+    if audio_fmt != 1:
+        raise ImageError(f"non-PCM WAV (format {audio_fmt}) not supported")
+    if ch < 1 or ch > 8 or rate < 1:
+        raise ImageError("WAV header out of bounds")
+    if bits == 16:
+        raw = np.frombuffer(pcm[: (len(pcm) // (2 * ch)) * 2 * ch], "<i2")
+        samples = raw.astype(np.float64) / 32768.0
+    elif bits == 8:
+        raw = np.frombuffer(pcm[: (len(pcm) // ch) * ch], np.uint8)
+        samples = (raw.astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ImageError(f"{bits}-bit WAV not supported (8/16 only)")
+    if samples.size > MAX_AUDIO_SAMPLES:
+        raise ImageError("WAV too large (sample cap)")
+    return rate, ch, samples.reshape(-1, ch)
+
+
+def audio_features(data: bytes) -> list[float]:
+    """Real DSP features from a WAV payload: [duration_s, rms,
+    zero_crossing_rate, dominant_freq_hz, spectral_centroid_hz]."""
+    rate, ch, samples = decode_wav(data)
+    mono = samples.mean(axis=1)
+    n = mono.size
+    if n == 0:
+        return [0.0, 0.0, 0.0, 0.0, 0.0]
+    duration = n / rate
+    rms = float(np.sqrt((mono ** 2).mean()))
+    zcr = float((np.diff(np.signbit(mono)) != 0).mean()) if n > 1 else 0.0
+    spec = np.abs(np.fft.rfft(mono))
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+    if spec.size > 1:
+        dom = float(freqs[1 + int(np.argmax(spec[1:]))])  # skip DC
+        power = spec ** 2
+        centroid = float((freqs * power).sum() / power.sum()) \
+            if power.sum() > 0 else 0.0
+    else:
+        dom = centroid = 0.0
+    return [duration, rms, zcr, dom, centroid]
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2)
+# ---------------------------------------------------------------------------
+
+def encode_y4m(frames: list[np.ndarray], fps: int = 25) -> bytes:
+    """YUV4MPEG2 C420 clip from uint8 luma frames (h, w); flat chroma."""
+    if not frames:
+        raise ImageError("encode_y4m needs at least one frame")
+    h, w = frames[0].shape
+    if h % 2 or w % 2:
+        raise ImageError("C420 needs even dimensions")
+    out = bytearray(f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420\n".encode())
+    flat_c = np.full((h // 2) * (w // 2), 128, np.uint8).tobytes()
+    for f in frames:
+        if f.shape != (h, w):
+            raise ImageError("all frames must share dimensions")
+        out += b"FRAME\n"
+        out += np.ascontiguousarray(f, dtype=np.uint8).tobytes()
+        out += flat_c + flat_c
+    return bytes(out)
+
+
+def _parse_y4m_header(data: bytes):
+    eol = data.find(b"\n")
+    if eol < 0 or not data.startswith(b"YUV4MPEG2"):
+        raise ImageError("not a YUV4MPEG2 stream")
+    w = h = None
+    fps_num, fps_den = 25, 1
+    fmt = "420"
+    for tok in data[9:eol].split():
+        t = tok.decode("ascii", "replace")
+        if t.startswith("W"):
+            w = int(t[1:])
+        elif t.startswith("H"):
+            h = int(t[1:])
+        elif t.startswith("F"):
+            num, _, den = t[1:].partition(":")
+            fps_num, fps_den = int(num), int(den or 1)
+        elif t.startswith("C"):
+            fmt = t[1:]
+    if not w or not h or w * h > MAX_VIDEO_PIXELS:
+        raise ImageError("Y4M dimensions missing or out of bounds")
+    if fmt.startswith("420"):
+        frame_bytes = w * h * 3 // 2
+    elif fmt.startswith("444"):
+        frame_bytes = w * h * 3
+    else:
+        raise ImageError(f"Y4M chroma format C{fmt} not supported")
+    if fps_num < 1 or fps_den < 1:
+        raise ImageError("bad Y4M frame rate")
+    return w, h, fps_num / fps_den, frame_bytes, eol + 1
+
+
+def iter_y4m_luma(data: bytes, every_k: int = 1):
+    """Yield (frame_index, luma uint8 (h, w)) for every k-th frame —
+    streaming, never materializes the whole clip."""
+    try:
+        w, h, _fps, frame_bytes, pos = _parse_y4m_header(data)
+    except ImageError:
+        raise
+    except (ValueError, IndexError) as e:
+        raise ImageError(f"malformed Y4M: {e}") from None
+    if every_k < 1:
+        raise ImageError("every_k must be >= 1")
+    idx = 0
+    budget = MAX_VIDEO_PIXELS
+    while pos < len(data):
+        eol = data.find(b"\n", pos)
+        if eol < 0 or not data[pos:eol].startswith(b"FRAME"):
+            raise ImageError("Y4M frame marker missing")
+        start = eol + 1
+        if start + frame_bytes > len(data):
+            raise ImageError("truncated Y4M frame")
+        if idx % every_k == 0:
+            budget -= w * h
+            if budget < 0:
+                raise ImageError("Y4M too large (pixel cap)")
+            luma = np.frombuffer(data[start:start + w * h],
+                                 np.uint8).reshape(h, w)
+            yield idx, luma
+        pos = start + frame_bytes
+        idx += 1
+
+
+def video_features(data: bytes, every_k: int = 2) -> list[float]:
+    """Frame-sampled video features: [n_frames_total, n_sampled,
+    mean_luma, luma_std, mean_abs_frame_diff] over every k-th frame."""
+    means, prev, diffs = [], None, []
+    stds = []
+    total = 0
+    for idx, luma in iter_y4m_luma(data, every_k=1):
+        total += 1
+        if idx % every_k:
+            continue
+        f = luma.astype(np.float64)
+        means.append(float(f.mean()))
+        stds.append(float(f.std()))
+        if prev is not None:
+            diffs.append(float(np.abs(f - prev).mean()))
+        prev = f
+    if not means:
+        raise ImageError("Y4M has no frames")
+    return [float(total), float(len(means)),
+            float(np.mean(means)), float(np.mean(stds)),
+            float(np.mean(diffs)) if diffs else 0.0]

@@ -13,9 +13,13 @@ Decode reality in this container (no PIL/ffmpeg):
   Progressive JPEG and exotic codecs fall back to the deterministic fake
   (or NotImplementedError when fakes are disabled).
 - **pdf: REAL** via `snacktory_spark.pdf` (see extract_pdf_text_df below).
-- audio/video: stubbed — NotImplementedError by default,
-  `deterministic_fake=True` yields a seeded content-derived feature vector
-  so the Spark-side plumbing stays fully exercised.
+- **audio: REAL for WAV (RIFF PCM)** via `snacktory_spark.av` — duration,
+  RMS, zero-crossing rate, FFT dominant frequency + spectral centroid.
+- **video: REAL for Y4M (YUV4MPEG2 C420/C444)** via `snacktory_spark.av`
+  — streaming frame iteration, every-k frame sampling, luma statistics.
+- compressed AV codecs (MP3/AAC/H.264/VP9): stubbed — NotImplementedError
+  by default, `deterministic_fake=True` yields a seeded content-derived
+  feature vector so the Spark-side plumbing stays fully exercised.
 
 At 100 TB: payloads should live in their own parquet column chunk (they do —
 separate column), batches must stay small (binary rows are large), and
@@ -71,6 +75,20 @@ def decode_payload(payload: bytes, kind: str, deterministic_fake: bool = False):
             return np.asarray(image_features(px, w, h, c), dtype=np.float32)
         except ImageError:
             pass  # unsupported codec (e.g. progressive JPEG) → stub below
+    elif kind == "audio" and payload[:4] == b"RIFF":
+        from .av import audio_features
+        from .imaging import ImageError
+        try:
+            return np.asarray(audio_features(payload), dtype=np.float32)
+        except ImageError:
+            pass  # non-PCM / malformed → stub below
+    elif kind == "video" and payload.startswith(b"YUV4MPEG2"):
+        from .av import video_features
+        from .imaging import ImageError
+        try:
+            return np.asarray(video_features(payload), dtype=np.float32)
+        except ImageError:
+            pass  # unsupported chroma / malformed → stub below
     if not deterministic_fake:
         raise NotImplementedError(
             f"decode for kind={kind!r} in this codec requires media libs "
@@ -107,6 +125,8 @@ def media_features_map(deterministic_fake: bool = True):
 
 def extract_media_features(df: DataFrame, deterministic_fake: bool = True,
                            partitions: int | None = None) -> DataFrame:
+    from .pipeline.extract_job import ensure_py_files
+    ensure_py_files(df.sparkSession)  # executors import us from the zip
     if partitions:
         df = df.repartition(partitions, F.col("media_id"))
     return df.mapInPandas(media_features_map(deterministic_fake),
@@ -118,6 +138,8 @@ def make_fake_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
     import random
     rng = random.Random(seed)
     from .imaging import encode_png
+    import numpy as np
+    from .av import encode_wav, encode_y4m
     from .jpeg import encode_jpeg
     rows = []
     kinds = ["image", "audio", "video"]
@@ -135,10 +157,33 @@ def make_fake_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
             else:
                 rows.append((f"m-{i:05d}", "image", "image/png",
                              w, h, None, encode_png(px, w, h, 3)))
+        elif kind == "audio":
+            # REAL decodable payload: short PCM WAV sine burst; every
+            # third one stays a fake compressed-codec blob (stub path)
+            if (i // 3) % 3 == 2:
+                payload = bytes(rng.getrandbits(8)
+                                for _ in range(rng.randint(64, 512)))
+                rows.append((f"m-{i:05d}", kind, "audio/fake", None, None,
+                             rng.randint(500, 60000), payload))
+            else:
+                n_s = rng.randint(400, 1600)
+                freq = rng.randint(100, 900)
+                t = np.arange(n_s) / 8000.0
+                wav = encode_wav(0.4 * np.sin(2 * np.pi * freq * t), 8000)
+                rows.append((f"m-{i:05d}", kind, "audio/wav", None, None,
+                             int(n_s / 8.0), wav))
         else:
-            payload = bytes(rng.getrandbits(8) for _ in range(rng.randint(64, 512)))
-            rows.append((f"m-{i:05d}", kind, f"{kind}/fake", None, None,
-                         rng.randint(500, 60000), payload))
+            if (i // 3) % 3 == 2:
+                payload = bytes(rng.getrandbits(8)
+                                for _ in range(rng.randint(64, 512)))
+                rows.append((f"m-{i:05d}", kind, "video/fake", None, None,
+                             rng.randint(500, 60000), payload))
+            else:
+                nf = rng.randint(2, 6)
+                frames = [np.full((8, 8), rng.randint(0, 255), np.uint8)
+                          for _ in range(nf)]
+                rows.append((f"m-{i:05d}", kind, "video/y4m", 8, 8,
+                             nf * 40, encode_y4m(frames, fps=25)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -185,4 +230,6 @@ def pdf_text_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def extract_pdf_text_df(df: DataFrame) -> DataFrame:
     """(doc_id string, payload binary) → PDF_TEXT_SCHEMA. Narrow map."""
+    from .pipeline.extract_job import ensure_py_files
+    ensure_py_files(df.sparkSession)  # executors import us from the zip
     return df.mapInPandas(pdf_text_map, schema=PDF_TEXT_SCHEMA)

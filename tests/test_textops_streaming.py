@@ -221,12 +221,22 @@ def test_multimodal_plumbing(spark):
     out = extract_media_features(df, deterministic_fake=True, partitions=4)
     rows = out.collect()
     assert len(rows) == 30
+    seen_real = set()
     for r in rows:
-        # image rows are REALLY decoded (PNG): 2*3 channel stats + 4x4 thumb
-        want_dim = 22 if r["kind"] == "image" else FEATURE_DIM
-        assert len(r["feature"]) == want_dim, r["kind"]
-        assert all(0.0 <= x <= 1.0 for x in r["feature"])
+        # image rows are REALLY decoded (PNG/JPEG): 2*3 channel stats +
+        # 4x4 thumb; WAV audio and Y4M video rows are really decoded too
+        # (5 DSP / frame features); fake compressed blobs get FEATURE_DIM
+        if r["kind"] == "image":
+            want_dims = (22,)
+        else:
+            want_dims = (5, FEATURE_DIM)  # real wav/y4m vs fake codec blob
+        assert len(r["feature"]) in want_dims, r["kind"]
+        if len(r["feature"]) != FEATURE_DIM:
+            seen_real.add(r["kind"])
+        else:
+            assert all(0.0 <= x <= 1.0 for x in r["feature"])
         assert r["n_bytes"] > 0 and len(r["sha256"]) == 64
+    assert seen_real == {"image", "audio", "video"}
     # determinism: same payload → same feature
     again = {r["media_id"]: r["feature"]
              for r in extract_media_features(df, True).collect()}
