@@ -179,7 +179,7 @@ def _parse_y4m_header(data: bytes):
             fps_num, fps_den = int(num), int(den or 1)
         elif t.startswith("C"):
             fmt = t[1:]
-    if not w or not h or w * h > MAX_VIDEO_PIXELS:
+    if not w or not h or w < 1 or h < 1 or w * h > MAX_VIDEO_PIXELS:
         raise ImageError("Y4M dimensions missing or out of bounds")
     if fmt.startswith("420"):
         frame_bytes = w * h * 3 // 2

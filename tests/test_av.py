@@ -125,6 +125,7 @@ def test_y4m_c444():
 
 @pytest.mark.parametrize("mutant", [
     b"YUV4MPEG2 W0 H8 C420\n",                       # zero width
+    b"YUV4MPEG2 W-4 H-4 C420\nFRAME\n" + b"\x00" * 24,  # negative dims
     b"YUV4MPEG2 W99999 H99999 C420\n",               # pixel bomb
     b"YUV4MPEG2 W8 H8 C422\nFRAME\n" + b"\x00" * 96,  # unsupported chroma
     b"YUV4MPEG2 W8 H8 C420\nFRAME\n" + b"\x00" * 10,  # truncated frame
