@@ -103,7 +103,10 @@ def main():
     qs = entrymod.queries()
     rel_queries = ["turn_ordering", "conv_stats", "pricing_summary",
                    "nation_orders", "top_orders_per_segment", "event_sessions",
-                   "doc_token_stats", "doc_fingerprint", "knn_cosine"]
+                   "doc_token_stats", "doc_fingerprint", "knn_cosine",
+                   # round-3 training-pipeline headliners
+                   "decontaminate", "token_pack", "chunk_dedup",
+                   "doc_repetition"]
     if os.environ.get("SNACKTORY_BENCH_EXTRACT_ONLY"):
         rel_queries = []
     for name in rel_queries:
