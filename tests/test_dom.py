@@ -173,3 +173,33 @@ def test_internal_attr_select_not_stale():
     hits = doc.select("[gravityscore]")
     assert len(hits) == 1 and hits[0] is el
     assert len(doc.select("p[gravityscore=42]")) == 1
+
+
+def test_a_reconstruction_after_malformed_end_tag():
+    """HTML5 active-formatting reconstruction for <a> (round 3, the macnn
+    shape): a malformed '</a</li>' leaves the <a> active, so text after
+    the list close is wrapped in a clone carrying the same href."""
+    doc = parse('<ul><li><a href="/x">k</a</li></ul> tail text')
+    anchors = doc.select("a")
+    assert [(a.attr("href"), a.text()) for a in anchors] == [
+        ("/x", "k"), ("/x", "tail text")]
+
+
+def test_a_reconstruction_unclosed_in_list():
+    """An <a> implicitly popped by </ul> reconstructs around subsequent
+    phrasing content until an explicit </a> or a new <a>."""
+    doc = parse('<ul><li><a href="/z">z</ul><span>s</span>more')
+    anchors = doc.select("a")
+    assert [(a.attr("href"), a.text()) for a in anchors] == [
+        ("/z", "z"), ("/z", "smore")]
+
+
+def test_a_no_reconstruction_when_closed():
+    """A properly closed <a> never clones; a new <a> start ends the old
+    active entry (adoption-agency behavior)."""
+    doc = parse('<div><a href="/y">y</a><p>para</p></div>')
+    assert [(a.attr("href"), a.text()) for a in doc.select("a")] == [
+        ("/y", "y")]
+    doc2 = parse('<ul><li><a href="/1">one</ul><a href="/2">two</a> t')
+    assert [(a.attr("href"), a.text()) for a in doc2.select("a")] == [
+        ("/1", "one"), ("/2", "two")]
