@@ -58,10 +58,12 @@ def encode_wav(samples: np.ndarray, sample_rate: int,
     block = ch * bits // 8
     fmt = struct.pack("<HHIIHH", 1, ch, sample_rate,
                       sample_rate * block, block, bits)
-    out = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm))
+    pad = b"\x00" if len(pcm) & 1 else b""  # RIFF chunks are word-aligned
+    out = (b"RIFF"
+           + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm) + len(pad))
            + b"WAVE"
            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-           + b"data" + struct.pack("<I", len(pcm)) + pcm)
+           + b"data" + struct.pack("<I", len(pcm)) + pcm + pad)
     return out
 
 
@@ -103,16 +105,18 @@ def _decode_wav(data: bytes):
         raise ImageError(f"non-PCM WAV (format {audio_fmt}) not supported")
     if ch < 1 or ch > 8 or rate < 1:
         raise ImageError("WAV header out of bounds")
+    if bits not in (8, 16):
+        raise ImageError(f"{bits}-bit WAV not supported (8/16 only)")
+    # cap BEFORE the float64 conversion: astype amplifies the payload ~5x
+    # (review finding — the cap must prevent the allocation, not follow it)
+    if len(pcm) // (bits // 8) > MAX_AUDIO_SAMPLES:
+        raise ImageError("WAV too large (sample cap)")
     if bits == 16:
         raw = np.frombuffer(pcm[: (len(pcm) // (2 * ch)) * 2 * ch], "<i2")
         samples = raw.astype(np.float64) / 32768.0
-    elif bits == 8:
+    else:
         raw = np.frombuffer(pcm[: (len(pcm) // ch) * ch], np.uint8)
         samples = (raw.astype(np.float64) - 128.0) / 128.0
-    else:
-        raise ImageError(f"{bits}-bit WAV not supported (8/16 only)")
-    if samples.size > MAX_AUDIO_SAMPLES:
-        raise ImageError("WAV too large (sample cap)")
     return rate, ch, samples.reshape(-1, ch)
 
 
@@ -192,19 +196,16 @@ def _parse_y4m_header(data: bytes):
     return w, h, fps_num / fps_den, frame_bytes, eol + 1
 
 
-def iter_y4m_luma(data: bytes, every_k: int = 1):
-    """Yield (frame_index, luma uint8 (h, w)) for every k-th frame —
-    streaming, never materializes the whole clip."""
+def _iter_y4m_frames(data: bytes):
+    """Yield (frame_index, payload_offset, w, h) without decoding —
+    the shared decode-free frame walk (headers are skipped, never read)."""
     try:
         w, h, _fps, frame_bytes, pos = _parse_y4m_header(data)
     except ImageError:
         raise
     except (ValueError, IndexError) as e:
         raise ImageError(f"malformed Y4M: {e}") from None
-    if every_k < 1:
-        raise ImageError("every_k must be >= 1")
     idx = 0
-    budget = MAX_VIDEO_PIXELS
     while pos < len(data):
         eol = data.find(b"\n", pos)
         if eol < 0 or not data[pos:eol].startswith(b"FRAME"):
@@ -212,15 +213,35 @@ def iter_y4m_luma(data: bytes, every_k: int = 1):
         start = eol + 1
         if start + frame_bytes > len(data):
             raise ImageError("truncated Y4M frame")
-        if idx % every_k == 0:
-            budget -= w * h
-            if budget < 0:
-                raise ImageError("Y4M too large (pixel cap)")
-            luma = np.frombuffer(data[start:start + w * h],
-                                 np.uint8).reshape(h, w)
-            yield idx, luma
+        yield idx, start, w, h
         pos = start + frame_bytes
         idx += 1
+
+
+def count_y4m_frames(data: bytes) -> int:
+    """Total frame count — a decode-free header walk."""
+    n = 0
+    for _ in _iter_y4m_frames(data):
+        n += 1
+    return n
+
+
+def iter_y4m_luma(data: bytes, every_k: int = 1):
+    """Yield (frame_index, luma uint8 (h, w)) for every k-th frame —
+    streaming; only SAMPLED frames are decoded and only they count
+    against the pixel budget (review finding: the old video_features
+    walked with every_k=1, charging and decoding every frame)."""
+    if every_k < 1:
+        raise ImageError("every_k must be >= 1")
+    budget = MAX_VIDEO_PIXELS
+    for idx, start, w, h in _iter_y4m_frames(data):
+        if idx % every_k:
+            continue
+        budget -= w * h
+        if budget < 0:
+            raise ImageError("Y4M too large (pixel cap)")
+        yield idx, np.frombuffer(data[start:start + w * h],
+                                 np.uint8).reshape(h, w)
 
 
 def video_features(data: bytes, every_k: int = 2) -> list[float]:
@@ -228,11 +249,7 @@ def video_features(data: bytes, every_k: int = 2) -> list[float]:
     mean_luma, luma_std, mean_abs_frame_diff] over every k-th frame."""
     means, prev, diffs = [], None, []
     stds = []
-    total = 0
-    for idx, luma in iter_y4m_luma(data, every_k=1):
-        total += 1
-        if idx % every_k:
-            continue
+    for _idx, luma in iter_y4m_luma(data, every_k=every_k):
         f = luma.astype(np.float64)
         means.append(float(f.mean()))
         stds.append(float(f.std()))
@@ -241,6 +258,7 @@ def video_features(data: bytes, every_k: int = 2) -> list[float]:
         prev = f
     if not means:
         raise ImageError("Y4M has no frames")
+    total = count_y4m_frames(data)
     return [float(total), float(len(means)),
             float(np.mean(means)), float(np.mean(stds)),
             float(np.mean(diffs)) if diffs else 0.0]

@@ -136,6 +136,30 @@ def test_y4m_hostile(mutant):
         list(iter_y4m_luma(mutant))
 
 
+def test_y4m_budget_charges_sampled_frames_only(monkeypatch):
+    """The pixel cap applies to frames actually decoded (review finding:
+    charging every frame rejected clips that sampling handles fine)."""
+    import snacktory_spark.av as av
+    frames = [np.full((8, 8), i, np.uint8) for i in range(15)]  # 960 px
+    clip = encode_y4m(frames, fps=25)
+    monkeypatch.setattr(av, "MAX_VIDEO_PIXELS", 640)
+    total, sampled, *_ = av.video_features(clip, every_k=2)  # 512 px decoded
+    assert (total, sampled) == (15.0, 8.0)
+    with pytest.raises(ImageError, match="pixel cap"):
+        list(av.iter_y4m_luma(clip, every_k=1))  # 960 px > 640
+
+
+def test_wav_odd_data_chunk_word_aligned():
+    """8-bit mono with an odd sample count must emit the RIFF pad byte
+    (review finding: asymmetric with the decoder's padding rule)."""
+    wav = encode_wav(_sine(300, n=333), 8000, bits=8)
+    assert len(wav) % 2 == 0
+    (size,) = struct.unpack("<I", wav[4:8])
+    assert size == len(wav) - 8  # RIFF size accounts for the pad
+    rate, ch, out = decode_wav(wav)
+    assert out.shape == (333, 1)
+
+
 @settings(max_examples=150, deadline=None)
 @given(st.binary(min_size=0, max_size=200))
 def test_y4m_fuzz_never_leaks(data):
