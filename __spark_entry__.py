@@ -954,6 +954,39 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quotas (crawl curation: no domain may dominate
+    the corpus): keep at most 40 docs per source, chosen by a salted-md5
+    order so the survivors are a stable uniform sample, not a
+    doc_id-ordered prefix. Catalyst turns the row_number filter into
+    WindowGroupLimit — partial top-k per source BEFORE the exchange, so
+    a mega-domain never funnels its whole partition through the sort."""
+    from pyspark.sql import Window, functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = F.md5(F.concat(F.lit("quota:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (docs.select("doc_id", "source", h.alias("h"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 40)
+            .select("doc_id", "source", F.col("rk").cast("long").alias("rk")))
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: global token counts, top 20 by (count desc,
+    token asc) — the wordcount-at-scale shape behind tokenizer/vocab
+    builds. Explode -> partial+final hash agg -> TakeOrderedAndProject
+    (top-k never sorts the full vocabulary)."""
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    return (docs.filter(F.length("text") > 0)
+            .select(F.explode(toks).alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("token"))
+            .limit(20))
+
+
 def q_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keeper election — the step dedup exists for: every document is
     marked kept/dropped, keeping exactly one representative (the min
@@ -1129,6 +1162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_pack": q_token_pack,
         "doc_repetition": q_doc_repetition,
         "dedup_keeper": q_dedup_keeper,
+        "source_quota": q_source_quota,
+        "vocab_topk": q_vocab_topk,
         "pii_redact": q_pii_redact,
         "stratified_sample": q_stratified_sample,
         "chunk_dedup": q_chunk_dedup,
@@ -1451,6 +1486,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(label)::BIGINT AS component
             FROM reach GROUP BY id
+        """,
+        "source_quota": """
+            SELECT doc_id, source, rk::BIGINT AS rk FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5('quota:' || doc_id::VARCHAR),
+                                    doc_id) AS rk
+                FROM documents)
+            WHERE rk <= 40
+        """,
+        "vocab_topk": r"""
+            SELECT token, count(*)::BIGINT AS n
+            FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                                                      '\s+')) AS token
+                  FROM documents WHERE length(text) > 0)
+            GROUP BY token
+            ORDER BY n DESC, token ASC
+            LIMIT 20
         """,
         "dedup_keeper": f"""
             WITH RECURSIVE mpairs AS ({_MINHASH_SQL}),
