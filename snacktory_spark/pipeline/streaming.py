@@ -49,6 +49,39 @@ def streaming_conv_stats(spark: SparkSession, input_dir: str,
                     "conv_id", "n_turns", "total_chars"))
 
 
+def streaming_dedup_turns(spark: SparkSession, input_dir: str,
+                          watermark: str = "10 minutes"):
+    """Ingest-time exact dedup: drop turns whose text content (sha256)
+    was already seen within the watermark horizon
+    (dropDuplicatesWithinWatermark) — the streaming counterpart of the
+    batch dedup-extract path. State is bounded by the watermark: at
+    100 TB/day ingest the dedup state holds one hash per distinct text
+    seen in the horizon, evicted as event time advances."""
+    stream = (spark.readStream
+              .schema(TRANSCRIPT_SCHEMA)
+              .parquet(input_dir))
+    hashed = (stream
+              .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+              .withColumn("text_sha", F.sha2(F.col("text"), 256)))
+    return (hashed
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["text_sha"]))
+
+
+def run_streaming_dedup_once(spark: SparkSession, input_dir: str,
+                             output_dir: str, checkpoint_dir: str,
+                             timeout_sec: int = 300) -> bool:
+    out = streaming_dedup_turns(spark, input_dir)
+    query = (out.writeStream
+             .format("parquet")
+             .option("path", output_dir)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True)
+             .outputMode("append")
+             .start())
+    return query.awaitTermination(timeout_sec)
+
+
 def run_streaming_stats_once(spark: SparkSession, input_dir: str,
                              output_dir: str, checkpoint_dir: str,
                              timeout_sec: int = 300) -> bool:

@@ -121,6 +121,42 @@ def test_streaming_extraction(spark, tmp_path):
     assert n2 == n_nonempty + n_new_nonempty
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Ingest-time exact dedup: duplicate texts across files in the same
+    watermark horizon are dropped; distinct texts all survive."""
+    import datetime as dt
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from snacktory_spark.pipeline.streaming import run_streaming_dedup_once
+
+    base = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    def table(rows):
+        return pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array(["user"] * len(rows), pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+            "tool": pa.array([""] * len(rows), pa.string()),
+            "ts": pa.array([base + dt.timedelta(seconds=r[1])
+                            for r in rows], pa.timestamp("us", tz="UTC")),
+        })
+
+    in_dir = tmp_path / "din"
+    in_dir.mkdir()
+    pq.write_table(table([("c1", 0, "alpha"), ("c1", 1, "beta"),
+                          ("c1", 2, "alpha"), ("c2", 0, "")]),
+                   str(in_dir / "part-0.parquet"))
+    pq.write_table(table([("c2", 1, "beta"), ("c2", 2, "gamma")]),
+                   str(in_dir / "part-1.parquet"))
+    out_dir = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+    assert run_streaming_dedup_once(spark, str(in_dir), out_dir, ckpt)
+    got = spark.read.parquet(out_dir)
+    texts = sorted(r["text"] for r in got.collect())
+    # empty text gated out; each distinct text survives exactly once
+    assert texts == ["alpha", "beta", "gamma"]
+
+
 def test_streaming_watermark_window(spark, tmp_path):
     """Event-time windowed aggregation with watermark (append mode emits
     only windows the watermark has passed)."""
