@@ -1,16 +1,21 @@
-"""Pure-python baseline JPEG codec for the multimodal pipeline.
+"""Pure-python JPEG codec (baseline + progressive) for the multimodal
+pipeline.
 
-The container ships no PIL/libjpeg, but baseline sequential JPEG needs
-nothing beyond numpy: this module implements a real encoder and decoder
-for 8-bit baseline DCT JPEG (ITU-T T.81):
+The container ships no PIL/libjpeg, but Huffman DCT JPEG needs nothing
+beyond numpy: this module implements a real encoder (baseline) and
+decoder (baseline AND progressive) for 8-bit JPEG (ITU-T T.81):
 
-- decoder: SOI/APPn/COM/DQT/DHT/DRI/SOF0/SOF1/SOS marker walk, canonical
-  Huffman entropy decode (tables read from the file, byte-stuffing and
-  RSTn restart handling), dequantize, vectorized 8x8 IDCT (orthonormal
-  DCT-II matrix via einsum), generic sampling-factor MCU layout (4:4:4,
-  4:2:2, 4:2:0, grayscale), nearest-neighbor chroma upsample, JFIF
-  YCbCr->RGB. Progressive (SOF2), arithmetic, hierarchical and 12-bit
-  streams raise ImageError — declared out of the baseline subset.
+- decoder: SOI/APPn/COM/DQT/DHT/DRI/SOF0/SOF1/SOF2/SOS marker walk,
+  canonical Huffman entropy decode (tables read from the file,
+  byte-stuffing and RSTn restart handling), dequantize, vectorized 8x8
+  IDCT (orthonormal DCT-II matrix via einsum), generic sampling-factor
+  MCU layout (4:4:4, 4:2:2, 4:2:0, grayscale), nearest-neighbor chroma
+  upsample, JFIF YCbCr->RGB. **Progressive (SOF2) is fully decoded**
+  (T.81 Annex G: interleaved/non-interleaved DC first+refinement scans,
+  AC spectral-selection first scans with EOB runs, AC successive-
+  approximation refinement with correction bits) — cross-validated
+  against Java ImageIO's progressive writer. Arithmetic, hierarchical,
+  lossless and 12-bit streams raise ImageError.
 - encoder: quality-scaled Annex-K quantization tables, Annex-K standard
   Huffman tables, FDCT, 4:4:4 or 4:2:0 (2x2-average chroma downsample),
   optional restart intervals; used to synthesize test/bench fixtures
@@ -238,9 +243,10 @@ class _BitWriter:
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     """→ (width, height, channels, raw row-major samples).
 
-    channels is 1 (grayscale) or 3 (RGB). Raises ImageError on anything
-    outside 8-bit baseline/extended-sequential Huffman JPEG — hostile
-    input contract: never any other exception type."""
+    channels is 1 (grayscale) or 3 (RGB). Decodes 8-bit baseline,
+    extended-sequential and progressive Huffman JPEG; raises ImageError
+    on anything else — hostile input contract: never any other
+    exception type."""
     try:
         return _decode_jpeg(data)
     except ImageError:
@@ -259,6 +265,8 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     huff: dict[tuple[int, int], _HuffDecoder] = {}
     restart_interval = 0
     frame = None  # (w, h, comps) where comps = [(cid, hi, vi, tq)]
+    progressive = False
+    prog = None  # _ProgState once the first progressive SOS arrives
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ImageError("marker sync lost")
@@ -268,7 +276,9 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             raise ImageError("truncated JPEG")
         marker = data[pos]
         pos += 1
-        if marker == 0xD9:  # EOI before scan
+        if marker == 0xD9:  # EOI
+            if prog is not None:
+                return _assemble(frame, prog.coefs, qt)
             raise ImageError("EOI before SOS")
         if 0xD0 <= marker <= 0xD7 or marker == 0x01:
             continue  # standalone markers
@@ -301,9 +311,10 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                     raise ImageError("truncated DHT")
                 huff[(tc, th)] = _HuffDecoder(bits, vals)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
             if len(seg) < 6:
                 raise ImageError("truncated SOF")
+            progressive = marker == 0xC2
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise ImageError("only 8-bit precision supported")
@@ -321,10 +332,10 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                     raise ImageError("bad sampling factors")
                 comps.append((cid, hi, vi, tq))
             frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ImageError("non-baseline JPEG (progressive/arithmetic/"
-                             "hierarchical) not supported")
+            raise ImageError("lossless/arithmetic/hierarchical JPEG "
+                             "not supported")
         elif marker == 0xDD:  # DRI
             if len(seg) < 2:
                 raise ImageError("truncated DRI")
@@ -332,10 +343,19 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ImageError("SOS before SOF")
-            return _decode_scan(data, nxt, seg, frame, qt, huff,
-                                restart_interval)
+            if not progressive:
+                return _decode_scan(data, nxt, seg, frame, qt, huff,
+                                    restart_interval)
+            if prog is None:
+                prog = _ProgState(frame)
+            pos = _decode_prog_scan(data, nxt, seg, frame, huff,
+                                    restart_interval, prog)
+            continue
         # APPn / COM / others: skip
         pos = nxt
+    if prog is not None:
+        # tolerate a missing/truncated EOI after complete scans
+        return _assemble(frame, prog.coefs, qt)
     raise ImageError("no SOS marker found")
 
 
@@ -351,32 +371,7 @@ def _decode_scan(data, pos, seg, frame, qt, huff, restart_interval):
         cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
         scan_tables[cs] = (tdta >> 4, tdta & 0x0F)
 
-    # unstuff entropy bytes, splitting at RSTn boundaries
-    segments, cur = [], bytearray()
-    i = pos
-    n = len(data)
-    while i < n:
-        b = data[i]
-        if b != 0xFF:
-            cur.append(b)
-            i += 1
-            continue
-        m = data[i + 1] if i + 1 < n else 0xD9
-        if m == 0x00:
-            cur.append(0xFF)
-            i += 2
-        elif m == 0xFF:
-            # fill byte before a marker (T.81 B.1.1.2) — legal padding,
-            # skip ONE 0xFF and reprocess (review finding: treating
-            # FF FF as end-of-scan rejected valid hardware-encoder files)
-            i += 1
-        elif 0xD0 <= m <= 0xD7:
-            segments.append(bytes(cur))
-            cur = bytearray()
-            i += 2
-        else:  # EOI or next marker — scan ends
-            break
-    segments.append(bytes(cur))
+    segments, _scan_end = _split_entropy(data, pos)
 
     max_h = max(c[1] for c in comps)
     max_v = max(c[2] for c in comps)
@@ -437,9 +432,58 @@ def _decode_scan(data, pos, seg, frame, qt, huff, restart_interval):
                     planes_coef[ci][my * vi + by, mx * hi + bx] = \
                         blk.reshape(8, 8)
 
-    # dequantize + IDCT per component (vectorized), assemble planes
+    return _assemble(frame, planes_coef, qt)
+
+
+def _split_entropy(data: bytes, pos: int):
+    """Unstuff entropy bytes from `pos`, splitting at RSTn boundaries.
+    → (segments, end_pos) where end_pos is the offset of the 0xFF that
+    begins the scan-terminating marker (or len(data))."""
+    segments, cur = [], bytearray()
+    i = pos
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        m = data[i + 1] if i + 1 < n else 0xD9
+        if m == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif m == 0xFF:
+            # fill byte before a marker (T.81 B.1.1.2) — legal padding,
+            # skip ONE 0xFF and reprocess (review finding: treating
+            # FF FF as end-of-scan rejected valid hardware-encoder files)
+            i += 1
+        elif 0xD0 <= m <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # EOI or next marker — scan ends
+            break
+    segments.append(bytes(cur))
+    return segments, i
+
+
+def _mcu_geometry(frame):
+    w, h, comps = frame
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+    return max_h, max_v, mcus_x, mcus_y
+
+
+def _assemble(frame, planes_coef, qt):
+    """Dequantize + IDCT per component (vectorized), upsample, convert."""
+    w, h, comps = frame
+    max_h, max_v, mcus_x, mcus_y = _mcu_geometry(frame)
     planes = []
     for ci, (cid, hi, vi, tq) in enumerate(comps):
+        if tq not in qt:
+            raise ImageError(f"missing quant table {tq}")
         coefs = planes_coef[ci].reshape(-1, 8, 8) * qt[tq][None, :, :]
         spatial = _idct_blocks(coefs.astype(np.float64)) + 128.0
         nby, nbx = mcus_y * vi, mcus_x * hi
@@ -460,6 +504,206 @@ def _decode_scan(data, pos, seg, frame, qt, huff, restart_interval):
     rgb = np.stack([r, g, b], axis=-1)
     out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     return w, h, 3, out.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) decoding — T.81 Annex G, Huffman only
+# ---------------------------------------------------------------------------
+
+class _ProgState:
+    """Per-component coefficient accumulators across progressive scans."""
+
+    def __init__(self, frame):
+        w, h, comps = frame
+        max_h, max_v, mcus_x, mcus_y = _mcu_geometry(frame)
+        self.coefs = []
+        self.true_blocks = []  # non-interleaved scans walk the TRUE grid
+        for cid, hi, vi, tq in comps:
+            self.coefs.append(np.zeros((mcus_y * vi, mcus_x * hi, 8, 8),
+                                       dtype=np.int32))
+            cw = -(-w * hi // max_h)
+            ch = -(-h * vi // max_v)
+            self.true_blocks.append((-(-ch // 8), -(-cw // 8)))
+
+
+def _decode_prog_scan(data, pos, seg, frame, huff, restart_interval, prog):
+    """Decode one progressive scan into prog.coefs; → scan end offset."""
+    w, h, comps = frame
+    if not seg or len(seg) < 4 + 2 * seg[0]:
+        raise ImageError("truncated SOS header")
+    ns = seg[0]
+    cid_index = {c[0]: i for i, c in enumerate(comps)}
+    scan_comps = []
+    for i in range(ns):
+        cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+        if cs not in cid_index:
+            raise ImageError("scan component not in frame")
+        scan_comps.append((cid_index[cs], tdta >> 4, tdta & 0x0F))
+    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+    ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+    if ss == 0:
+        if se != 0:
+            raise ImageError("DC scan with nonzero Se")
+    else:
+        if ns != 1 or not (ss <= se <= 63):
+            raise ImageError("bad AC scan band")
+    if al > 13 or ah > 13:
+        raise ImageError("bad successive approximation")
+    segments, end = _split_entropy(data, pos)
+
+    if ss == 0 and ns > 1:
+        _prog_dc_interleaved(segments, frame, huff, restart_interval,
+                             prog, scan_comps, ah, al)
+    else:
+        _prog_noninterleaved(segments, frame, huff, restart_interval,
+                             prog, scan_comps[0], ss, se, ah, al)
+    return end
+
+
+def _prog_dc_interleaved(segments, frame, huff, restart_interval, prog,
+                         scan_comps, ah, al):
+    w, h, comps = frame
+    max_h, max_v, mcus_x, mcus_y = _mcu_geometry(frame)
+    dc_pred = [0] * len(comps)
+    seg_idx = 0
+    br = _BitReader(segments[0])
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ImageError("missing restart segment")
+            br = _BitReader(segments[seg_idx])
+            dc_pred = [0] * len(comps)
+        my, mx = divmod(mcu, mcus_x)
+        for ci, td, _ta in scan_comps:
+            cid, hi, vi, tq = comps[ci]
+            for by in range(vi):
+                for bx in range(hi):
+                    blk = prog.coefs[ci][my * vi + by, mx * hi + bx]
+                    dc_pred[ci] = _prog_dc_block(
+                        blk.reshape(64), br, huff, td, ah, al, dc_pred[ci])
+
+
+def _prog_noninterleaved(segments, frame, huff, restart_interval, prog,
+                         scan_comp, ss, se, ah, al):
+    ci, td, ta = scan_comp
+    nby, nbx = prog.true_blocks[ci]
+    dec_ac = huff.get((1, ta)) if ss else None
+    if ss and dec_ac is None:
+        raise ImageError("missing Huffman table")
+    dc_pred = 0
+    eobrun = 0
+    seg_idx = 0
+    br = _BitReader(segments[0])
+    for bidx in range(nby * nbx):
+        # in a non-interleaved scan the restart interval counts BLOCKS
+        if restart_interval and bidx and bidx % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ImageError("missing restart segment")
+            br = _BitReader(segments[seg_idx])
+            dc_pred = 0
+            eobrun = 0
+        by, bx = divmod(bidx, nbx)
+        blk = prog.coefs[ci][by, bx].reshape(64)
+        if ss == 0:
+            dc_pred = _prog_dc_block(blk, br, huff, td, ah, al, dc_pred)
+        elif ah == 0:
+            eobrun = _ac_first(blk, br, dec_ac, ss, se, al, eobrun)
+        else:
+            eobrun = _ac_refine(blk, br, dec_ac, ss, se, al, eobrun)
+
+
+def _prog_dc_block(blk, br, huff, td, ah, al, dc_pred):
+    if ah == 0:  # first DC scan: ordinary diff coding, shifted by Al
+        dec_dc = huff.get((0, td))
+        if dec_dc is None:
+            raise ImageError("missing Huffman table")
+        s = dec_dc.decode(br)
+        if s > 11:
+            raise ImageError("bad DC category")
+        diff = _extend(br.read_bits(s), s) if s else 0
+        dc_pred += diff
+        blk[0] = dc_pred << al
+    else:  # refinement: one raw bit per block
+        if br.read_bit():
+            blk[0] |= 1 << al
+    return dc_pred
+
+
+def _ac_first(blk, br, dec_ac, ss, se, al, eobrun):
+    """AC spectral-selection first scan for one block (T.81 G.1.2.2)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = dec_ac.decode(br)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.read_bits(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ImageError("AC run past band end")
+        blk[ZIGZAG[k]] = _extend(br.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(blk, br, dec_ac, ss, se, al, eobrun):
+    """AC successive-approximation refinement for one block (G.1.2.3):
+    each already-nonzero coefficient passed gets a correction bit; newly
+    significant coefficients arrive as +/-(1<<Al)."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = dec_ac.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    # NO -1 here (unlike _ac_first): the EOB tail below
+                    # consumes the current block's unit itself
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break  # remaining coefs corrected in the EOB tail
+                # r == 15: ZRL — pass 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ImageError("bad refinement magnitude")
+                val = p1 if br.read_bit() else m1
+            while k <= se:
+                c = ZIGZAG[k]
+                if blk[c] != 0:
+                    if br.read_bit() and (blk[c] & p1) == 0:
+                        blk[c] += p1 if blk[c] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val != 0:
+                if k > se:
+                    raise ImageError("refinement run past band end")
+                blk[ZIGZAG[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = ZIGZAG[k]
+            if blk[c] != 0:
+                if br.read_bit() and (blk[c] & p1) == 0:
+                    blk[c] += p1 if blk[c] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 # ---------------------------------------------------------------------------

@@ -5,12 +5,13 @@ metadata struct; decode / feature-extraction / resize / frame-sampling run
 as Arrow-batched mapInPandas stages.
 
 Decode reality in this container (no PIL/ffmpeg):
-- **image: REAL for PNG, baseline JPEG, and PPM/P6** — PNG/PPM via
-  `snacktory_spark.imaging` (pure python + stdlib zlib, full
-  scanline-filter support), JPEG via `snacktory_spark.jpeg` (baseline
-  sequential: Huffman entropy decode, numpy IDCT, 4:4:4/4:2:2/4:2:0,
-  restart markers; cross-validated against Java ImageIO both directions).
-  Progressive JPEG and exotic codecs fall back to the deterministic fake
+- **image: REAL for PNG, JPEG (baseline AND progressive), and PPM/P6** —
+  PNG/PPM via `snacktory_spark.imaging` (pure python + stdlib zlib, full
+  scanline-filter support), JPEG via `snacktory_spark.jpeg` (Huffman
+  entropy decode, numpy IDCT, 4:4:4/4:2:2/4:2:0, restart markers, T.81
+  Annex G progressive scans; cross-validated against Java ImageIO both
+  directions incl. its progressive writer). Exotic codecs
+  (arithmetic/lossless/12-bit) fall back to the deterministic fake
   (or NotImplementedError when fakes are disabled).
 - **pdf: REAL** via `snacktory_spark.pdf` (see extract_pdf_text_df below).
 - **audio: REAL for WAV (RIFF PCM)** via `snacktory_spark.av` — duration,
@@ -61,8 +62,8 @@ FEATURE_DIM = 16
 def decode_payload(payload: bytes, kind: str, deterministic_fake: bool = False):
     """Decode a media payload into a feature vector.
 
-    Images in a supported codec (PNG, baseline JPEG, PPM) are REALLY
-    decoded: per-channel mean/std + a 4x4 grayscale thumbnail
+    Images in a supported codec (PNG, JPEG incl. progressive, PPM) are
+    REALLY decoded: per-channel mean/std + a 4x4 grayscale thumbnail
     (snacktory_spark.imaging / .jpeg). Other kinds/codecs need native
     libs this container lacks: with
     deterministic_fake=True they yield a seeded content-derived pseudo
@@ -74,7 +75,7 @@ def decode_payload(payload: bytes, kind: str, deterministic_fake: bool = False):
             w, h, c, px = sniff_decode(payload)
             return np.asarray(image_features(px, w, h, c), dtype=np.float32)
         except ImageError:
-            pass  # unsupported codec (e.g. progressive JPEG) → stub below
+            pass  # unsupported codec (arithmetic/lossless) → stub below
     elif kind == "audio" and payload[:4] == b"RIFF":
         from .av import audio_features
         from .imaging import ImageError

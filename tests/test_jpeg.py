@@ -119,12 +119,43 @@ def test_truncated_jpeg_raises_image_error():
             decode_jpeg(data[:cut])
 
 
-def test_progressive_marker_rejected():
-    # minimal SOI + SOF2 header: declared out of the baseline subset
-    sof2 = (b"\xFF\xD8\xFF\xC2" + struct.pack(">H", 11)
-            + bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
-    with pytest.raises(ImageError, match="not supported"):
-        decode_jpeg(sof2)
+def test_lossless_and_arithmetic_rejected():
+    for sof in (0xC3, 0xC9, 0xCB):  # lossless / arith sequential / arith prog
+        hdr = (b"\xFF\xD8" + bytes([0xFF, sof]) + struct.pack(">H", 11)
+               + bytes([8]) + struct.pack(">HH", 8, 8)
+               + bytes([1, 1, 0x11, 0]))
+        with pytest.raises(ImageError, match="not supported"):
+            decode_jpeg(hdr)
+
+
+def test_progressive_hostile_scans():
+    """SOF2 with malformed scan scripts must raise ImageError, never leak."""
+    sof2 = (b"\xFF\xC2" + struct.pack(">H", 11) + bytes([8])
+            + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    cases = [
+        # AC scan with 2 components (must be non-interleaved)
+        b"\xFF\xDA" + struct.pack(">H", 10) + bytes([2, 1, 0, 2, 0, 1, 63, 0]),
+        # band outside 1..63
+        b"\xFF\xDA" + struct.pack(">H", 8) + bytes([1, 1, 0, 40, 20, 0]),
+        # DC scan with nonzero Se
+        b"\xFF\xDA" + struct.pack(">H", 8) + bytes([1, 1, 0, 0, 5, 0]),
+        # unknown scan component id
+        b"\xFF\xDA" + struct.pack(">H", 8) + bytes([1, 9, 0, 0, 0, 0]),
+    ]
+    for sos in cases:
+        with pytest.raises(ImageError):
+            decode_jpeg(b"\xFF\xD8" + sof2 + sos + b"\x00" * 16 + b"\xFF\xD9")
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_progressive_fuzz_never_leaks(data):
+    sof2 = (b"\xFF\xC2" + struct.pack(">H", 11) + bytes([8])
+            + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    try:
+        decode_jpeg(b"\xFF\xD8" + sof2 + data)
+    except ImageError:
+        pass
 
 
 def test_dimension_bomb_rejected():
@@ -163,9 +194,10 @@ def test_roundtrip_property(w, h, seed):
 # ---------------------------------------------------------------------------
 
 _JAVA_SRC = r"""
-import javax.imageio.ImageIO;
+import javax.imageio.*;
 import java.awt.image.BufferedImage;
 import java.io.*;
+import java.util.Iterator;
 
 public class JX {
     public static void main(String[] a) throws Exception {
@@ -181,7 +213,7 @@ public class JX {
                 o.writeByte(p & 255);
             }
             o.close();
-        } else {
+        } else {  // encode | pencode (progressive)
             DataInputStream in = new DataInputStream(
                 new BufferedInputStream(new FileInputStream(a[1])));
             int w = in.readInt(), h = in.readInt();
@@ -191,7 +223,16 @@ public class JX {
                 img.setRGB(x, y, (r << 16) | (g << 8) | b);
             }
             in.close();
-            ImageIO.write(img, "jpeg", new File(a[2]));
+            Iterator<ImageWriter> it = ImageIO.getImageWritersByFormatName("jpeg");
+            ImageWriter wr = it.next();
+            ImageWriteParam p = wr.getDefaultWriteParam();
+            if (a[0].equals("pencode"))
+                p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT);
+            p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT);
+            p.setCompressionQuality(0.9f);
+            wr.setOutput(ImageIO.createImageOutputStream(new File(a[2])));
+            wr.write(null, new IIOImage(img, null, null), p);
+            wr.dispose();
         }
     }
 }
@@ -227,6 +268,32 @@ def test_java_imageio_decodes_our_output(java_tool):
         jpix = np.frombuffer(data[8:], dtype=np.uint8).reshape(h, w, 3)
         rmse = np.sqrt(((jpix.astype(float) - img.astype(float)) ** 2).mean())
         assert rmse < 4.0
+
+
+@needs_java
+def test_progressive_decode_matches_java(java_tool):
+    """Full progressive pipeline: ImageIO writes a multi-scan SOF2 file
+    (DC first+refine, AC spectral bands, AC successive-approximation
+    refinement); our decoder must match ImageIO's own decode within
+    chroma-upsampling tolerance."""
+    w, h = 37, 29
+    img = _gradient(w, h, seed=21)
+    src = java_tool / "psrc.raw"
+    src.write_bytes(struct.pack(">ii", w, h) + img.tobytes())
+    jpg = java_tool / "prog.jpg"
+    subprocess.run(["java", "JX.java", "pencode", str(src), str(jpg)],
+                   cwd=java_tool, check=True, capture_output=True)
+    # confirm the fixture really is progressive (SOF2 marker present)
+    assert b"\xFF\xC2" in jpg.read_bytes()
+    out_w, out_h, c, raw = decode_jpeg(jpg.read_bytes())
+    assert (out_w, out_h, c) == (w, h, 3)
+    ref = java_tool / "pref.raw"
+    subprocess.run(["java", "JX.java", "decode", str(jpg), str(ref)],
+                   cwd=java_tool, check=True, capture_output=True)
+    jref = np.frombuffer(ref.read_bytes()[8:], dtype=np.uint8).astype(float)
+    mine = np.frombuffer(raw, dtype=np.uint8).astype(float)
+    assert np.sqrt(((mine - jref) ** 2).mean()) < 5.0
+    assert np.abs(mine - jref).max() <= 32
 
 
 @needs_java
