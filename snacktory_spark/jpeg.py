@@ -373,10 +373,7 @@ def _decode_scan(data, pos, seg, frame, qt, huff, restart_interval):
 
     segments, _scan_end = _split_entropy(data, pos)
 
-    max_h = max(c[1] for c in comps)
-    max_v = max(c[2] for c in comps)
-    mcus_x = -(-w // (8 * max_h))
-    mcus_y = -(-h // (8 * max_v))
+    max_h, max_v, mcus_x, mcus_y = _mcu_geometry(frame)
 
     # per-component coefficient stores, MCU-padded
     planes_coef = []

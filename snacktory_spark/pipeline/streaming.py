@@ -65,7 +65,8 @@ def streaming_dedup_turns(spark: SparkSession, input_dir: str,
               .withColumn("text_sha", F.sha2(F.col("text"), 256)))
     return (hashed
             .withWatermark("ts", watermark)
-            .dropDuplicatesWithinWatermark(["text_sha"]))
+            .dropDuplicatesWithinWatermark(["text_sha"])
+            .drop("text_sha"))  # internal key — keep the transcript shape
 
 
 def run_streaming_dedup_once(spark: SparkSession, input_dir: str,

@@ -133,8 +133,9 @@ def test_progressive_hostile_scans():
     sof2 = (b"\xFF\xC2" + struct.pack(">H", 11) + bytes([8])
             + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
     cases = [
-        # AC scan with 2 components (must be non-interleaved)
-        b"\xFF\xDA" + struct.pack(">H", 10) + bytes([2, 1, 0, 2, 0, 1, 63, 0]),
+        # AC scan with 2 components (must be non-interleaved) — both
+        # component ids resolve in the frame so the ns!=1 branch is hit
+        b"\xFF\xDA" + struct.pack(">H", 10) + bytes([2, 1, 0, 1, 0, 1, 63, 0]),
         # band outside 1..63
         b"\xFF\xDA" + struct.pack(">H", 8) + bytes([1, 1, 0, 40, 20, 0]),
         # DC scan with nonzero Se

@@ -152,6 +152,9 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     ckpt = str(tmp_path / "dckpt")
     assert run_streaming_dedup_once(spark, str(in_dir), out_dir, ckpt)
     got = spark.read.parquet(out_dir)
+    # output keeps the transcript shape: no internal dedup-key column
+    assert sorted(got.columns) == sorted(
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts"])
     texts = sorted(r["text"] for r in got.collect())
     # empty text gated out; each distinct text survives exactly once
     assert texts == ["alpha", "beta", "gamma"]
