@@ -1038,6 +1038,61 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_assign(emb, cents)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search END-TO-END (the scale path, not just the assign
+    step): coarse-quantize every vector to its nearest centroid
+    (narrow map), pick the query's nprobe=2 nearest cells driver-side
+    (k x dim tiny), then exact cosine top-10 over ONLY the probed cells'
+    candidates — at corpus scale this scans nprobe/k of the vectors
+    instead of all of them. Centroids = embeddings of vec_id 1..4;
+    query = vec_id 0 (deterministic)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+    from snacktory_spark.textops import ivf_assign
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seed = emb.filter(F.col("vec_id").isin(0, 1, 2, 3, 4)) \
+        .orderBy("vec_id").collect()
+    qvec = seed[0]["embedding"]
+    cents = [r["embedding"] for r in seed[1:]]
+    dists = sorted((sum((a - b) ** 2 for a, b in zip(qvec, c)), i)
+                   for i, c in enumerate(cents))
+    probe = [i for _, i in dists[:2]]
+    cand = (ivf_assign(emb.filter(F.col("vec_id") != 0), cents)
+            .filter(F.col("cell").isin(probe))
+            .select("vec_id", "cell"))
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    dot = F.aggregate(F.zip_with(F.col("embedding"), qlit,
+                                 lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm_a = F.sqrt(F.aggregate(F.col("embedding"), F.lit(0.0),
+                                lambda acc, x: acc + x * x))
+    norm_q = float(sum(float(x) * float(x) for x in qvec)) ** 0.5
+    cos = dot / (norm_a * F.lit(norm_q))
+    return (emb.join(cand, "vec_id")
+            .select("vec_id", F.col("cell").cast("long").alias("cell"),
+                    F.round(cos, 4).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+            .limit(10))
+
+
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite corpus filter — the decision step the individual signals
+    feed: join quality features (length/ratios) with repetition metrics
+    and emit one keep/drop verdict per document. Two narrow signal
+    pipelines meeting in one join + a boolean expression; the standard
+    shape of a production filter cascade."""
+    from pyspark.sql import functions as F
+    q = q_doc_quality(spark, sf_dir)
+    r = q_doc_repetition(spark, sf_dir)
+    j = q.join(r, "doc_id", "left")
+    keep = ((F.col("n_tokens") >= 30)
+            & (F.col("stopword_ratio") >= 0.01)
+            & (F.coalesce(F.col("top_gram_frac"), F.lit(0.0)) <= 0.08)
+            & (F.coalesce(F.col("dup_gram_frac"), F.lit(0.0)) <= 0.85))
+    return j.select("doc_id", keep.alias("keep"))
+
+
 def q_conv_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation flattening (training-data op): per conv_id, concatenate
     turn texts in stable turn order into one document.
@@ -1164,6 +1219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keeper": q_dedup_keeper,
         "source_quota": q_source_quota,
         "vocab_topk": q_vocab_topk,
+        "ivf_topk": q_ivf_topk,
+        "quality_gate": q_quality_gate,
         "pii_redact": q_pii_redact,
         "stratified_sample": q_stratified_sample,
         "chunk_dedup": q_chunk_dedup,
@@ -1486,6 +1543,70 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(label)::BIGINT AS component
             FROM reach GROUP BY id
+        """,
+        "ivf_topk": """
+            WITH cents AS (SELECT vec_id - 1 AS cell, embedding AS ce
+                           FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+            q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            assign AS (
+                SELECT vec_id, embedding, cell FROM (
+                    SELECT e.vec_id, e.embedding, c.cell,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_dot_product(e.embedding, e.embedding)
+                                        - 2 * list_dot_product(e.embedding, c.ce)
+                                        + list_dot_product(c.ce, c.ce),
+                                        c.cell) AS rn
+                    FROM embeddings e CROSS JOIN cents c
+                    WHERE e.vec_id <> 0)
+                WHERE rn = 1),
+            probe AS (
+                SELECT c.cell FROM cents c CROSS JOIN q
+                ORDER BY list_dot_product(c.ce, c.ce)
+                         - 2 * list_dot_product(c.ce, qe)
+                         + list_dot_product(qe, qe),
+                         c.cell
+                LIMIT 2)
+            SELECT a.vec_id, a.cell::BIGINT AS cell,
+                   round(list_dot_product(a.embedding, qe)
+                         / (sqrt(list_dot_product(a.embedding, a.embedding))
+                            * sqrt(list_dot_product(qe, qe))), 4) AS cos_sim
+            FROM assign a CROSS JOIN q
+            WHERE a.cell IN (SELECT cell FROM probe)
+            ORDER BY cos_sim DESC, a.vec_id ASC
+            LIMIT 10
+        """,
+        "quality_gate": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+                       text
+                FROM documents WHERE length(text) > 0),
+            q AS (
+                SELECT doc_id, len(toks) AS n_tokens,
+                       round(len(list_filter(toks,
+                           x -> x in ('the','of','and','to','a','in','is',
+                                      'it','that','for')))::DOUBLE
+                             / len(toks), 4) AS stopword_ratio
+                FROM t),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks)),
+                           i -> array_to_string(list_slice(toks, i, i + 1),
+                                                ' '))) AS gram
+                FROM t WHERE len(toks) >= 2),
+            counts AS (SELECT doc_id, gram, count(*) AS c
+                       FROM grams GROUP BY doc_id, gram),
+            rep AS (
+                SELECT doc_id,
+                       round(1.0 - count(*) / sum(c), 4) AS dup_gram_frac,
+                       round(max(c) / sum(c), 4) AS top_gram_frac
+                FROM counts GROUP BY doc_id)
+            SELECT q.doc_id,
+                   (q.n_tokens >= 30 AND q.stopword_ratio >= 0.01
+                    AND coalesce(r.top_gram_frac, 0) <= 0.08
+                    AND coalesce(r.dup_gram_frac, 0) <= 0.85) AS keep
+            FROM q LEFT JOIN rep r USING (doc_id)
         """,
         "source_quota": """
             SELECT doc_id, source, rk::BIGINT AS rk FROM (
