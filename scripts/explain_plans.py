@@ -139,6 +139,28 @@ def main():
                      "(doc_id, gram) -> partial+final HashAggregate on "
                      "doc_id. No joins, no windows."))
 
+    # 15. source_quota: per-source top-k must prune map-side
+    sections.append(("source_quota (per-source quotas)",
+                     plan_of(em.q_source_quota(spark, SF_DIR)),
+                     "Sort+WindowGroupLimit partial/final around one "
+                     "source-hash exchange: a mega-domain's rows are cut "
+                     "to the quota BEFORE shuffling."))
+
+    # 16. vocab_topk: global top-k without a global sort
+    sections.append(("vocab_topk (vocabulary head)",
+                     plan_of(em.q_vocab_topk(spark, SF_DIR)),
+                     "Generate -> partial+final HashAggregate -> "
+                     "TakeOrderedAndProject (top-k heap per partition + "
+                     "driver merge; the full vocabulary is never sorted)."))
+
+    # 17. ivf_topk: probed-cells ANN — no cross join anywhere
+    sections.append(("ivf_topk (IVF ANN search)",
+                     plan_of(em.q_ivf_topk(spark, SF_DIR)),
+                     "Narrow centroid-assignment map -> cell filter -> "
+                     "join back to embeddings -> TakeOrderedAndProject. "
+                     "Candidates are nprobe/k of the corpus; the exact "
+                     "rerank never sees the rest."))
+
     with open("/root/repo/BENCH/PLANS.md", "w") as f:
         f.write("# Physical plans of the headline queries\n\n"
                 "Generated by scripts/explain_plans.py (local[4], AQE on).\n")
