@@ -199,6 +199,58 @@ def decode_ppm(data: bytes) -> tuple[int, int, int, bytes]:
 # ops
 # ---------------------------------------------------------------------------
 
+def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
+    """Uncompressed BMP (BITMAPINFOHEADER+, 8-bit palette / 24 / 32 bpp)
+    → (width, height, 3, RGB bytes). Bottom-up and top-down rows, 4-byte
+    row padding, BGRA palette entries — the spec's required core."""
+    import numpy as np
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ImageError("not a BMP")
+    (off,) = struct.unpack("<I", data[10:14])
+    (hsz,) = struct.unpack("<I", data[14:18])
+    if hsz < 40:
+        raise ImageError("BITMAPCOREHEADER BMP not supported")
+    w, h = struct.unpack("<ii", data[18:26])
+    _planes, bpp = struct.unpack("<HH", data[26:30])
+    (comp,) = struct.unpack("<I", data[30:34])
+    if comp not in (0, 3):  # BI_RGB / BI_BITFIELDS-with-default-masks
+        raise ImageError(f"compressed BMP (BI_ compression {comp}) "
+                         "not supported")
+    top_down = h < 0
+    h = abs(h)
+    if w < 1 or h < 1 or w * h > (1 << 24):
+        raise ImageError("BMP dimensions out of bounds")
+    if bpp in (24, 32):
+        bypp = bpp // 8
+        row = (w * bypp + 3) & ~3
+        if off + row * h > len(data):
+            raise ImageError("truncated BMP pixel data")
+        arr = np.frombuffer(data[off:off + row * h],
+                            np.uint8).reshape(h, row)
+        px = arr[:, :w * bypp].reshape(h, w, bypp)
+        rgb = px[:, :, 2::-1]  # BGR(A) -> RGB
+    elif bpp == 8:
+        pal_bytes = off - 14 - hsz
+        n = min(pal_bytes // 4, 256)
+        if n < 1:
+            raise ImageError("8-bit BMP without palette")
+        pal = np.frombuffer(data[14 + hsz:14 + hsz + 4 * n],
+                            np.uint8).reshape(n, 4)[:, 2::-1]  # BGRX->RGB
+        row = (w + 3) & ~3
+        if off + row * h > len(data):
+            raise ImageError("truncated BMP pixel data")
+        idx = np.frombuffer(data[off:off + row * h],
+                            np.uint8).reshape(h, row)[:, :w]
+        if int(idx.max()) >= n:
+            raise ImageError("BMP palette index out of range")
+        rgb = pal[idx]
+    else:
+        raise ImageError(f"{bpp}-bpp BMP not supported (8/24/32 only)")
+    if not top_down:
+        rgb = rgb[::-1]
+    return w, h, 3, np.ascontiguousarray(rgb).tobytes()
+
+
 def sniff_decode(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode by magic bytes; EVERY failure mode is ImageError (the Spark
     decode path catches exactly that — a leaked struct.error/ValueError
@@ -211,12 +263,18 @@ def sniff_decode(data: bytes) -> tuple[int, int, int, bytes]:
         if data.startswith(b"\xFF\xD8"):
             from .jpeg import decode_jpeg  # lazy: needs numpy
             return decode_jpeg(data)
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            from .gif import decode_gif
+            return decode_gif(data)
+        if data.startswith(b"BM") and len(data) >= 54:
+            return decode_bmp(data)
     except ImageError:
         raise
     except (ValueError, struct.error, OverflowError, MemoryError,
             IndexError) as e:
         raise ImageError(f"malformed image: {type(e).__name__}: {e}") from None
-    raise ImageError("unsupported image format (supported: PNG, JPEG, PPM/P6)")
+    raise ImageError("unsupported image format "
+                     "(supported: PNG, JPEG, GIF, BMP, PPM/P6)")
 
 
 def resize_nearest(pixels: bytes, width: int, height: int, channels: int,

@@ -5,14 +5,16 @@ metadata struct; decode / feature-extraction / resize / frame-sampling run
 as Arrow-batched mapInPandas stages.
 
 Decode reality in this container (no PIL/ffmpeg):
-- **image: REAL for PNG, JPEG (baseline AND progressive), and PPM/P6** —
-  PNG/PPM via `snacktory_spark.imaging` (pure python + stdlib zlib, full
-  scanline-filter support), JPEG via `snacktory_spark.jpeg` (Huffman
-  entropy decode, numpy IDCT, 4:4:4/4:2:2/4:2:0, restart markers, T.81
-  Annex G progressive scans; cross-validated against Java ImageIO both
-  directions incl. its progressive writer). Exotic codecs
-  (arithmetic/lossless/12-bit) fall back to the deterministic fake
-  (or NotImplementedError when fakes are disabled).
+- **image: REAL for PNG, JPEG (baseline AND progressive), GIF, BMP, and
+  PPM/P6** — PNG/PPM/BMP via `snacktory_spark.imaging` (pure python +
+  stdlib zlib, full scanline-filter support), JPEG via
+  `snacktory_spark.jpeg` (Huffman entropy decode, numpy IDCT,
+  4:4:4/4:2:2/4:2:0, restart markers, T.81 Annex G progressive scans;
+  cross-validated against Java ImageIO both directions incl. its
+  progressive writer), GIF via `snacktory_spark.gif` (LZW, interlace,
+  frame compositing; bit-exact vs ImageIO — palette formats are
+  lossless). Exotic codecs (arithmetic JPEG, RLE BMP) fall back to the
+  deterministic fake (or NotImplementedError when fakes are disabled).
 - **pdf: REAL** via `snacktory_spark.pdf` (see extract_pdf_text_df below).
 - **audio: REAL for WAV (RIFF PCM)** via `snacktory_spark.av` — duration,
   RMS, zero-crossing rate, FFT dominant frequency + spectral centroid.
@@ -134,6 +136,22 @@ def extract_media_features(df: DataFrame, deterministic_fake: bool = True,
                           schema=MEDIA_FEATURES_SCHEMA)
 
 
+def _bmp24_bytes(px: bytes, w: int, h: int) -> bytes:
+    """Minimal bottom-up 24-bit BMP writer (fake-media payloads)."""
+    import struct
+    import numpy as np
+    img = np.frombuffer(px, np.uint8).reshape(h, w, 3)
+    row = (w * 3 + 3) & ~3
+    body = bytearray()
+    for r in img[::-1]:
+        line = r[:, ::-1].tobytes()
+        body += line + b"\x00" * (row - len(line))
+    return (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                          len(body), 2835, 2835, 0, 0)
+            + bytes(body))
+
+
 def make_fake_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media table for plumbing tests."""
     import random
@@ -147,17 +165,22 @@ def make_fake_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
     for i in range(n):
         kind = kinds[i % 3]
         if kind == "image":
-            # REAL decodable payload: alternate small random RGB PNGs and
-            # baseline JPEGs (the two codecs a web corpus is made of)
+            # REAL decodable payloads cycling PNG / baseline JPEG / BMP
+            # (GIF needs an LZW encoder we don't ship; its decode path is
+            # exercised by tests/test_gif.py incl. ImageIO cross-check)
             w, h = rng.randint(4, 12), rng.randint(4, 12)
             px = bytes(rng.getrandbits(8) for _ in range(w * h * 3))
-            if (i // 3) % 2:
+            variant = (i // 3) % 3
+            if variant == 0:
+                rows.append((f"m-{i:05d}", "image", "image/png",
+                             w, h, None, encode_png(px, w, h, 3)))
+            elif variant == 1:
                 rows.append((f"m-{i:05d}", "image", "image/jpeg",
                              w, h, None, encode_jpeg(px, w, h, 3,
                                                      quality=92)))
             else:
-                rows.append((f"m-{i:05d}", "image", "image/png",
-                             w, h, None, encode_png(px, w, h, 3)))
+                rows.append((f"m-{i:05d}", "image", "image/bmp",
+                             w, h, None, _bmp24_bytes(px, w, h)))
         elif kind == "audio":
             # REAL decodable payload: short PCM WAV sine burst; every
             # third one stays a fake compressed-codec blob (stub path)

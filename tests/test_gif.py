@@ -1,0 +1,282 @@
+"""GIF/BMP decoder tests: ImageIO cross-validation (bit-exact — palette
+formats are lossless), hand-crafted interlace/multi-frame/transparency
+streams, hostile input, fuzz."""
+
+import shutil
+import struct
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+sys.path.insert(0, "/root/repo")
+
+from snacktory_spark.gif import count_gif_frames, decode_gif, iter_gif_frames
+from snacktory_spark.imaging import ImageError, decode_bmp, sniff_decode
+
+
+# --- minimal GIF writer (test-only): min_code_size=7, a CLEAR before every
+# --- literal keeps all codes exactly 8 bits -> trivially valid LZW
+def _lzw_literals(indices: np.ndarray) -> bytes:
+    out = bytearray()
+    for px in indices.reshape(-1):
+        out += bytes([0x80, int(px)])  # CLEAR, literal
+    out.append(0x81)  # EOI
+    return bytes(out)
+
+
+def _blocks(payload: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(payload), 255):
+        chunk = payload[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00"
+    return bytes(out)
+
+
+def make_gif(frames, palette, sw=None, sh=None, interlace=False,
+             transparent=None, disposal=0, offsets=None):
+    """frames: list of (h, w) index arrays (values < 128); palette (n,3)."""
+    sw = sw or frames[0].shape[1]
+    sh = sh or frames[0].shape[0]
+    pal = np.zeros((128, 3), np.uint8)
+    pal[:len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", sw, sh)
+    out += bytes([0x80 | 0x06, 0, 0])  # GCT present, 128 entries (2<<6)
+    out += pal.tobytes()
+    for fi, fr in enumerate(frames):
+        h, w = fr.shape
+        left, top = (offsets[fi] if offsets else (0, 0))
+        if transparent is not None or disposal:
+            out += bytes([0x21, 0xF9, 4,
+                          ((disposal & 7) << 2)
+                          | (1 if transparent is not None else 0),
+                          0, 0, transparent or 0, 0])
+        out += b"\x2C" + struct.pack("<HHHH", left, top, w, h)
+        out += bytes([0x40 if interlace else 0x00])
+        out += bytes([7])  # min code size
+        if interlace:
+            rows = []
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                rows.extend(range(start, h, step))
+            fr = fr[rows, :]  # stream carries pass order
+        out += _blocks(_lzw_literals(fr))
+    out += b"\x3B"
+    return bytes(out)
+
+
+_PAL = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255],
+                 [250, 200, 10], [90, 90, 90]], np.uint8)
+
+
+def test_single_frame_roundtrip():
+    idx = (np.add.outer(np.arange(10), np.arange(12)) % 6).astype(np.uint8)
+    w, h, c, raw = decode_gif(make_gif([idx], _PAL))
+    assert (w, h, c) == (12, 10, 3)
+    got = np.frombuffer(raw, np.uint8).reshape(10, 12, 3)
+    assert (got == _PAL[idx]).all()
+
+
+def test_interlaced_matches_sequential():
+    idx = (np.add.outer(np.arange(16), np.arange(9)) % 6).astype(np.uint8)
+    plain = decode_gif(make_gif([idx], _PAL))[3]
+    inter = decode_gif(make_gif([idx], _PAL, interlace=True))[3]
+    assert plain == inter
+
+
+def test_multi_frame_compositing_and_sampling():
+    base = np.zeros((8, 8), np.uint8)
+    patch = np.full((4, 4), 2, np.uint8)
+    gif = make_gif([base, patch, patch + 1], _PAL, sw=8, sh=8,
+                   offsets=[(0, 0), (2, 2), (4, 4)])
+    assert count_gif_frames(gif) == 3
+    frames = dict(iter_gif_frames(gif, every_k=2))
+    assert sorted(frames) == [0, 2]
+    # frame 2 composites: base, then green patch at (2,2), blue at (4,4)
+    f2 = frames[2]
+    assert (f2[0, 0] == _PAL[0]).all()
+    assert (f2[3, 2] == _PAL[2]).all()   # survives from frame 1
+    assert (f2[5, 5] == _PAL[3]).all()
+
+
+def test_transparency_preserves_previous():
+    base = np.full((6, 6), 1, np.uint8)          # red screen
+    over = np.full((6, 6), 5, np.uint8)
+    over[2:4, 2:4] = 0                           # index 0 = transparent
+    gif = make_gif([base, over], _PAL, transparent=0)
+    frames = dict(iter_gif_frames(gif))
+    f1 = frames[1]
+    assert (f1[0, 0] == _PAL[5]).all()
+    assert (f1[2, 2] == _PAL[1]).all()  # red shows through the hole
+
+
+def test_restore_to_background_disposal():
+    fr = np.full((4, 4), 2, np.uint8)
+    gif = make_gif([fr, fr], _PAL, disposal=2)
+    frames = dict(iter_gif_frames(gif))
+    # during each frame the patch is visible (bg restore applies AFTER)
+    assert (frames[0][0, 0] == _PAL[2]).all()
+    assert (frames[1][0, 0] == _PAL[2]).all()
+
+
+@pytest.mark.parametrize("mutant", [
+    b"GIF89a",                                        # truncated header
+    b"NOTGIF" + b"\x00" * 20,                         # wrong magic
+    b"GIF89a" + struct.pack("<HH", 0, 5) + b"\x00\x00\x00\x3B",  # zero dim
+    b"GIF89a" + struct.pack("<HH", 60000, 60000) + b"\x00\x00\x00\x3B",
+    b"GIF89a" + struct.pack("<HH", 4, 4) + b"\x00\x00\x00" + b"\x99",  # block
+    b"GIF89a" + struct.pack("<HH", 4, 4) + b"\x00\x00\x00",  # no trailer
+])
+def test_gif_hostile(mutant):
+    with pytest.raises(ImageError):
+        decode_gif(mutant)
+
+
+def test_gif_frame_without_color_table():
+    raw = (b"GIF89a" + struct.pack("<HH", 4, 4) + b"\x00\x00\x00"
+           + b"\x2C" + struct.pack("<HHHH", 0, 0, 4, 4) + b"\x00"
+           + bytes([7]) + _blocks(_lzw_literals(np.zeros((4, 4), np.uint8)))
+           + b"\x3B")
+    with pytest.raises(ImageError, match="color table"):
+        decode_gif(raw)
+
+
+def test_lzw_bomb_capped():
+    idx = np.zeros((4, 4), np.uint8)
+    # valid literals far beyond the frame size
+    payload = _lzw_literals(np.zeros((40, 40), np.uint8))
+    raw = (b"GIF89a" + struct.pack("<HH", 4, 4) + bytes([0x80, 0, 0])
+           + np.zeros((2, 3), np.uint8).tobytes()
+           + b"\x2C" + struct.pack("<HHHH", 0, 0, 4, 4) + b"\x00"
+           + bytes([7]) + _blocks(payload) + b"\x3B")
+    with pytest.raises(ImageError, match="bomb|frame size"):
+        decode_gif(raw)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_gif_fuzz_never_leaks(data):
+    try:
+        decode_gif(b"GIF89a" + data)
+    except ImageError:
+        pass
+
+
+# --- BMP -------------------------------------------------------------------
+
+def _bmp24(img: np.ndarray, top_down=False) -> bytes:
+    h, w, _ = img.shape
+    row = (w * 3 + 3) & ~3
+    body = bytearray()
+    rows = img if top_down else img[::-1]
+    for r in rows:
+        line = r[:, ::-1].tobytes()  # RGB -> BGR
+        body += line + b"\x00" * (row - len(line))
+    hdr = (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h,
+                         1, 24, 0, len(body), 2835, 2835, 0, 0))
+    return bytes(hdr + body)
+
+
+def test_bmp24_bottom_up_and_top_down():
+    img = (np.arange(5 * 7 * 3) % 251).astype(np.uint8).reshape(5, 7, 3)
+    for td in (False, True):
+        w, h, c, raw = decode_bmp(_bmp24(img, top_down=td))
+        assert (w, h, c) == (7, 5, 3)
+        assert np.frombuffer(raw, np.uint8).reshape(5, 7, 3).tolist() \
+            == img.tolist()
+
+
+def test_bmp_sniff_and_hostile():
+    img = np.full((4, 4, 3), 9, np.uint8)
+    data = _bmp24(img)
+    assert sniff_decode(data)[:3] == (4, 4, 3)
+    with pytest.raises(ImageError):
+        decode_bmp(data[:40])
+    bad = bytearray(data)
+    struct.pack_into("<I", bad, 30, 1)  # BI_RLE8 compression
+    with pytest.raises(ImageError, match="not supported"):
+        decode_bmp(bytes(bad))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_bmp_fuzz_never_leaks(data):
+    try:
+        decode_bmp(b"BM" + data)
+    except ImageError:
+        pass
+
+
+# --- ImageIO cross-validation (lossless formats -> BIT-EXACT) ---------------
+
+needs_java = pytest.mark.skipif(shutil.which("java") is None,
+                                reason="no java runtime")
+
+_JAVA_SRC = r"""
+import javax.imageio.ImageIO;
+import java.awt.image.BufferedImage;
+import java.io.*;
+
+public class GBX {
+    public static void main(String[] a) throws Exception {
+        if (a[0].equals("decode")) {
+            BufferedImage img = ImageIO.read(new File(a[1]));
+            int w = img.getWidth(), h = img.getHeight();
+            DataOutputStream o = new DataOutputStream(
+                new BufferedOutputStream(new FileOutputStream(a[2])));
+            o.writeInt(w); o.writeInt(h);
+            for (int y = 0; y < h; y++) for (int x = 0; x < w; x++) {
+                int p = img.getRGB(x, y);
+                o.writeByte((p >> 16) & 255); o.writeByte((p >> 8) & 255);
+                o.writeByte(p & 255);
+            }
+            o.close();
+        } else {
+            DataInputStream in = new DataInputStream(
+                new BufferedInputStream(new FileInputStream(a[1])));
+            int w = in.readInt(), h = in.readInt();
+            BufferedImage img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB);
+            for (int y = 0; y < h; y++) for (int x = 0; x < w; x++) {
+                int r = in.read(), g = in.read(), b = in.read();
+                img.setRGB(x, y, (r << 16) | (g << 8) | b);
+            }
+            in.close();
+            ImageIO.write(img, a[0], new File(a[2]));
+        }
+    }
+}
+"""
+
+
+@pytest.fixture(scope="module")
+def java_tool(tmp_path_factory):
+    d = tmp_path_factory.mktemp("gbx")
+    (d / "GBX.java").write_text(_JAVA_SRC)
+    return d
+
+
+@needs_java
+@pytest.mark.parametrize("fmt", ["gif", "bmp"])
+def test_imageio_cross_validation_bit_exact(java_tool, fmt):
+    rng = np.random.RandomState(11)
+    w, h = 37, 29
+    idx = rng.randint(0, len(_PAL), (h, w))
+    img = _PAL[idx]
+    src = java_tool / "src.raw"
+    src.write_bytes(struct.pack(">ii", w, h) + img.tobytes())
+    out = java_tool / f"t.{fmt}"
+    subprocess.run(["java", "GBX.java", fmt, str(src), str(out)],
+                   cwd=java_tool, check=True, capture_output=True)
+    W, H, C, raw = sniff_decode(out.read_bytes())
+    assert (W, H, C) == (w, h, 3)
+    mine = np.frombuffer(raw, np.uint8).reshape(h, w, 3)
+    ref = java_tool / "ref.raw"
+    subprocess.run(["java", "GBX.java", "decode", str(out), str(ref)],
+                   cwd=java_tool, check=True, capture_output=True)
+    jref = np.frombuffer(ref.read_bytes()[8:], np.uint8).reshape(h, w, 3)
+    assert (mine == jref).all()        # lossless: EXACT
+    assert (mine == img).all()
