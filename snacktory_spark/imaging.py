@@ -1,12 +1,14 @@
-"""Pure-python image decode for the multimodal pipeline (stdlib only).
+"""Pure-python image decode for the multimodal pipeline.
 
-The container ships no PIL/ffmpeg, but PNG's critical path needs nothing
-beyond zlib: this module implements a real encoder/decoder for
-non-interlaced 8-bit PNG (color types 0 grayscale / 2 RGB / 6 RGBA, all
-five scanline filters) plus binary PPM (P6), nearest-neighbor resize, and
-per-channel feature extraction. Baseline JPEG is REAL too — see
-snacktory_spark.jpeg (numpy DCT + pure-python Huffman, cross-validated
-against Java ImageIO); video/audio remain stubbed in multimodal.py.
+The container ships no PIL/ffmpeg, but none of the critical paths need
+native libs: this module implements a real encoder/decoder for
+non-interlaced 8-bit PNG (stdlib zlib; color types 0 grayscale / 2 RGB /
+6 RGBA, all five scanline filters), binary PPM (P6), BMP encode/decode
+(numpy; 8-bit palette / 24 / 32 bpp, bottom-up and top-down), plus
+nearest-neighbor resize and per-channel feature extraction. sniff_decode
+also routes JPEG — baseline AND progressive — to snacktory_spark.jpeg
+and GIF to snacktory_spark.gif (both cross-validated against Java
+ImageIO); WAV/Y4M live in snacktory_spark.av.
 
 PNG format per the public spec (RFC 2083): 8-byte signature, chunked
 layout (IHDR/IDAT/IEND + CRC32), IDAT = zlib-compressed scanlines, each
@@ -199,6 +201,26 @@ def decode_ppm(data: bytes) -> tuple[int, int, int, bytes]:
 # ops
 # ---------------------------------------------------------------------------
 
+def encode_bmp24(pixels: bytes, width: int, height: int,
+                 top_down: bool = False) -> bytes:
+    """Minimal 24-bit BMP writer from raw RGB samples (the one BMP
+    writer in the repo — tests and fake-media payloads share it)."""
+    import numpy as np
+    if len(pixels) != width * height * 3:
+        raise ImageError("pixel buffer size mismatch")
+    img = np.frombuffer(pixels, np.uint8).reshape(height, width, 3)
+    row = (width * 3 + 3) & ~3
+    body = bytearray()
+    for r in (img if top_down else img[::-1]):
+        line = r[:, ::-1].tobytes()  # RGB -> BGR
+        body += line + b"\x00" * (row - len(line))
+    return (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, width,
+                          -height if top_down else height,
+                          1, 24, 0, len(body), 2835, 2835, 0, 0)
+            + bytes(body))
+
+
 def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     """Uncompressed BMP (BITMAPINFOHEADER+, 8-bit palette / 24 / 32 bpp)
     → (width, height, 3, RGB bytes). Bottom-up and top-down rows, 4-byte
@@ -234,6 +256,8 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
         n = min(pal_bytes // 4, 256)
         if n < 1:
             raise ImageError("8-bit BMP without palette")
+        if 14 + hsz + 4 * n > len(data):
+            raise ImageError("truncated BMP palette")
         pal = np.frombuffer(data[14 + hsz:14 + hsz + 4 * n],
                             np.uint8).reshape(n, 4)[:, 2::-1]  # BGRX->RGB
         row = (w + 3) & ~3

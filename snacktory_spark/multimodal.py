@@ -64,8 +64,9 @@ FEATURE_DIM = 16
 def decode_payload(payload: bytes, kind: str, deterministic_fake: bool = False):
     """Decode a media payload into a feature vector.
 
-    Images in a supported codec (PNG, JPEG incl. progressive, PPM) are
-    REALLY decoded: per-channel mean/std + a 4x4 grayscale thumbnail
+    Images in a supported codec (PNG, JPEG incl. progressive, GIF, BMP,
+    PPM) are REALLY decoded: per-channel mean/std + a 4x4 grayscale
+    thumbnail
     (snacktory_spark.imaging / .jpeg). Other kinds/codecs need native
     libs this container lacks: with
     deterministic_fake=True they yield a seeded content-derived pseudo
@@ -136,27 +137,11 @@ def extract_media_features(df: DataFrame, deterministic_fake: bool = True,
                           schema=MEDIA_FEATURES_SCHEMA)
 
 
-def _bmp24_bytes(px: bytes, w: int, h: int) -> bytes:
-    """Minimal bottom-up 24-bit BMP writer (fake-media payloads)."""
-    import struct
-    import numpy as np
-    img = np.frombuffer(px, np.uint8).reshape(h, w, 3)
-    row = (w * 3 + 3) & ~3
-    body = bytearray()
-    for r in img[::-1]:
-        line = r[:, ::-1].tobytes()
-        body += line + b"\x00" * (row - len(line))
-    return (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
-            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
-                          len(body), 2835, 2835, 0, 0)
-            + bytes(body))
-
-
 def make_fake_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media table for plumbing tests."""
     import random
     rng = random.Random(seed)
-    from .imaging import encode_png
+    from .imaging import encode_bmp24, encode_png
     import numpy as np
     from .av import encode_wav, encode_y4m
     from .jpeg import encode_jpeg
@@ -180,7 +165,7 @@ def make_fake_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
                                                      quality=92)))
             else:
                 rows.append((f"m-{i:05d}", "image", "image/bmp",
-                             w, h, None, _bmp24_bytes(px, w, h)))
+                             w, h, None, encode_bmp24(px, w, h)))
         elif kind == "audio":
             # REAL decodable payload: short PCM WAV sine burst; every
             # third one stays a fake compressed-codec blob (stub path)

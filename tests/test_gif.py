@@ -14,7 +14,8 @@ from hypothesis import given, settings, strategies as st
 sys.path.insert(0, "/root/repo")
 
 from snacktory_spark.gif import count_gif_frames, decode_gif, iter_gif_frames
-from snacktory_spark.imaging import ImageError, decode_bmp, sniff_decode
+from snacktory_spark.imaging import (ImageError, decode_bmp,
+                                     encode_bmp24, sniff_decode)
 
 
 # --- minimal GIF writer (test-only): min_code_size=7, a CLEAR before every
@@ -169,16 +170,7 @@ def test_gif_fuzz_never_leaks(data):
 
 def _bmp24(img: np.ndarray, top_down=False) -> bytes:
     h, w, _ = img.shape
-    row = (w * 3 + 3) & ~3
-    body = bytearray()
-    rows = img if top_down else img[::-1]
-    for r in rows:
-        line = r[:, ::-1].tobytes()  # RGB -> BGR
-        body += line + b"\x00" * (row - len(line))
-    hdr = (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
-           + struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h,
-                         1, 24, 0, len(body), 2835, 2835, 0, 0))
-    return bytes(hdr + body)
+    return encode_bmp24(img.tobytes(), w, h, top_down=top_down)
 
 
 def test_bmp24_bottom_up_and_top_down():
