@@ -120,10 +120,135 @@ def _decode_wav(data: bytes):
     return rate, ch, samples.reshape(-1, ch)
 
 
+# ---------------------------------------------------------------------------
+# AIFF (big-endian IFF) and AU (Sun) — the other containers javax.sound
+# reads/writes, used to cross-validate in tests
+# ---------------------------------------------------------------------------
+
+def _ext80_to_int(b: bytes) -> int:
+    """80-bit IEEE extended float → int (AIFF sample rates are integers)."""
+    if len(b) != 10:
+        raise ImageError("bad extended float")
+    sign_exp = struct.unpack(">H", b[0:2])[0]
+    mant = int.from_bytes(b[2:10], "big")
+    if sign_exp & 0x8000:
+        raise ImageError("negative AIFF sample rate")
+    exp = (sign_exp & 0x7FFF) - 16383 - 63
+    if mant == 0:
+        return 0
+    if exp < -70 or exp > 30:
+        raise ImageError("AIFF sample rate out of range")
+    return mant << exp if exp >= 0 else mant >> -exp
+
+
+def decode_aiff(data: bytes) -> tuple[int, int, np.ndarray]:
+    """AIFF PCM (8/16-bit big-endian) → (rate, channels, float64 (n, ch))."""
+    try:
+        if len(data) < 12 or data[0:4] != b"FORM" or data[8:12] != b"AIFF":
+            raise ImageError("not an AIFF file")
+        pos = 12
+        comm = None
+        ssnd = None
+        while pos + 8 <= len(data):
+            tag = data[pos:pos + 4]
+            (size,) = struct.unpack(">I", data[pos + 4:pos + 8])
+            body = data[pos + 8:pos + 8 + size]
+            if tag == b"COMM" and len(body) >= 18:
+                ch, _frames, bits = struct.unpack(">HIH", body[0:8])
+                rate = _ext80_to_int(body[8:18])
+                comm = (ch, bits, rate)
+            elif tag == b"SSND" and len(body) >= 8:
+                (off, _block) = struct.unpack(">II", body[0:8])
+                ssnd = body[8 + off:]
+            pos += 8 + size + (size & 1)
+            if comm and ssnd is not None:
+                break
+        if comm is None or ssnd is None:
+            raise ImageError("AIFF missing COMM/SSND chunk")
+        ch, bits, rate = comm
+        if ch < 1 or ch > 8 or rate < 1:
+            raise ImageError("AIFF header out of bounds")
+        if bits not in (8, 16):
+            raise ImageError(f"{bits}-bit AIFF not supported (8/16 only)")
+        if len(ssnd) // (bits // 8) > MAX_AUDIO_SAMPLES:
+            raise ImageError("AIFF too large (sample cap)")
+        if bits == 16:
+            raw = np.frombuffer(ssnd[: (len(ssnd) // (2 * ch)) * 2 * ch],
+                                ">i2")
+            samples = raw.astype(np.float64) / 32768.0
+        else:  # AIFF 8-bit is SIGNED (unlike WAV)
+            raw = np.frombuffer(ssnd[: (len(ssnd) // ch) * ch], np.int8)
+            samples = raw.astype(np.float64) / 128.0
+        return rate, ch, samples.reshape(-1, ch)
+    except ImageError:
+        raise
+    except (ValueError, IndexError, struct.error, OverflowError,
+            MemoryError) as e:
+        raise ImageError(f"malformed AIFF: {type(e).__name__}: {e}") from None
+
+
+# ITU G.711 mu-law expansion (public standard): segment/mantissa decode
+_ULAW_TABLE = np.zeros(256, np.float64)
+for _i in range(256):
+    _u = ~_i & 0xFF
+    _seg = (_u >> 4) & 0x07
+    _val = (((_u & 0x0F) << 3) + 0x84) << _seg
+    _val -= 0x84
+    _ULAW_TABLE[_i] = (-_val if _u & 0x80 else _val) / 32768.0
+del _i, _u, _seg, _val
+
+
+def decode_au(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Sun AU (.snd): 8-bit mu-law / 8-bit linear / 16-bit big-endian."""
+    try:
+        if len(data) < 24 or data[0:4] != b".snd":
+            raise ImageError("not an AU file")
+        off, _size, enc, rate, ch = struct.unpack(">IIIII", data[4:24])
+        if off < 24 or off > len(data):
+            raise ImageError("bad AU data offset")
+        if ch < 1 or ch > 8 or rate < 1:
+            raise ImageError("AU header out of bounds")
+        pcm = data[off:]
+        if enc == 1:  # G.711 mu-law
+            if len(pcm) > MAX_AUDIO_SAMPLES:
+                raise ImageError("AU too large (sample cap)")
+            samples = _ULAW_TABLE[np.frombuffer(
+                pcm[: (len(pcm) // ch) * ch], np.uint8)]
+        elif enc == 2:  # 8-bit linear (signed)
+            if len(pcm) > MAX_AUDIO_SAMPLES:
+                raise ImageError("AU too large (sample cap)")
+            samples = np.frombuffer(pcm[: (len(pcm) // ch) * ch],
+                                    np.int8).astype(np.float64) / 128.0
+        elif enc == 3:  # 16-bit linear big-endian
+            if len(pcm) // 2 > MAX_AUDIO_SAMPLES:
+                raise ImageError("AU too large (sample cap)")
+            samples = np.frombuffer(pcm[: (len(pcm) // (2 * ch)) * 2 * ch],
+                                    ">i2").astype(np.float64) / 32768.0
+        else:
+            raise ImageError(f"AU encoding {enc} not supported")
+        return rate, ch, samples.reshape(-1, ch)
+    except ImageError:
+        raise
+    except (ValueError, IndexError, struct.error, OverflowError,
+            MemoryError) as e:
+        raise ImageError(f"malformed AU: {type(e).__name__}: {e}") from None
+
+
+def decode_audio(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Route by magic: WAV (RIFF), AIFF (FORM), AU (.snd)."""
+    if data[:4] == b"RIFF":
+        return decode_wav(data)
+    if data[:4] == b"FORM":
+        return decode_aiff(data)
+    if data[:4] == b".snd":
+        return decode_au(data)
+    raise ImageError("unsupported audio container (WAV/AIFF/AU)")
+
+
 def audio_features(data: bytes) -> list[float]:
-    """Real DSP features from a WAV payload: [duration_s, rms,
+    """Real DSP features from a WAV/AIFF/AU payload: [duration_s, rms,
     zero_crossing_rate, dominant_freq_hz, spectral_centroid_hz]."""
-    rate, ch, samples = decode_wav(data)
+    rate, ch, samples = decode_audio(data)
     mono = samples.mean(axis=1)
     n = mono.size
     if n == 0:

@@ -16,8 +16,10 @@ Decode reality in this container (no PIL/ffmpeg):
   lossless). Exotic codecs (arithmetic JPEG, RLE BMP) fall back to the
   deterministic fake (or NotImplementedError when fakes are disabled).
 - **pdf: REAL** via `snacktory_spark.pdf` (see extract_pdf_text_df below).
-- **audio: REAL for WAV (RIFF PCM)** via `snacktory_spark.av` — duration,
-  RMS, zero-crossing rate, FFT dominant frequency + spectral centroid.
+- **audio: REAL for WAV (RIFF PCM), AIFF, and AU (incl. G.711 mu-law)**
+  via `snacktory_spark.av` — duration, RMS, zero-crossing rate, FFT
+  dominant frequency + spectral centroid; PCM containers cross-validated
+  bit-exact against javax.sound.
 - **video: REAL for Y4M (YUV4MPEG2 C420/C444)** via `snacktory_spark.av`
   — streaming frame iteration, every-k frame sampling, luma statistics.
 - compressed AV codecs (MP3/AAC/H.264/VP9): stubbed — NotImplementedError
@@ -79,7 +81,7 @@ def decode_payload(payload: bytes, kind: str, deterministic_fake: bool = False):
             return np.asarray(image_features(px, w, h, c), dtype=np.float32)
         except ImageError:
             pass  # unsupported codec (arithmetic/lossless) → stub below
-    elif kind == "audio" and payload[:4] == b"RIFF":
+    elif kind == "audio" and payload[:4] in (b"RIFF", b"FORM", b".snd"):
         from .av import audio_features
         from .imaging import ImageError
         try:

@@ -1,7 +1,9 @@
 """WAV/Y4M codec tests: round-trip, real DSP feature checks, frame
 sampling, hostile input (truncated/bomb/unsupported), fuzz."""
 
+import shutil
 import struct
+import subprocess
 import sys
 
 import numpy as np
@@ -100,6 +102,107 @@ def test_wav_fuzz_never_leaks(data):
         decode_wav(b"RIFF" + data)
     except ImageError:
         pass
+
+
+# --- AIFF / AU ---------------------------------------------------------------
+
+needs_java = pytest.mark.skipif(shutil.which("java") is None,
+                                reason="no java runtime")
+
+_AUD_SRC = r"""
+import javax.sound.sampled.*;
+import java.io.*;
+
+public class AX {
+    public static void main(String[] a) throws Exception {
+        byte[] pcm = new FileInputStream(a[1]).readAllBytes();
+        float rate = Float.parseFloat(a[2]);
+        if (a[0].equals("ulaw")) {
+            AudioFormat src = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+                rate, 16, 1, 2, rate, true);
+            AudioInputStream sis = new AudioInputStream(
+                new ByteArrayInputStream(pcm), src, pcm.length / 2);
+            AudioFormat ul = new AudioFormat(AudioFormat.Encoding.ULAW,
+                rate, 8, 1, 1, rate, true);
+            AudioSystem.write(AudioSystem.getAudioInputStream(ul, sis),
+                AudioFileFormat.Type.AU, new File(a[3]));
+            return;
+        }
+        AudioFormat fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+            rate, 16, 1, 2, rate, true);
+        AudioInputStream ais = new AudioInputStream(
+            new ByteArrayInputStream(pcm), fmt, pcm.length / 2);
+        AudioSystem.write(ais, a[0].equals("aiff")
+            ? AudioFileFormat.Type.AIFF : AudioFileFormat.Type.AU,
+            new File(a[3]));
+    }
+}
+"""
+
+
+@pytest.fixture(scope="module")
+def audio_java_tool(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ax")
+    (d / "AX.java").write_text(_AUD_SRC)
+    return d
+
+
+@needs_java
+@pytest.mark.parametrize("fmt,codec", [("aiff", "pcm"), ("au", "pcm"),
+                                       ("ulaw", "ulaw")])
+def test_aiff_au_cross_validation(audio_java_tool, fmt, codec):
+    """javax.sound writes the file; our decoder recovers the samples —
+    PCM containers bit-exact, mu-law within the G.711 quantization step."""
+    from snacktory_spark.av import audio_features, decode_audio
+    sig = _sine(440)
+    pcm = np.clip(np.round(sig * 32767), -32768, 32767).astype(">i2")
+    src = audio_java_tool / "pcm.raw"
+    src.write_bytes(pcm.tobytes())
+    out = audio_java_tool / f"t_{fmt}"
+    subprocess.run(["java", "AX.java", fmt, str(src), "8000", str(out)],
+                   cwd=audio_java_tool, check=True, capture_output=True)
+    rate, ch, s = decode_audio(out.read_bytes())
+    assert (rate, ch) == (8000, 1)
+    if codec == "pcm":
+        assert np.abs(s[:, 0] - pcm.astype(float) / 32768.0).max() == 0
+    else:
+        assert np.abs(s[:len(sig), 0] - sig[:len(s)]).max() < 0.01
+    assert abs(audio_features(out.read_bytes())[3] - 440) < 4.001
+
+
+def test_au_mulaw_table_matches_formula():
+    """G.711 mu-law expansion spot checks (sign convention verified
+    against javax.sound in the cross-validation test above)."""
+    from snacktory_spark.av import _ULAW_TABLE
+    assert _ULAW_TABLE[0xFF] == 0.0                    # +0
+    assert _ULAW_TABLE[0x7F] == 0.0                    # -0
+    assert _ULAW_TABLE[0x00] * 32768 == -32124         # max magnitude
+    assert (_ULAW_TABLE[128:] == -_ULAW_TABLE[:128]).all()  # sign symmetry
+    assert (_ULAW_TABLE[:128] <= 0).all() and (_ULAW_TABLE[128:] >= 0).all()
+
+
+@pytest.mark.parametrize("mutant", [
+    b"FORM\x00\x00\x00\x04AIFF",                       # no chunks
+    b"FORM\x00\x00\x00\x04WAVE" + b"\x00" * 20,        # wrong form type
+    b".snd" + b"\x00" * 10,                            # truncated AU header
+    b".snd" + struct.pack(">IIIII", 16, 0, 9, 8000, 1),  # bad AU encoding
+    b".snd" + struct.pack(">IIIII", 4, 0, 2, 8000, 1),   # offset < 24
+])
+def test_aiff_au_hostile(mutant):
+    from snacktory_spark.av import decode_audio
+    with pytest.raises(ImageError):
+        decode_audio(mutant)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_aiff_au_fuzz_never_leaks(data):
+    from snacktory_spark.av import decode_aiff, decode_au
+    for fn, prefix in ((decode_aiff, b"FORM"), (decode_au, b".snd")):
+        try:
+            fn(prefix + data)
+        except ImageError:
+            pass
 
 
 def test_y4m_roundtrip_and_sampling():
