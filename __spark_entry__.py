@@ -801,6 +801,19 @@ def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_parts = max(spark.sparkContext.defaultParallelism, 2)
     parts = (base.repartitionByRange(n_parts, "doc_id")
              .withColumn("_pid", F.spark_partition_id()))
+    # both consumers MUST see one physical range shuffle (boundaries are
+    # sampled per execution). AQE stage reuse or the static ReuseExchange
+    # rule guarantees it — both default-on (the plan gate asserts
+    # ReusedExchange on the executed plan). If a caller disabled BOTH,
+    # pin one evaluation explicitly.
+    def _conf(key):
+        try:
+            return spark.conf.get(key).lower() == "true"
+        except Exception:
+            return True
+    if not (_conf("spark.sql.exchange.reuse")
+            or _conf("spark.sql.adaptive.enabled")):
+        parts = parts.persist()
     totals = parts.groupBy("_pid").agg(F.sum("n_tokens").alias("_tot"))
     w_off = (Window.orderBy("_pid")
              .rowsBetween(Window.unboundedPreceding, -1))

@@ -371,11 +371,25 @@ def iter_y4m_luma(data: bytes, every_k: int = 1):
 
 def video_features(data: bytes, every_k: int = 2) -> list[float]:
     """Frame-sampled video features: [n_frames_total, n_sampled,
-    mean_luma, luma_std, mean_abs_frame_diff] over every k-th frame."""
-    means, prev, diffs = [], None, []
-    stds = []
-    for _idx, luma in iter_y4m_luma(data, every_k=every_k):
-        f = luma.astype(np.float64)
+    mean_luma, luma_std, mean_abs_frame_diff] over every k-th frame.
+    ONE pass over the payload: skipped frames are header-walked only,
+    sampled frames decoded, and the total counted in the same walk
+    (review finding: a second count_y4m_frames pass re-scanned the
+    whole buffer)."""
+    if every_k < 1:
+        raise ImageError("every_k must be >= 1")
+    means, prev, diffs, stds = [], None, [], []
+    total = 0
+    budget = MAX_VIDEO_PIXELS
+    for idx, start, w, h in _iter_y4m_frames(data):
+        total += 1
+        if idx % every_k:
+            continue
+        budget -= w * h
+        if budget < 0:
+            raise ImageError("Y4M too large (pixel cap)")
+        f = np.frombuffer(data[start:start + w * h],
+                          np.uint8).reshape(h, w).astype(np.float64)
         means.append(float(f.mean()))
         stds.append(float(f.std()))
         if prev is not None:
@@ -383,7 +397,6 @@ def video_features(data: bytes, every_k: int = 2) -> list[float]:
         prev = f
     if not means:
         raise ImageError("Y4M has no frames")
-    total = count_y4m_frames(data)
     return [float(total), float(len(means)),
             float(np.mean(means)), float(np.mean(stds)),
             float(np.mean(diffs)) if diffs else 0.0]

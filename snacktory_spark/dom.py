@@ -590,6 +590,12 @@ class _TreeBuilder(HTMLParser):
             return
         if self.state != "body" and not self.stack:
             return
+        # never inside rawtext/RCDATA content: HTML5's 'text' insertion
+        # mode has no reconstruction, and jsoup never wraps script/style
+        # bodies in formatting clones (review finding)
+        if self._top().tag in self.CDATA_CONTENT_ELEMENTS \
+                or self._top().tag in ("title", "textarea"):
+            return
         el = Element("a", dict(self.active_a), None, self.doc)
         self._top().append_child(el)
         self.stack.append(el)

@@ -32,7 +32,7 @@ MAX_PIXELS = 1 << 24  # per-frame decoded cap
 
 def _lzw_decode(min_code_size: int, data: bytes, max_out: int) -> bytes:
     """GIF variable-width LZW (LSB-first packing, 12-bit cap)."""
-    if not (1 <= min_code_size <= 11):
+    if not (1 <= min_code_size <= 8):  # GIF spec max: 8 (256 colors)
         raise ImageError("bad LZW minimum code size")
     clear = 1 << min_code_size
     eoi = clear + 1
@@ -100,7 +100,24 @@ _DEINTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
 def iter_gif_frames(data: bytes, every_k: int = 1):
-    """Yield (frame_index, RGB uint8 (h, w, 3)) composited frames."""
+    """Yield (frame_index, RGB uint8 (h, w, 3)) composited frames.
+    Hostile-input contract: ImageError only (generator-wrapped)."""
+    it = _iter_gif_frames_impl(data, every_k)
+    while True:
+        try:
+            item = next(it)
+        except StopIteration:
+            return
+        except ImageError:
+            raise
+        except (ValueError, IndexError, struct.error, OverflowError,
+                MemoryError) as e:
+            raise ImageError(
+                f"malformed GIF: {type(e).__name__}: {e}") from None
+        yield item
+
+
+def _iter_gif_frames_impl(data: bytes, every_k: int = 1):
     if every_k < 1:
         raise ImageError("every_k must be >= 1")
     if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
@@ -203,15 +220,9 @@ def iter_gif_frames(data: bytes, every_k: int = 1):
 
 def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
     """First displayed frame → (width, height, 3, RGB bytes)."""
-    try:
-        for _idx, canvas in iter_gif_frames(data, every_k=1):
-            h, w, _ = canvas.shape
-            return w, h, 3, canvas.tobytes()
-    except ImageError:
-        raise
-    except (ValueError, IndexError, struct.error, OverflowError,
-            MemoryError) as e:
-        raise ImageError(f"malformed GIF: {type(e).__name__}: {e}") from None
+    for _idx, canvas in iter_gif_frames(data, every_k=1):
+        h, w, _ = canvas.shape
+        return w, h, 3, canvas.tobytes()
     raise ImageError("GIF contains no image frame")
 
 

@@ -56,12 +56,18 @@ def streaming_dedup_turns(spark: SparkSession, input_dir: str,
     (dropDuplicatesWithinWatermark) — the streaming counterpart of the
     batch dedup-extract path. State is bounded by the watermark: at
     100 TB/day ingest the dedup state holds one hash per distinct text
-    seen in the horizon, evicted as event time advances."""
+    seen in the horizon, evicted as event time advances.
+
+    Rows with a NULL ts are gated out EXPLICITLY: a stateful watermark
+    operator silently discards rows with null event time, which would be
+    undetectable data loss relative to the batch path (review finding) —
+    the explicit filter makes the precondition visible and auditable."""
     stream = (spark.readStream
               .schema(TRANSCRIPT_SCHEMA)
               .parquet(input_dir))
     hashed = (stream
-              .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+              .filter(F.col("text").isNotNull() & (F.length("text") > 0)
+                      & F.col("ts").isNotNull())
               .withColumn("text_sha", F.sha2(F.col("text"), 256)))
     return (hashed
             .withWatermark("ts", watermark)

@@ -75,11 +75,19 @@ def test_top_k_uses_window_group_limit(spark, em):
 
 
 def test_token_pack_window_is_partitioned(spark, em):
-    plan = _check(plan_of(em.q_token_pack(spark, SF_DIR)))
+    df = em.q_token_pack(spark, SF_DIR)
+    plan = _check(plan_of(df))
     # the data window must be partitioned by _pid — never a global
     # single-partition sort of the table (VERDICT r2 wrong #1)
     assert "windowspecdefinition(_pid" in plan
     assert "rangepartitioning(doc_id" in plan
+    # LOAD-BEARING: the totals branch and the cumsum branch must share
+    # ONE physical range shuffle (independent executions could sample
+    # different boundaries -> silently wrong shards). Assert the executed
+    # plan reuses the exchange.
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
 
 
 def test_decontaminate_is_hash_join(spark, em):
