@@ -1,20 +1,25 @@
 """Pure-python audio/video decode for the multimodal pipeline.
 
-The container ships no ffmpeg/libsndfile, but two real, widely-used
-formats need nothing beyond struct + numpy:
+The container ships no ffmpeg/libsndfile, but the real, widely-used
+interchange formats need nothing beyond struct + numpy:
 
 - **WAV (RIFF PCM)**: canonical uncompressed audio interchange. Full
   chunk walk (RIFF/fmt/data, unknown chunks skipped), PCM 8-bit
   unsigned / 16-bit signed, any channel count/sample rate. Real DSP
   features: duration, RMS, zero-crossing rate, dominant frequency and
   spectral centroid via numpy rFFT.
+- **AIFF**: big-endian IFF sibling (COMM with 80-bit extended-float
+  sample rate, SSND offsets, SIGNED 8-bit). Bit-exact vs javax.sound.
+- **AU (Sun .snd)**: PCM-8/16 plus the ITU G.711 mu-law expansion table
+  — real telephony-codec decode, cross-validated against javax.sound's
+  ULAW writer.
 - **Y4M (YUV4MPEG2)**: ffmpeg's raw-video interchange format. Header
   parse (W/H/F/C tags), C420/C444 frame layout, frame iteration without
   materializing the whole clip, every-k-th frame sampling, per-frame
   luma statistics — the frame-sample + feature-extract shape a training
   pipeline runs over video.
 
-Compressed codecs (MP3/AAC/H.264/VP9) genuinely need native libs and
+Perceptual codecs (MP3/AAC/H.264/VP9) genuinely need native libs and
 remain declared stubs in multimodal.py. Reference parity: the reference
 treats audio/video as opaque URLs (HtmlFetcher extension routing); these
 decoders serve SURVEY §2's multimodal-column ops.
