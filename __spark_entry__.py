@@ -950,6 +950,36 @@ def _chunk_field(x):
     return x["chunk"]
 
 
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length sequence packing — the step AFTER shard assignment
+    (token_pack): within each source (the shard stand-in), concatenate
+    documents' tokens in doc_id order and cut 128-token training
+    sequences; emit per-sequence token count and boundary tokens.
+
+    Shape: posexplode (narrow) -> ONE window partitioned by source
+    (P parallel sorts, the per-shard pack a tokenizer worker does) ->
+    partial+final hash agg with min_by/max_by. At 100 TB you pack per
+    token_pack shard, so no single group exceeds the shard budget by
+    construction; a dominant source would get the same two-level
+    treatment token_pack uses."""
+    from pyspark.sql import Window, functions as F
+    SEQ = 128
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    tok = (docs.filter(F.length("text") > 0)
+           .select("source", "doc_id", toks.alias("toks"))
+           .select("source", "doc_id",
+                   F.posexplode("toks").alias("pos", "tok")))
+    w = Window.partitionBy("source").orderBy("doc_id", "pos")
+    g = tok.withColumn("gpos", F.row_number().over(w) - 1)
+    return (g.groupBy("source",
+                      F.floor(F.col("gpos") / SEQ).cast("long")
+                      .alias("seq_idx"))
+            .agg(F.count("*").alias("n_tokens"),
+                 F.min_by("tok", "gpos").alias("first_tok"),
+                 F.max_by("tok", "gpos").alias("last_tok")))
+
+
 def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster labeling: MinHash/LSH candidates verified at
     Jaccard ≥ 0.5, then connected components via iterative min-label
@@ -1234,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "ivf_topk": q_ivf_topk,
         "quality_gate": q_quality_gate,
+        "seq_pack": q_seq_pack,
         "pii_redact": q_pii_redact,
         "stratified_sample": q_stratified_sample,
         "chunk_dedup": q_chunk_dedup,
@@ -1556,6 +1587,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(label)::BIGINT AS component
             FROM reach GROUP BY id
+        """,
+        "seq_pack": r"""
+            WITH t AS (
+                SELECT source, doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                FROM documents WHERE length(text) > 0),
+            tok AS (
+                SELECT source, doc_id,
+                       unnest(toks) AS tok,
+                       unnest(range(len(toks))) AS i
+                FROM t),
+            pos AS (
+                SELECT source, tok,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY doc_id, i) - 1 AS gpos
+                FROM tok)
+            SELECT source, (gpos // 128)::BIGINT AS seq_idx,
+                   count(*) AS n_tokens,
+                   min_by(tok, gpos) AS first_tok,
+                   max_by(tok, gpos) AS last_tok
+            FROM pos GROUP BY source, seq_idx
         """,
         "ivf_topk": """
             WITH cents AS (SELECT vec_id - 1 AS cell, embedding AS ce
