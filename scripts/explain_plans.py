@@ -161,6 +161,14 @@ def main():
                      "Candidates are nprobe/k of the corpus; the exact "
                      "rerank never sees the rest."))
 
+    # 18. seq_pack: the per-shard pack — window partitioned by source
+    sections.append(("seq_pack (fixed-length sequence packing)",
+                     plan_of(em.q_seq_pack(spark, SF_DIR)),
+                     "Generate(posexplode) -> Window partitioned by "
+                     "source (P parallel per-shard packs, never a global "
+                     "sort) -> partial+final hash agg with min_by/max_by "
+                     "boundary tokens."))
+
     with open("/root/repo/BENCH/PLANS.md", "w") as f:
         f.write("# Physical plans of the headline queries\n\n"
                 "Generated by scripts/explain_plans.py (local[4], AQE on).\n")
