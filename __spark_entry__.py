@@ -950,6 +950,32 @@ def _chunk_field(x):
     return x["chunk"]
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise embedding aggregation: the L2-normalized mean vector
+    per modulo-bucket group (the per-domain/per-cluster centroid step of
+    data maps and diversity sampling). Shape: posexplode the array
+    (narrow) -> partial+final hash agg per (group, dim) -> per-dim rows.
+    Emitting (group, dim, value) rows instead of re-assembling arrays
+    keeps the whole plan in hash aggregates — the assembly join is the
+    consumer's choice at scale."""
+    from pyspark.sql import functions as F
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    g = (emb.select((F.col("vec_id") % 8).alias("grp"),
+                    F.posexplode("embedding").alias("dim", "v"))
+         .groupBy("grp", "dim")
+         .agg(F.avg("v").alias("mean_v"), F.count("*").alias("n")))
+    # normalize by the group's L2 norm of the mean vector
+    norm = (g.groupBy("grp")
+            .agg(F.sqrt(F.sum(F.col("mean_v") * F.col("mean_v")))
+                 .alias("l2")))
+    return (g.join(norm, "grp")
+            .select(F.col("grp").cast("long").alias("grp"),
+                    F.col("dim").cast("long").alias("dim"),
+                    F.round(F.col("mean_v") / F.col("l2"), 6)
+                    .alias("unit_v"),
+                    F.col("n").cast("long").alias("n")))
+
+
 def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-length sequence packing — the step AFTER shard assignment
     (token_pack): within each source (the shard stand-in), concatenate
@@ -1265,6 +1291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "quality_gate": q_quality_gate,
         "seq_pack": q_seq_pack,
+        "embedding_centroids": q_embedding_centroids,
         "pii_redact": q_pii_redact,
         "stratified_sample": q_stratified_sample,
         "chunk_dedup": q_chunk_dedup,
@@ -1587,6 +1614,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(label)::BIGINT AS component
             FROM reach GROUP BY id
+        """,
+        "embedding_centroids": """
+            WITH e AS (
+                SELECT vec_id % 8 AS grp,
+                       unnest(embedding) AS v,
+                       unnest(range(len(embedding))) AS dim
+                FROM embeddings),
+            g AS (
+                SELECT grp, dim, avg(v) AS mean_v, count(*) AS n
+                FROM e GROUP BY grp, dim),
+            norm AS (
+                SELECT grp, sqrt(sum(mean_v * mean_v)) AS l2
+                FROM g GROUP BY grp)
+            SELECT g.grp::BIGINT AS grp, g.dim::BIGINT AS dim,
+                   round(g.mean_v / norm.l2, 6) AS unit_v,
+                   g.n::BIGINT AS n
+            FROM g JOIN norm USING (grp)
         """,
         "seq_pack": r"""
             WITH t AS (
