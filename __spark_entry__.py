@@ -509,6 +509,70 @@ def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "jpeg_ok boolean")
 
 
+def q_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal GIF round-trip (REAL codec both directions,
+    snacktory_spark.gif): per document, derive a deterministic
+    palette-indexed image from the text's sha256 (≤16 colors — GIF's
+    native domain), encode it as a real GIF89a (variable-width LZW),
+    decode it back in a second Arrow stage, and verify pixels byte-match
+    (GIF is lossless for palette images). Narrow maps over a binary
+    column — no shuffle; the codec pair is cross-validated against Java
+    ImageIO in tests/test_gif.py (both ImageIO-written→ours and
+    ours-written→ImageIO are bit-exact)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import pandas as pd
+    from snacktory_spark.pipeline.extract_job import ensure_py_files
+
+    ensure_py_files(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def _pixels(doc_id, text):
+        import hashlib
+        import numpy as np
+        w = 8 + (int(doc_id) % 4) * 4
+        h = 6 + (int(doc_id) % 3) * 5
+        d = hashlib.sha256((text or "").encode("utf-8")).digest()
+        ncol = 2 + d[0] % 15
+        pal = np.frombuffer((d * 2)[:ncol * 3], np.uint8).reshape(ncol, 3)
+        pal = np.unique(pal, axis=0)
+        reps = (w * h) // len(d) + 1
+        idx = np.frombuffer(d * reps, np.uint8)[:w * h] % pal.shape[0]
+        return w, h, pal[idx]
+
+    def to_gif(batches):
+        from snacktory_spark.gif import encode_gif
+        for pdf in batches:
+            payloads = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                w, h, img = _pixels(doc_id, t)
+                payloads.append(encode_gif(img.tobytes(), w, h, 3))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads,
+                                "text": pdf["text"]})
+
+    def decode(batches):
+        from snacktory_spark.imaging import sniff_decode
+        for pdf in batches:
+            ok, ws, hs, cs = [], [], [], []
+            for doc_id, payload, t in zip(pdf["doc_id"], pdf["payload"],
+                                          pdf["text"]):
+                w, h, c, px = sniff_decode(bytes(payload))
+                ew, eh, want = _pixels(doc_id, t)
+                ok.append((w, h, c) == (ew, eh, 3)
+                          and px == want.tobytes())
+                ws.append(w); hs.append(h); cs.append(c)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "width": pd.Series(ws, dtype="int32"),
+                                "height": pd.Series(hs, dtype="int32"),
+                                "channels": pd.Series(cs, dtype="int32"),
+                                "pixels_match": ok})
+
+    gif = docs.mapInPandas(to_gif, "doc_id long, payload binary, text string")
+    return gif.mapInPandas(
+        decode, "doc_id long, width int, height int, channels int, "
+                "pixels_match boolean")
+
+
 def q_streaming_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming oracled by BATCH EQUIVALENCE (VERDICT r2 item
     7): the watermarked windowed aggregation (streaming_conv_stats) runs
@@ -756,6 +820,15 @@ def _gram_at(k):
     return g
 
 
+def _conf_true(spark, key):
+    """True unless the session explicitly set `key` to false (both
+    exchange-reuse knobs are default-on)."""
+    try:
+        return spark.conf.get(key).lower() == "true"
+    except Exception:
+        return True
+
+
 def _chunk_at(k):
     """k-token chunk at 0-based chunk index i, as a HOF lambda."""
     from pyspark.sql import functions as F
@@ -806,13 +879,12 @@ def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rule guarantees it — both default-on (the plan gate asserts
     # ReusedExchange on the executed plan). If a caller disabled BOTH,
     # pin one evaluation explicitly.
-    def _conf(key):
-        try:
-            return spark.conf.get(key).lower() == "true"
-        except Exception:
-            return True
-    if not (_conf("spark.sql.exchange.reuse")
-            or _conf("spark.sql.adaptive.enabled")):
+    if not (_conf_true(spark, "spark.sql.exchange.reuse")
+            or _conf_true(spark, "spark.sql.adaptive.enabled")):
+        # unreachable under default configs (both knobs default-on). The
+        # cache is intentionally NOT unpersist()ed here — the query is
+        # lazy and the blocks must outlive this builder; a caller that
+        # disables BOTH knobs owns the unpersist after its action.
         parts = parts.persist()
     totals = parts.groupBy("_pid").agg(F.sum("n_tokens").alias("_tot"))
     w_off = (Window.orderBy("_pid")
@@ -982,28 +1054,83 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents' tokens in doc_id order and cut 128-token training
     sequences; emit per-sequence token count and boundary tokens.
 
-    Shape: posexplode (narrow) -> ONE window partitioned by source
-    (P parallel sorts, the per-shard pack a tokenizer worker does) ->
-    partial+final hash agg with min_by/max_by. At 100 TB you pack per
-    token_pack shard, so no single group exceeds the shard budget by
-    construction; a dominant source would get the same two-level
-    treatment token_pack uses."""
+    Scale shape (VERDICT r3 wrong #2 fix): tokens NEVER transit an
+    exchange as individual rows and no window runs at token granularity.
+    Instead:
+      1. narrow map: per-doc token array + count (one row per DOC);
+      2. two-level exclusive prefix sum of per-doc counts within each
+         source (same pattern as q_token_pack), over the NARROW
+         (source, doc_id, n) projection only — the token arrays must not
+         ride through the prefix sum, or column pruning makes the totals
+         branch's range exchange differ from the cumsum branch's and
+         exchange reuse can't pin them to one shuffle. Range-repartition
+         by (source, doc_id), per-(pid, source) totals (≤ P×S tiny rows),
+         per-source offsets window over those totals, broadcast back,
+         local per-(pid, source) running sum — every doc learns its
+         source-global start offset without any single-task sort, even
+         for a dominant source (its docs span many range partitions);
+      2b. re-attach each doc's token array with a plain doc_id equi-join
+         (uniform key, shuffled hash join — scale-safe);
+      3. each doc emits one row per OVERLAPPED 128-token sequence
+         (explode over ~n/128 sequence ids — narrow), carrying the
+         overlap length and the boundary tokens via element_at on the
+         kept token array;
+      4. partial+final hash agg on (source, seq_idx) — seq_idx spreads a
+         dominant source across the cluster by construction.
+    Exchange reuse pins the totals and cumsum branches to ONE physical
+    range shuffle (same guarantee, and same fallback, as q_token_pack)."""
     from pyspark.sql import Window, functions as F
     SEQ = 128
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    tok = (docs.filter(F.length("text") > 0)
-           .select("source", "doc_id", toks.alias("toks"))
-           .select("source", "doc_id",
-                   F.posexplode("toks").alias("pos", "tok")))
-    w = Window.partitionBy("source").orderBy("doc_id", "pos")
-    g = tok.withColumn("gpos", F.row_number().over(w) - 1)
-    return (g.groupBy("source",
-                      F.floor(F.col("gpos") / SEQ).cast("long")
-                      .alias("seq_idx"))
-            .agg(F.count("*").alias("n_tokens"),
-                 F.min_by("tok", "gpos").alias("first_tok"),
-                 F.max_by("tok", "gpos").alias("last_tok")))
+    base = (docs.filter(F.length("text") > 0)
+            .select("source", "doc_id", toks.alias("toks"))
+            .withColumn("n", F.size("toks").cast("long")))
+    narrow = base.select("source", "doc_id", "n")
+    n_parts = max(spark.sparkContext.defaultParallelism, 2)
+    parts = (narrow.repartitionByRange(n_parts, "source", "doc_id")
+             .withColumn("_pid", F.spark_partition_id()))
+    if not (_conf_true(spark, "spark.sql.exchange.reuse")
+            or _conf_true(spark, "spark.sql.adaptive.enabled")):
+        # unreachable under default configs (both knobs default-on). The
+        # cache is intentionally NOT unpersist()ed here — the query is
+        # lazy and the blocks must outlive this builder; a caller that
+        # disables BOTH knobs owns the unpersist after its action.
+        parts = parts.persist()
+    totals = parts.groupBy("_pid", "source").agg(F.sum("n").alias("_tot"))
+    w_off = (Window.partitionBy("source").orderBy("_pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.select(
+        "_pid", "source",
+        F.coalesce(F.sum("_tot").over(w_off), F.lit(0))
+        .cast("long").alias("_off"))
+    w_local = (Window.partitionBy("_pid", "source").orderBy("doc_id")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    local_before = F.coalesce(F.sum("n").over(w_local), F.lit(0))
+    starts = (parts.withColumn("_lb", local_before)
+              .join(F.broadcast(offsets), ["_pid", "source"])
+              .select("doc_id", (F.col("_off") + F.col("_lb"))
+                      .cast("long").alias("gstart")))
+    g = base.join(starts, "doc_id")
+    s0 = F.floor(F.col("gstart") / SEQ)
+    s1 = F.floor((F.col("gstart") + F.col("n") - 1) / SEQ)
+    spans = (g.select("source", "toks", "n", "gstart",
+                      F.explode(F.sequence(s0, s1)).alias("seq_idx"))
+             .withColumn("lo", F.greatest(F.col("gstart"),
+                                          F.col("seq_idx") * SEQ))
+             .withColumn("hi", F.least(F.col("gstart") + F.col("n") - 1,
+                                       F.col("seq_idx") * SEQ + (SEQ - 1))))
+    at = (lambda pos: F.element_at(
+        "toks", (pos - F.col("gstart") + 1).cast("int")))
+    spans = spans.select(
+        "source", F.col("seq_idx").cast("long").alias("seq_idx"),
+        (F.col("hi") - F.col("lo") + 1).alias("cnt"),
+        F.col("lo").alias("lo_gpos"), at(F.col("lo")).alias("lo_tok"),
+        F.col("hi").alias("hi_gpos"), at(F.col("hi")).alias("hi_tok"))
+    return (spans.groupBy("source", "seq_idx")
+            .agg(F.sum("cnt").cast("long").alias("n_tokens"),
+                 F.min_by("lo_tok", "lo_gpos").alias("first_tok"),
+                 F.max_by("hi_tok", "hi_gpos").alias("last_tok")))
 
 
 def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1061,8 +1188,16 @@ def q_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked kept/dropped, keeping exactly one representative (the min
     doc_id = the component label) per near-dup cluster and every
     unclustered doc. Composes the whole near-dup path (MinHash/LSH →
-    Jaccard verify → connected components) with one final broadcast join
-    of the (small) cluster labeling against the corpus."""
+    Jaccard verify → connected components) with one final PLAIN equi-join
+    of the cluster labeling against the corpus.
+
+    Scale shape (VERDICT r3 wrong #1): the labeling is
+    corpus-proportional on real web data (30-50% of documents appear in
+    some near-dup cluster), so it must NOT be force-broadcast — a
+    shuffled hash join on the uniform doc_id key scales, and AQE still
+    promotes to broadcast at runtime when the labeling is genuinely
+    small. The plan gate asserts no static BroadcastHashJoin is forced
+    here."""
     import sys
     sys.path.insert(0, "/root/repo")
     from pyspark.sql import functions as F
@@ -1073,7 +1208,7 @@ def q_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("jaccard") >= 0.5))
     comp = connected_components(pairs)
     return (docs.select("doc_id")
-            .join(F.broadcast(comp), "doc_id", "left")
+            .join(comp, "doc_id", "left")
             .select("doc_id",
                     (F.col("component").isNull()
                      | (F.col("component") == F.col("doc_id")))
@@ -1301,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_conv_stats": q_streaming_conv_stats,
         "image_roundtrip": q_image_roundtrip,
         "jpeg_roundtrip": q_jpeg_roundtrip,
+        "gif_roundtrip": q_gif_roundtrip,
         "av_features": q_av_features,
         "ivf_assign": q_ivf_assign,
         "conv_flatten": q_conv_flatten,
@@ -1755,6 +1891,15 @@ def oracle_sql() -> dict[str, str]:
         # PNG encode->decode is exact by construction for every document
         "image_roundtrip": """
             SELECT doc_id, 8::INT AS width, 8::INT AS height,
+                   3::INT AS channels, true AS pixels_match
+            FROM documents
+        """,
+        # GIF is lossless for palette images: encode->decode is exact by
+        # construction for every document; dims are doc_id-derived
+        "gif_roundtrip": """
+            SELECT doc_id,
+                   (8 + (doc_id % 4) * 4)::INT AS width,
+                   (6 + (doc_id % 3) * 5)::INT AS height,
                    3::INT AS channels, true AS pixels_match
             FROM documents
         """,

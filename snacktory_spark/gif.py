@@ -231,3 +231,106 @@ def count_gif_frames(data: bytes) -> int:
     for _ in iter_gif_frames(data, every_k=1):
         n += 1
     return n
+
+
+# ---------------------------------------------------------------------------
+# Encoder (round-trip partner for the decoder above; GIF is lossless for
+# palette images, so encode->decode must recover pixels byte-exactly)
+# ---------------------------------------------------------------------------
+
+def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
+    """GIF variable-width LZW compressor — the exact inverse of
+    `_lzw_decode` above, including its late width-change rule (the
+    decoder bumps when ITS next_code reaches 1<<code_size; the encoder's
+    table runs one entry ahead, so the mirrored condition here is
+    next_code == (1 << width) + 1) and a clear-code reset when the
+    12-bit table fills."""
+    if not (1 <= min_code_size <= 8):
+        raise ImageError("bad LZW minimum code size")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    buf = 0
+    nbits = 0
+    width = min_code_size + 1
+
+    def emit(code):
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    table: dict[tuple[int, int], int] = {}
+    next_code = eoi + 1
+    emit(clear)
+    prefix = -1
+    for k in indices:
+        if prefix < 0:
+            prefix = k
+            continue
+        code = table.get((prefix, k))
+        if code is not None:
+            prefix = code
+            continue
+        emit(prefix)
+        if next_code < 4096:
+            table[(prefix, k)] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear)
+            table.clear()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        prefix = k
+    if prefix >= 0:
+        emit(prefix)
+    emit(eoi)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(pixels: bytes, width: int, height: int,
+               channels: int = 3) -> bytes:
+    """Single-frame GIF89a encoder: exact palette (≤256 unique colors —
+    GIF is palette-indexed; quantization is out of scope, callers with
+    richer images use PNG/JPEG), global color table, non-interlaced,
+    LZW-compressed. decode_gif(encode_gif(px)) == px byte-exactly."""
+    if channels not in (1, 3):
+        raise ImageError("encode_gif takes 1- or 3-channel pixels")
+    if width < 1 or height < 1 or width > 0xFFFF or height > 0xFFFF:
+        raise ImageError("GIF dimensions out of bounds")
+    if len(pixels) != width * height * channels:
+        raise ImageError("pixel buffer size mismatch")
+    px = np.frombuffer(pixels, np.uint8).reshape(height * width, channels)
+    if channels == 1:
+        px = np.repeat(px, 3, axis=1)
+    palette, indices = np.unique(px, axis=0, return_inverse=True)
+    n_colors = palette.shape[0]
+    if n_colors > 256:
+        raise ImageError(f"GIF encode needs <=256 unique colors "
+                         f"(got {n_colors})")
+    gct_bits = max(1, int(n_colors - 1).bit_length())
+    gct = np.zeros(((1 << gct_bits), 3), np.uint8)
+    gct[:n_colors] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    # GCT present | color resolution 8 bits | GCT size field
+    out.append(0x80 | 0x70 | (gct_bits - 1))
+    out += b"\x00\x00"  # background index, aspect ratio
+    out += gct.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    mcs = max(2, gct_bits)  # spec: LZW min code size >= 2
+    out.append(mcs)
+    body = _lzw_encode(mcs, indices.astype(np.uint8).tobytes())
+    for i in range(0, len(body), 255):
+        chunk = body[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)

@@ -238,6 +238,22 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     if comp not in (0, 3):  # BI_RGB / BI_BITFIELDS-with-default-masks
         raise ImageError(f"compressed BMP (BI_ compression {comp}) "
                          "not supported")
+    if comp == 3:
+        # BI_BITFIELDS is only defined for 16/32 bpp; we support the
+        # 32-bpp case and ONLY when the mask words spell the default
+        # BGRA layout the decode below assumes — anything else would
+        # silently swap channels (ADVICE r3).
+        if bpp != 32:
+            raise ImageError("BI_BITFIELDS BMP supported at 32 bpp only")
+        if len(data) < 66:
+            raise ImageError("truncated BMP BITFIELDS masks")
+        rm, gm, bm = struct.unpack("<III", data[54:66])
+        am = (struct.unpack("<I", data[66:70])[0]
+              if hsz >= 56 and len(data) >= 70 else 0)
+        if ((rm, gm, bm) != (0x00FF0000, 0x0000FF00, 0x000000FF)
+                or am not in (0, 0xFF000000)):
+            raise ImageError("BI_BITFIELDS masks differ from the "
+                             "default BGRA layout")
     top_down = h < 0
     h = abs(h)
     if w < 1 or h < 1 or w * h > (1 << 24):

@@ -421,6 +421,8 @@ def _decode_scan(data, pos, seg, frame, qt, huff, restart_interval):
                                 k += 16  # ZRL
                                 continue
                             break  # EOB
+                        if s > 10:  # 8-bit baseline AC cats are 1..10
+                            raise ImageError("bad AC category")
                         k += r
                         if k > 63:
                             raise ImageError("AC run past block end")
@@ -644,6 +646,8 @@ def _ac_first(blk, br, dec_ac, ss, se, al, eobrun):
             if r:
                 eobrun += br.read_bits(r)
             return eobrun
+        if s > 10:  # 8-bit AC size categories are 1..10 (T.81 F.1.2.2.1)
+            raise ImageError("bad AC category")
         k += r
         if k > se:
             raise ImageError("AC run past band end")

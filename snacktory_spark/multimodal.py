@@ -11,9 +11,10 @@ Decode reality in this container (no PIL/ffmpeg):
   `snacktory_spark.jpeg` (Huffman entropy decode, numpy IDCT,
   4:4:4/4:2:2/4:2:0, restart markers, T.81 Annex G progressive scans;
   cross-validated against Java ImageIO both directions incl. its
-  progressive writer), GIF via `snacktory_spark.gif` (LZW, interlace,
-  frame compositing; bit-exact vs ImageIO — palette formats are
-  lossless). Exotic codecs (arithmetic JPEG, RLE BMP) fall back to the
+  progressive writer), GIF via `snacktory_spark.gif` (LZW decode AND
+  encode, interlace, frame compositing; bit-exact vs ImageIO in both
+  directions — palette formats are lossless). Exotic codecs
+  (arithmetic JPEG, RLE BMP) fall back to the
   deterministic fake (or NotImplementedError when fakes are disabled).
 - **pdf: REAL** via `snacktory_spark.pdf` (see extract_pdf_text_df below).
 - **audio: REAL for WAV (RIFF PCM), AIFF, and AU (incl. G.711 mu-law)**
@@ -152,12 +153,12 @@ def make_fake_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
     for i in range(n):
         kind = kinds[i % 3]
         if kind == "image":
-            # REAL decodable payloads cycling PNG / baseline JPEG / BMP
-            # (GIF needs an LZW encoder we don't ship; its decode path is
-            # exercised by tests/test_gif.py incl. ImageIO cross-check)
+            # REAL decodable payloads cycling PNG / baseline JPEG / BMP /
+            # GIF (snacktory_spark.gif ships LZW both ways; ≤144 px here
+            # so the exact-palette encoder always fits 256 colors)
             w, h = rng.randint(4, 12), rng.randint(4, 12)
             px = bytes(rng.getrandbits(8) for _ in range(w * h * 3))
-            variant = (i // 3) % 3
+            variant = (i // 3) % 4
             if variant == 0:
                 rows.append((f"m-{i:05d}", "image", "image/png",
                              w, h, None, encode_png(px, w, h, 3)))
@@ -165,9 +166,13 @@ def make_fake_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
                 rows.append((f"m-{i:05d}", "image", "image/jpeg",
                              w, h, None, encode_jpeg(px, w, h, 3,
                                                      quality=92)))
-            else:
+            elif variant == 2:
                 rows.append((f"m-{i:05d}", "image", "image/bmp",
                              w, h, None, encode_bmp24(px, w, h)))
+            else:
+                from .gif import encode_gif
+                rows.append((f"m-{i:05d}", "image", "image/gif",
+                             w, h, None, encode_gif(px, w, h, 3)))
         elif kind == "audio":
             # REAL decodable payload: short PCM WAV sine burst; every
             # third one stays a fake compressed-codec blob (stub path)

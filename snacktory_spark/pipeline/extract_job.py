@@ -27,6 +27,7 @@ resume is an O(buckets) filter, not a table diff.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import re
 import shutil
@@ -240,7 +241,16 @@ class _ManifestIO:
                             os.remove(os.path.join(self.mdir, name))
                         except OSError:
                             pass
-        return sorted(removed)
+        removed = sorted(removed)
+        if removed:
+            # WARN with the explicit bucket list (ADVICE r3): this purge
+            # is destructive by design; if a caller ever points
+            # output_path at an unrelated partitioned dataset, this line
+            # is the job-log evidence of what was wiped.
+            logging.getLogger(__name__).warning(
+                "clean_stale: removed %d stale bucket dir(s) under %s: %s",
+                len(removed), self.out, removed)
+        return removed
 
 
 def _manifest_bucket(name: str) -> int | None:

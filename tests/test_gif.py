@@ -272,3 +272,74 @@ def test_imageio_cross_validation_bit_exact(java_tool, fmt):
     jref = np.frombuffer(ref.read_bytes()[8:], np.uint8).reshape(h, w, 3)
     assert (mine == jref).all()        # lossless: EXACT
     assert (mine == img).all()
+
+
+# --- encoder (encode_gif): lossless round-trip + ImageIO reads ours ---------
+
+from snacktory_spark.gif import encode_gif
+
+
+@pytest.mark.parametrize("w,h,ncol", [
+    (1, 1, 1), (3, 2, 2), (7, 5, 4), (16, 16, 16), (40, 31, 200),
+    (33, 17, 256),
+])
+def test_encode_gif_roundtrip_exact(w, h, ncol):
+    rng = np.random.RandomState(ncol)
+    pal = rng.randint(0, 256, (ncol, 3)).astype(np.uint8)
+    img = pal[rng.randint(0, ncol, (h, w))]
+    W, H, C, raw = decode_gif(encode_gif(img.tobytes(), w, h, 3))
+    assert (W, H, C) == (w, h, 3)
+    assert raw == img.tobytes()
+
+
+def test_encode_gif_table_reset_roundtrip():
+    # 300x300 of 256 random colors forces the 12-bit LZW table past 4096
+    # codes -> exercises the encoder's clear-code reset path
+    rng = np.random.RandomState(5)
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    img = pal[rng.randint(0, 256, (300, 300))]
+    assert decode_gif(encode_gif(img.tobytes(), 300, 300, 3))[3] \
+        == img.tobytes()
+
+
+def test_encode_gif_gray_and_errors():
+    g = bytes(range(0, 250, 10)) * 10   # 25 gray values, 250 px
+    _, _, _, raw = decode_gif(encode_gif(g, 25, 10, 1))
+    assert raw == np.repeat(np.frombuffer(g, np.uint8), 3).tobytes()
+    with pytest.raises(ImageError):     # >256 unique colors
+        rich = np.array([(k // 256, k % 256, 0) for k in range(300)],
+                        dtype=np.uint8).tobytes()
+        encode_gif(rich, 30, 10, 3)
+    with pytest.raises(ImageError):     # size mismatch
+        encode_gif(b"\x00" * 10, 4, 4, 3)
+    with pytest.raises(ImageError):     # bad channel count
+        encode_gif(b"\x00" * 32, 4, 4, 2)
+
+
+@needs_java
+def test_imageio_decodes_our_gif_bit_exact(java_tool):
+    rng = np.random.RandomState(23)
+    w, h = 41, 27
+    img = _PAL[rng.randint(0, len(_PAL), (h, w))]
+    out = java_tool / "ours.gif"
+    out.write_bytes(encode_gif(img.tobytes(), w, h, 3))
+    ref = java_tool / "ours_ref.raw"
+    subprocess.run(["java", "GBX.java", "decode", str(out), str(ref)],
+                   cwd=java_tool, check=True, capture_output=True)
+    jref = np.frombuffer(ref.read_bytes()[8:], np.uint8).reshape(h, w, 3)
+    assert (jref == img).all()
+
+
+@given(st.binary(min_size=1, max_size=96),
+       st.integers(min_value=1, max_value=4))
+@settings(max_examples=200, deadline=None)
+def test_encode_gif_fuzz_roundtrip(data, ncol_bits):
+    # arbitrary bytes folded onto a small palette: always round-trips
+    ncol = 1 << ncol_bits
+    pal = np.frombuffer((data * 48)[:ncol * 3], np.uint8).reshape(ncol, 3)
+    pal = np.unique(pal, axis=0)
+    idx = np.frombuffer(data, np.uint8) % pal.shape[0]
+    img = pal[idx]
+    w = len(idx)
+    got = decode_gif(encode_gif(img.tobytes(), w, 1, 3))[3]
+    assert got == img.tobytes()
