@@ -573,6 +573,122 @@ def q_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pixels_match boolean")
 
 
+def q_mpeg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG audio metadata extraction (REAL, spec-exact frame scan —
+    snacktory_spark.mpeg): per document, synthesize a deterministic
+    MPEG-1 Layer I stream (sine, doc_id-derived length/bitrate), then
+    scan its frame headers in a second Arrow stage — duration, frame
+    count, bitrate, channel mode — WITHOUT decoding audio. This is the
+    metadata pass a 100-TB media corpus runs over its MP3 columns.
+    Narrow maps, no shuffle; oracled closed-form on doc_id."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import pandas as pd
+    from snacktory_spark.pipeline.extract_job import ensure_py_files
+
+    ensure_py_files(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    # defined inside the query so executors get it by closure value
+    # (module-level names in __spark_entry__ are not importable there)
+    def _mpeg_sig(doc_id):
+        import numpy as np
+        n_s = 1000 + (int(doc_id) % 5) * 384
+        freq = 200 + (int(doc_id) % 20) * 20
+        br = (192, 256, 320, 448)[int(doc_id) % 4]
+        t = np.arange(n_s) / 32000.0
+        return 0.5 * np.sin(2 * np.pi * freq * t), br
+
+
+    def to_mpeg(batches):
+        from snacktory_spark.mpeg import encode_layer1
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                sig, br = _mpeg_sig(doc_id)
+                payloads.append(encode_layer1(sig, 32000, br))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    def scan(batches):
+        from snacktory_spark.mpeg import mpeg_audio_info
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                info = mpeg_audio_info(bytes(payload))
+                rows.append((doc_id, info["n_frames"], info["sample_rate"],
+                             info["bitrate_kbps"], info["duration_ms"],
+                             info["channels"]))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_frames", "sample_rate", "bitrate_kbps",
+                "duration_ms", "channels"])
+
+    enc = docs.mapInPandas(to_mpeg, "doc_id long, payload binary")
+    return enc.mapInPandas(
+        scan, "doc_id long, n_frames long, sample_rate long, "
+              "bitrate_kbps long, duration_ms long, channels long")
+
+
+def q_mpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG-1 Layer I encode→decode round-trip (self-consistent codec,
+    snacktory_spark.mpeg — spec framing, substituted MDCT filterbank +
+    midrise quantizer, see the module's honesty contract): per document,
+    encode the deterministic sine, decode it back in a second Arrow
+    stage, and verify sample rate, channel count, and SNR above the
+    bitrate-appropriate floor. Narrow maps over a binary column."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import pandas as pd
+    from snacktory_spark.pipeline.extract_job import ensure_py_files
+
+    ensure_py_files(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    # defined inside the query so executors get it by closure value
+    # (module-level names in __spark_entry__ are not importable there)
+    def _mpeg_sig(doc_id):
+        import numpy as np
+        n_s = 1000 + (int(doc_id) % 5) * 384
+        freq = 200 + (int(doc_id) % 20) * 20
+        br = (192, 256, 320, 448)[int(doc_id) % 4]
+        t = np.arange(n_s) / 32000.0
+        return 0.5 * np.sin(2 * np.pi * freq * t), br
+
+
+    def to_mpeg(batches):
+        from snacktory_spark.mpeg import encode_layer1
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                sig, br = _mpeg_sig(doc_id)
+                payloads.append(encode_layer1(sig, 32000, br))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    def decode(batches):
+        import numpy as np
+        from snacktory_spark.mpeg import decode_layer1
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                sig, br = _mpeg_sig(doc_id)
+                sr, ch, out = decode_layer1(bytes(payload))
+                n = min(out.shape[0], sig.size)
+                e = out[:n, 0] - sig[:n]
+                snr = 10.0 * np.log10(
+                    float(np.mean(sig[:n] ** 2))
+                    / max(float(np.mean(e ** 2)), 1e-300))
+                # 192k mono @32k -> nb=5 (~30 dB); 448k -> nb=13 (~75 dB)
+                rows.append((doc_id, sr, ch, bool(snr > 25.0)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "sample_rate", "channels", "snr_ok"])
+
+    enc = docs.mapInPandas(to_mpeg, "doc_id long, payload binary")
+    return enc.mapInPandas(
+        decode, "doc_id long, sample_rate long, channels long, "
+                "snr_ok boolean")
+
+
 def q_streaming_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming oracled by BATCH EQUIVALENCE (VERDICT r2 item
     7): the watermarked windowed aggregation (streaming_conv_stats) runs
@@ -1437,6 +1553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_roundtrip": q_image_roundtrip,
         "jpeg_roundtrip": q_jpeg_roundtrip,
         "gif_roundtrip": q_gif_roundtrip,
+        "mpeg_scan": q_mpeg_scan,
+        "mpeg_roundtrip": q_mpeg_roundtrip,
         "av_features": q_av_features,
         "ivf_assign": q_ivf_assign,
         "conv_flatten": q_conv_flatten,
@@ -1901,6 +2019,29 @@ def oracle_sql() -> dict[str, str]:
                    (8 + (doc_id % 4) * 4)::INT AS width,
                    (6 + (doc_id % 3) * 5)::INT AS height,
                    3::INT AS channels, true AS pixels_match
+            FROM documents
+        """,
+        # MPEG Layer I frame arithmetic is closed-form on doc_id:
+        # n_samples = 1000 + (doc_id%5)*384, frames = ceil((n+64)/384),
+        # CBR scan at 32 kHz mono
+        "mpeg_scan": """
+            SELECT doc_id,
+                   ((1000 + (doc_id % 5) * 384 + 64 + 383) // 384)::BIGINT
+                       AS n_frames,
+                   32000::BIGINT AS sample_rate,
+                   (CASE doc_id % 4 WHEN 0 THEN 192 WHEN 1 THEN 256
+                        WHEN 2 THEN 320 ELSE 448 END)::BIGINT
+                       AS bitrate_kbps,
+                   (((1000 + (doc_id % 5) * 384 + 64 + 383) // 384)
+                        * 384 * 1000 // 32000)::BIGINT AS duration_ms,
+                   1::BIGINT AS channels
+            FROM documents
+        """,
+        # Layer I round-trip recovers the sine above the bitrate floor
+        # for every document by construction
+        "mpeg_roundtrip": """
+            SELECT doc_id, 32000::BIGINT AS sample_rate,
+                   1::BIGINT AS channels, true AS snr_ok
             FROM documents
         """,
         # JPEG is lossy: dims are exact, pixels within codec tolerance —

@@ -240,14 +240,19 @@ def decode_au(data: bytes) -> tuple[int, int, np.ndarray]:
 
 
 def decode_audio(data: bytes) -> tuple[int, int, np.ndarray]:
-    """Route by magic: WAV (RIFF), AIFF (FORM), AU (.snd)."""
+    """Route by magic: WAV (RIFF), AIFF (FORM), AU (.snd), MPEG-1
+    Layer I (frame sync; see mpeg.py's two-tier honesty contract —
+    Layer II/III raise and fall through to the declared stub path)."""
     if data[:4] == b"RIFF":
         return decode_wav(data)
     if data[:4] == b"FORM":
         return decode_aiff(data)
     if data[:4] == b".snd":
         return decode_au(data)
-    raise ImageError("unsupported audio container (WAV/AIFF/AU)")
+    if len(data) > 1 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0:
+        from .mpeg import decode_layer1
+        return decode_layer1(data)
+    raise ImageError("unsupported audio container (WAV/AIFF/AU/MP1)")
 
 
 def audio_features(data: bytes) -> list[float]:

@@ -1,0 +1,504 @@
+"""MPEG-1/2/2.5 audio (MP3 family) frame scanning + a Layer I subband
+codec, pure python/numpy.
+
+Two honesty tiers, stated up front:
+
+- **Frame scanning is REAL and spec-exact** (ISO/IEC 11172-3 §2.4.1
+  header syntax, public knowledge): sync walk, version/layer/bitrate/
+  samplerate tables, frame-size arithmetic (Layer I slot=4 bytes), CRC
+  flag, channel mode, ID3v2 skip, Xing/Info VBR frame-count detection
+  via the Layer III side-info offsets. This is the metadata path a
+  100-TB media pipeline actually runs over MP3 corpora — duration /
+  bitrate / frame inventory WITHOUT decoding audio — and it works on
+  arbitrary real-world MP3/MP2/MP1 files.
+
+- **The Layer I codec is spec-SHAPED but self-consistent, not
+  bit-parity with third-party decoders.** The bitstream framing
+  (header, 4-bit allocations, 6-bit scalefactor indices, 12×32 subband
+  samples, slot padding) and the 32-band polyphase filterbank
+  STRUCTURE follow the spec; but two normative pieces are tabulated in
+  ISO 11172-3 Annex B and are deliberately NOT reproduced from memory
+  (a wrong table would decode garbage while looking authoritative):
+  the 512-tap analysis/synthesis prototype window, replaced by a
+  32-band sine-window MDCT (Princen–Bradley TDAC — the same lapped
+  dataflow at hop 32, perfect reconstruction EXACTLY; interior error
+  asserted < -200 dB in tests; MDCT is also what Layer III itself
+  stacks on the polyphase bank), and the sample requantization curve,
+  replaced by an exactly-invertible midrise uniform quantizer.
+  Consequence: encode→decode here
+  round-trips to quantizer precision (tested distributed + locally),
+  and `decode_layer1` decodes THIS module's streams — a conformant
+  third-party Layer I stream parses (framing is exact) but
+  reconstructs through the substitute window/curve, so samples differ
+  slightly from a reference decoder. Layer II needs the Annex B
+  allocation-class tables and Layer III the 32 Huffman tables — both
+  remain declared stubs in multimodal.py for the same reason.
+
+The scalefactor table IS reproduced — it is closed-form
+(sf[i] = 2 · 2^(-i/3), ISO 11172-3 Table B.1), not a magic table.
+
+Hostile-input contract (same as imaging/jpeg/pdf/av): every failure
+raises ImageError; frame counts and decoded sizes are capped BEFORE
+allocation so crafted headers can't OOM an executor.
+
+Reference parity note: the reference (skyshard/snacktory) treats media
+as opaque URLs (HtmlFetcher extension routing, e.g. isVideoLink /
+isImageLink in src/main/java/.../HtmlFetcher.java); this module serves
+SURVEY §2's beyond-reference multimodal-column operators.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .imaging import ImageError
+
+MAX_FRAMES = 1 << 20          # ~7.5h of 44.1k MP3 — scan cap
+MAX_DECODE_SAMPLES = 1 << 24  # decoded-output cap, matches av.py
+
+# --- header tables (ISO 11172-3 / 13818-3, public) -------------------------
+
+_V_MPEG25, _V_RESERVED, _V_MPEG2, _V_MPEG1 = 0, 1, 2, 3
+_VERSION_NAME = {_V_MPEG1: "MPEG1", _V_MPEG2: "MPEG2", _V_MPEG25: "MPEG2.5"}
+
+_BITRATE_MPEG1 = {  # kbps, index 1..14 (0=free, 15=bad), per layer
+    1: (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    2: (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    3: (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+}
+_BITRATE_MPEG2 = {
+    1: (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    2: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    3: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_SAMPLE_RATE = {
+    _V_MPEG1: (44100, 48000, 32000),
+    _V_MPEG2: (22050, 24000, 16000),
+    _V_MPEG25: (11025, 12000, 8000),
+}
+
+
+def _samples_per_frame(version: int, layer: int) -> int:
+    if layer == 1:
+        return 384
+    if layer == 2:
+        return 1152
+    return 1152 if version == _V_MPEG1 else 576  # layer 3
+
+
+class FrameHeader:
+    __slots__ = ("version", "layer", "crc", "bitrate_kbps", "sample_rate",
+                 "padding", "mode", "mode_ext", "frame_bytes", "samples")
+
+    def __init__(self, version, layer, crc, bitrate_kbps, sample_rate,
+                 padding, mode, mode_ext):
+        self.version = version
+        self.layer = layer
+        self.crc = crc
+        self.bitrate_kbps = bitrate_kbps
+        self.sample_rate = sample_rate
+        self.padding = padding
+        self.mode = mode          # 0 stereo, 1 joint, 2 dual, 3 mono
+        self.mode_ext = mode_ext
+        self.samples = _samples_per_frame(version, layer)
+        if layer == 1:
+            self.frame_bytes = (12 * bitrate_kbps * 1000
+                                // sample_rate + padding) * 4
+        else:
+            per_bit = self.samples // 8  # 144 (or 72 for MPEG2 L3)
+            self.frame_bytes = (per_bit * bitrate_kbps * 1000
+                                // sample_rate + padding)
+
+    @property
+    def channels(self) -> int:
+        return 1 if self.mode == 3 else 2
+
+
+def parse_frame_header(data: bytes, pos: int = 0) -> FrameHeader:
+    """Parse the 4-byte frame header at `pos`; ImageError if invalid."""
+    if pos + 4 > len(data):
+        raise ImageError("truncated MPEG frame header")
+    b0, b1, b2, b3 = data[pos:pos + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        raise ImageError("no MPEG frame sync")
+    version = (b1 >> 3) & 0x3
+    if version == _V_RESERVED:
+        raise ImageError("reserved MPEG version")
+    layer = 4 - ((b1 >> 1) & 0x3)   # bits 01->L3, 10->L2, 11->L1
+    if layer == 4:
+        raise ImageError("reserved MPEG layer")
+    crc = (b1 & 0x1) == 0           # protection_bit 0 => CRC-16 present
+    br_idx = (b2 >> 4) & 0xF
+    if br_idx in (0, 15):           # free-format unsupported, 15 invalid
+        raise ImageError("free-format/invalid MPEG bitrate")
+    table = _BITRATE_MPEG1 if version == _V_MPEG1 else _BITRATE_MPEG2
+    bitrate = table[layer][br_idx]
+    sr_idx = (b2 >> 2) & 0x3
+    if sr_idx == 3:
+        raise ImageError("reserved MPEG sample rate")
+    sample_rate = _SAMPLE_RATE[version][sr_idx]
+    padding = (b2 >> 1) & 0x1
+    mode = (b3 >> 6) & 0x3
+    mode_ext = (b3 >> 4) & 0x3
+    return FrameHeader(version, layer, crc, bitrate, sample_rate,
+                       padding, mode, mode_ext)
+
+
+def _skip_id3v2(data: bytes) -> int:
+    if data[:3] == b"ID3" and len(data) >= 10:
+        sz = ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
+              | (data[8] & 0x7F) << 7 | (data[9] & 0x7F))
+        return min(len(data), 10 + sz)
+    return 0
+
+
+def _xing_frames(data: bytes, pos: int, hdr: FrameHeader) -> int | None:
+    """Frame count from a Xing/Info VBR header in the frame at `pos`
+    (Layer III only — the tag sits right after the side info)."""
+    if hdr.layer != 3:
+        return None
+    if hdr.version == _V_MPEG1:
+        side = 17 if hdr.channels == 1 else 32
+    else:
+        side = 9 if hdr.channels == 1 else 17
+    off = pos + 4 + (2 if hdr.crc else 0) + side
+    tag = data[off:off + 4]
+    if tag not in (b"Xing", b"Info") or off + 12 > len(data):
+        return None
+    (flags,) = struct.unpack(">I", data[off + 4:off + 8])
+    if not flags & 0x1:  # FRAMES field absent
+        return None
+    (n,) = struct.unpack(">I", data[off + 8:off + 12])
+    return int(n)
+
+
+def iter_mpeg_frames(data: bytes, start: int | None = None):
+    """Yield (pos, FrameHeader) for each consecutive frame. The first
+    frame is found by sync scan (after any ID3v2 tag) and must be
+    CONFIRMED by a consistent header at the position it predicts —
+    0xFFE byte pairs occur in random data, a confirmed successor
+    doesn't. Stops cleanly at stream end / trailing garbage (a final
+    truncated frame is not yielded)."""
+    pos = _skip_id3v2(data) if start is None else start
+    first = True
+    n = 0
+    while pos + 4 <= len(data):
+        try:
+            hdr = parse_frame_header(data, pos)
+        except ImageError:
+            if not first:
+                return  # trailing garbage after a valid stream
+            pos += 1
+            continue
+        if first:
+            nxt = pos + hdr.frame_bytes
+            if nxt + 4 <= len(data):
+                try:
+                    h2 = parse_frame_header(data, nxt)
+                    ok = (h2.version == hdr.version
+                          and h2.layer == hdr.layer
+                          and h2.sample_rate == hdr.sample_rate)
+                except ImageError:
+                    ok = False
+                if not ok:
+                    pos += 1
+                    continue
+            first = False
+        if pos + hdr.frame_bytes > len(data):
+            return  # truncated final frame
+        yield pos, hdr
+        n += 1
+        if n > MAX_FRAMES:
+            raise ImageError("MPEG stream exceeds frame cap")
+        pos += hdr.frame_bytes
+
+
+def mpeg_audio_info(data: bytes) -> dict:
+    """Scan-only metadata: no audio decode. Raises ImageError when no
+    valid frame sequence exists."""
+    try:
+        frames = iter_mpeg_frames(data)
+        first = next(frames, None)
+        if first is None:
+            raise ImageError("no MPEG audio frames")
+        pos0, hdr0 = first
+        n = 1
+        total_kbps = hdr0.bitrate_kbps
+        vbr = False
+        xing = _xing_frames(data, pos0, hdr0)
+        for _pos, hdr in frames:
+            n += 1
+            total_kbps += hdr.bitrate_kbps
+            vbr = vbr or hdr.bitrate_kbps != hdr0.bitrate_kbps
+        n_frames = xing if xing is not None else n
+        duration_ms = n_frames * hdr0.samples * 1000 // hdr0.sample_rate
+        return {
+            "version": _VERSION_NAME[hdr0.version],
+            "layer": hdr0.layer,
+            "sample_rate": hdr0.sample_rate,
+            "channels": hdr0.channels,
+            "n_frames": n_frames,
+            "duration_ms": duration_ms,
+            "bitrate_kbps": total_kbps // max(1, n),
+            "vbr": vbr or xing is not None,
+        }
+    except ImageError:
+        raise
+    except (ValueError, IndexError, struct.error, OverflowError) as e:
+        raise ImageError(f"malformed MPEG audio: {type(e).__name__}: {e}") \
+            from None
+
+
+# --- 32-band lapped filterbank (exact-PR MDCT, Princen-Bradley TDAC) --------
+
+_M = 32          # subbands
+_LW = 64         # lapped window length (2M)
+_FB_CACHE: dict = {}
+
+
+def _filterbank() -> np.ndarray:
+    """Windowed MDCT basis (32×64): B[k,n] = w(n)·cos(π/M·(n+0.5+M/2)·
+    (k+0.5)) with the sine window w(n) = sin(π(n+0.5)/2M). Same 32-band
+    hop-32 lapped dataflow as the spec's polyphase bank, but
+    perfect-reconstruction EXACTLY (TDAC; interior error is machine
+    precision — asserted < -200 dB in tests), so codec round-trip error
+    is purely the quantizer's. This is the substitute for the Annex B
+    512-tap prototype discussed in the module docstring; MDCT itself is
+    the lapped transform Layer III runs on top of the polyphase bank."""
+    if not _FB_CACHE:
+        n = np.arange(_LW, dtype=np.float64)
+        w = np.sin(np.pi * (n + 0.5) / _LW)
+        k = np.arange(_M, dtype=np.float64)[:, None]
+        basis = np.cos(np.pi / _M * (n[None, :] + 0.5 + _M / 2) * (k + 0.5))
+        _FB_CACHE["b"] = basis * w[None, :]
+    return _FB_CACHE["b"]
+
+
+# Analysis scale keeps subband samples of any |x|<=1 signal inside the
+# scalefactor table's [-2, 2) domain (the spec's polyphase normalization
+# does the same); synthesis scale is its exact complement so the TDAC
+# product stays 2/M.
+_ASCALE = 0.5 * (2.0 / _M) ** 0.5
+_SSCALE = (2.0 / _M) / _ASCALE
+
+
+def _analyze(x: np.ndarray, bank: np.ndarray) -> np.ndarray:
+    """x (n,) → subband samples (32, n//32); frames x[mM : mM+2M]."""
+    n_hops = len(x) // _M
+    xp = np.concatenate([x, np.zeros(n_hops * _M + _LW - len(x))])
+    win = np.lib.stride_tricks.sliding_window_view(xp, _LW)[::_M][:n_hops]
+    return (bank @ win.T) * _ASCALE
+
+
+def _synthesize(sub: np.ndarray, bank: np.ndarray) -> np.ndarray:
+    """(32, n_hops) → (n_hops*M,) overlap-add; exact PR in the interior
+    (the first/last M samples lack their overlap partner — the codec
+    pads M samples on each side and trims, so callers never see them)."""
+    n_hops = sub.shape[1]
+    y = np.zeros(n_hops * _M + _LW)
+    contrib = (bank.T @ sub) * _SSCALE         # (64, n_hops)
+    for m in range(n_hops):
+        y[m * _M:m * _M + _LW] += contrib[:, m]
+    return y[:n_hops * _M]
+
+
+# --- Layer I codec (spec-shaped bitstream, self-consistent quantizer) -------
+
+# ISO 11172-3 Table B.1 is closed-form: sf[i] = 2 * 2^(-i/3), i = 0..62
+_SCALEFACTORS = 2.0 * np.exp2(-np.arange(63) / 3.0)
+
+_L1_BITRATES = _BITRATE_MPEG1[1][1:]           # legal CBR choices
+_L1_SR = _SAMPLE_RATE[_V_MPEG1]
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, bits: int):
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.nbits += bits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+
+    def pad_to(self, n_bytes: int):
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+        if len(self.buf) > n_bytes:
+            raise ImageError("Layer I frame overflow")
+        self.buf.extend(b"\x00" * (n_bytes - len(self.buf)))
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos_bits: int = 0):
+        self.data = data
+        self.pos = pos_bits
+
+    def read(self, bits: int) -> int:
+        end = self.pos + bits
+        if end > len(self.data) * 8:
+            raise ImageError("truncated Layer I frame body")
+        v = 0
+        p = self.pos
+        while bits:
+            byte = self.data[p >> 3]
+            avail = 8 - (p & 7)
+            take = min(avail, bits)
+            v = (v << take) | ((byte >> (avail - take)) & ((1 << take) - 1))
+            p += take
+            bits -= take
+        self.pos = end
+        return v
+
+
+def encode_layer1(samples: np.ndarray, sample_rate: int = 32000,
+                  bitrate_kbps: int = 448) -> bytes:
+    """MPEG-1 Layer I encoder, mono (n,) or stereo (n, 2) float samples
+    in [-1, 1] (spec framing + loop nesting; uniform allocation; midrise
+    quantizer — see module docstring for the two substitutions). Output
+    decodes with `decode_layer1` back to the input to quantizer
+    precision (round-trip SNR asserted in tests)."""
+    if sample_rate not in _L1_SR:
+        raise ImageError(f"MPEG-1 sample rate must be one of {_L1_SR}")
+    if bitrate_kbps not in _L1_BITRATES:
+        raise ImageError("not a legal Layer I bitrate")
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    if x.ndim != 2 or x.shape[1] not in (1, 2):
+        raise ImageError("samples must be (n,) mono or (n, 2) stereo")
+    if x.shape[0] == 0:
+        raise ImageError("empty signal")
+    if x.size > MAX_DECODE_SAMPLES:
+        raise ImageError("signal too long (sample cap)")
+    nch = x.shape[1]
+    frame_bytes = (12 * bitrate_kbps * 1000 // sample_rate) * 4
+    body_bits = frame_bytes * 8 - 32 - nch * (128 + 192)
+    nb = min(14, body_bits // (384 * nch))
+    if nb < 2:
+        raise ImageError("bitrate too low for uniform Layer I allocation")
+    alloc_code = nb - 1                             # spec: nb = alloc + 1
+    sr_idx = _L1_SR.index(sample_rate)
+    br_idx = 1 + _L1_BITRATES.index(bitrate_kbps)
+    header = bytes([
+        0xFF,
+        0xE0 | (_V_MPEG1 << 3) | (0b11 << 1) | 0x1,   # Layer I, no CRC
+        (br_idx << 4) | (sr_idx << 2),
+        (0b11 if nch == 1 else 0b00) << 6,             # mono / stereo
+    ])
+    bank = _filterbank()
+    # M leading pad samples (dropped by the decoder) + enough tail slack
+    # that every original sample sits in the fully-overlapped TDAC
+    # interior; hop count comes out at exactly 12 per frame
+    n = x.shape[0]
+    n_frames = (n + 2 * _M + 383) // 384
+    subs = []
+    for c in range(nch):
+        xpad = np.concatenate([np.zeros(_M), x[:, c],
+                               np.zeros(n_frames * 384 - _M - n)])
+        subs.append(_analyze(xpad, bank))              # (32, 12*n_frames)
+    out = bytearray()
+    for f in range(n_frames):
+        qs, sfs = [], []
+        for c in range(nch):
+            s = subs[c][:, f * 12:(f + 1) * 12]        # (32, 12)
+            maxabs = np.abs(s).max(axis=1)
+            sf_idx = np.empty(_M, dtype=np.int64)
+            for sb in range(_M):
+                fits = np.nonzero(_SCALEFACTORS >= maxabs[sb])[0]
+                sf_idx[sb] = fits[-1] if fits.size else 0
+            sf = _SCALEFACTORS[sf_idx][:, None]
+            q = np.floor((s / sf + 1.0) * (1 << (nb - 1)))
+            qs.append(np.clip(q, 0, (1 << nb) - 1).astype(np.int64))
+            sfs.append(sf_idx)
+        w = _BitWriter()
+        for sb in range(_M):                           # spec nesting:
+            for c in range(nch):                       # subband-major,
+                w.write(alloc_code, 4)                 # channel inner
+        for sb in range(_M):
+            for c in range(nch):
+                w.write(int(sfs[c][sb]), 6)
+        for m in range(12):
+            for sb in range(_M):
+                for c in range(nch):
+                    w.write(int(qs[c][sb, m]), nb)
+        w.pad_to(frame_bytes - 4)
+        out += header + w.buf
+    return bytes(out)
+
+
+def decode_layer1(data: bytes) -> tuple[int, int, np.ndarray]:
+    """MPEG-1 Layer I decoder → (sample_rate, channels, float samples
+    (n, ch)). Framing per spec (mono and stereo, any per-subband
+    allocation); dequantizes through this module's midrise curve and the
+    computed filterbank (see module docstring). Intensity-stereo frames
+    raise (needs the bound table we don't reproduce)."""
+    try:
+        return _decode_layer1(data)
+    except ImageError:
+        raise
+    except (ValueError, IndexError, struct.error, OverflowError,
+            MemoryError) as e:
+        raise ImageError(f"malformed Layer I: {type(e).__name__}: {e}") \
+            from None
+
+
+def _decode_layer1(data: bytes):
+    bank = _filterbank()
+    sr = None
+    per_ch_sub: list = []
+    channels = None
+    for pos, hdr in iter_mpeg_frames(data):
+        if hdr.layer != 1 or hdr.version != _V_MPEG1:
+            raise ImageError("not an MPEG-1 Layer I stream")
+        if hdr.mode == 1:
+            raise ImageError("intensity-stereo Layer I not supported")
+        if sr is None:
+            sr = hdr.sample_rate
+            channels = hdr.channels
+            per_ch_sub = [[] for _ in range(channels)]
+        elif hdr.sample_rate != sr or hdr.channels != channels:
+            raise ImageError("mid-stream format change")
+        if (len(per_ch_sub[0]) + 12) * _M * channels > MAX_DECODE_SAMPLES:
+            raise ImageError("Layer I output exceeds sample cap")
+        br = _BitReader(data, (pos + 4 + (2 if hdr.crc else 0)) * 8)
+        nch = channels
+        # spec loop nesting (2.4.1.5): subband-major, channel inner
+        alloc = [[0] * _M for _ in range(nch)]
+        for sb in range(_M):
+            for c in range(nch):
+                alloc[c][sb] = br.read(4)
+                if alloc[c][sb] == 15:
+                    raise ImageError("forbidden Layer I allocation 15")
+        sf = [[0] * _M for _ in range(nch)]
+        for sb in range(_M):
+            for c in range(nch):
+                if alloc[c][sb]:
+                    sf[c][sb] = br.read(6)
+        frame = np.zeros((nch, _M, 12))
+        for m in range(12):
+            for sb in range(_M):
+                for c in range(nch):
+                    a = alloc[c][sb]
+                    if not a:
+                        continue
+                    nb = a + 1
+                    code = br.read(nb)
+                    frac = (2.0 * code + 1.0) / (1 << nb) - 1.0
+                    frame[c, sb, m] = _SCALEFACTORS[sf[c][sb]] * frac
+        for c in range(nch):
+            per_ch_sub[c].append(frame[c])
+    if sr is None:
+        raise ImageError("no Layer I frames")
+    chans = []
+    for c in range(channels):
+        sub = np.concatenate(per_ch_sub[c], axis=1)
+        y = _synthesize(sub, bank)
+        chans.append(y[_M:])                    # drop the encoder's lead pad
+    n = min(ch.size for ch in chans)
+    return sr, channels, np.stack([ch[:n] for ch in chans], axis=1)

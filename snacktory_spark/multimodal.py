@@ -23,9 +23,15 @@ Decode reality in this container (no PIL/ffmpeg):
   bit-exact against javax.sound.
 - **video: REAL for Y4M (YUV4MPEG2 C420/C444)** via `snacktory_spark.av`
   — streaming frame iteration, every-k frame sampling, luma statistics.
-- compressed AV codecs (MP3/AAC/H.264/VP9): stubbed — NotImplementedError
-  by default, `deterministic_fake=True` yields a seeded content-derived
-  feature vector so the Spark-side plumbing stays fully exercised.
+- **MPEG audio**: frame scanning (duration/bitrate/VBR metadata) is REAL
+  and spec-exact for MP1/MP2/MP3 files; MPEG-1 Layer I additionally
+  decodes through `snacktory_spark.mpeg`'s self-consistent codec (spec
+  framing; MDCT filterbank + midrise quantizer substituted for the two
+  Annex B tables — see mpeg.py's two-tier honesty contract).
+- remaining perceptual codecs (MP2/MP3 full decode, AAC/H.264/VP9):
+  stubbed — NotImplementedError by default, `deterministic_fake=True`
+  yields a seeded content-derived feature vector so the Spark-side
+  plumbing stays fully exercised.
 
 At 100 TB: payloads should live in their own parquet column chunk (they do —
 separate column), batches must stay small (binary rows are large), and
@@ -82,7 +88,10 @@ def decode_payload(payload: bytes, kind: str, deterministic_fake: bool = False):
             return np.asarray(image_features(px, w, h, c), dtype=np.float32)
         except ImageError:
             pass  # unsupported codec (arithmetic/lossless) → stub below
-    elif kind == "audio" and payload[:4] in (b"RIFF", b"FORM", b".snd"):
+    elif kind == "audio" and (
+            payload[:4] in (b"RIFF", b"FORM", b".snd")
+            or (len(payload) > 1 and payload[0] == 0xFF
+                and (payload[1] & 0xE0) == 0xE0)):
         from .av import audio_features
         from .imaging import ImageError
         try:
@@ -174,13 +183,24 @@ def make_fake_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
                 rows.append((f"m-{i:05d}", "image", "image/gif",
                              w, h, None, encode_gif(px, w, h, 3)))
         elif kind == "audio":
-            # REAL decodable payload: short PCM WAV sine burst; every
-            # third one stays a fake compressed-codec blob (stub path)
-            if (i // 3) % 3 == 2:
+            # REAL decodable payloads cycling PCM WAV / MPEG-1 Layer I
+            # (self-consistent codec, mpeg.py); every third one stays a
+            # fake compressed-codec blob (stub path)
+            variant = (i // 3) % 3
+            if variant == 2:
                 payload = bytes(rng.getrandbits(8)
                                 for _ in range(rng.randint(64, 512)))
                 rows.append((f"m-{i:05d}", kind, "audio/fake", None, None,
                              rng.randint(500, 60000), payload))
+            elif variant == 1:
+                from .mpeg import encode_layer1
+                n_s = rng.randint(800, 2400)
+                freq = rng.randint(100, 900)
+                t = np.arange(n_s) / 32000.0
+                mp1 = encode_layer1(0.4 * np.sin(2 * np.pi * freq * t),
+                                    32000, 448)
+                rows.append((f"m-{i:05d}", kind, "audio/mpeg", None, None,
+                             int(n_s / 32.0), mp1))
             else:
                 n_s = rng.randint(400, 1600)
                 freq = rng.randint(100, 900)

@@ -1,0 +1,190 @@
+"""MPEG audio tests: frame-scan correctness (spec-exact tier), Layer I
+codec round-trip (self-consistent tier), filterbank PR, hostile inputs.
+
+See snacktory_spark/mpeg.py's module docstring for the two-tier honesty
+contract these tests pin down.
+"""
+import struct
+import sys
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+sys.path.insert(0, "/root/repo")
+
+from snacktory_spark.imaging import ImageError
+from snacktory_spark.mpeg import (_M, _analyze, _filterbank, _synthesize,
+                                  decode_layer1, encode_layer1,
+                                  iter_mpeg_frames, mpeg_audio_info,
+                                  parse_frame_header)
+
+
+# --- filterbank: exact PR ---------------------------------------------------
+
+def test_filterbank_perfect_reconstruction():
+    bank = _filterbank()
+    rng = np.random.RandomState(3)
+    x = rng.randn(4096) * 0.3
+    xp = np.concatenate([np.zeros(_M), x, np.zeros(2 * _M)])
+    y = _synthesize(_analyze(xp, bank), bank)
+    e = y[_M:_M + 4000] - x[:4000]
+    db = 10 * np.log10(np.mean(e ** 2) / np.mean(x ** 2))
+    assert db < -200, db  # TDAC is exact; only float error remains
+
+
+# --- header parsing (spec-exact) --------------------------------------------
+
+def test_parse_frame_header_fields():
+    # MPEG-1 Layer III, 128 kbps, 44100 Hz, padding, joint stereo
+    h = parse_frame_header(bytes([0xFF, 0xFB, 0x92, 0x40]))
+    assert (h.version, h.layer, h.bitrate_kbps, h.sample_rate,
+            h.padding, h.mode) == (3, 3, 128, 44100, 1, 1)
+    assert h.samples == 1152
+    assert h.frame_bytes == 144 * 128000 // 44100 + 1  # 418+pad
+    # MPEG-2 Layer III 64kbps 22050: 576 samples, 72*br/sr
+    h2 = parse_frame_header(bytes([0xFF, 0xF3, 0x80, 0x00]))
+    assert (h2.version, h2.samples) == (2, 576)
+    assert h2.frame_bytes == 72 * 64000 // 22050
+
+
+@pytest.mark.parametrize("hdr", [
+    b"\x00\x00\x00\x00",          # no sync
+    b"\xFF\xEB\x92\x40",          # reserved version
+    b"\xFF\xF9\x92\x40",          # reserved layer
+    b"\xFF\xFB\x02\x40",          # free-format bitrate
+    b"\xFF\xFB\xF2\x40",          # invalid bitrate 15
+    b"\xFF\xFB\x9C\x40",          # reserved sample rate
+])
+def test_parse_frame_header_rejects(hdr):
+    with pytest.raises(ImageError):
+        parse_frame_header(hdr)
+
+
+def test_iter_frames_requires_confirmed_successor():
+    # a lone sync-looking byte pair inside garbage yields nothing
+    junk = b"\x00" * 7 + bytes([0xFF, 0xFB, 0x92, 0x40]) + b"\x00" * 50
+    assert list(iter_mpeg_frames(junk)) == []
+
+
+def test_scan_with_id3v2_and_trailing_garbage():
+    sig = 0.25 * np.sin(2 * np.pi * 500 * np.arange(2000) / 32000)
+    enc = encode_layer1(sig, 32000, 448)
+    tag = b"ID3" + bytes([4, 0, 0, 0, 0, 0, 20]) + b"\x00" * 20
+    info = mpeg_audio_info(tag + enc + b"garbage-after-the-stream")
+    assert info["layer"] == 1 and info["sample_rate"] == 32000
+    assert info["n_frames"] == 6          # ceil((2000+64)/384)
+    assert info["duration_ms"] == 6 * 384 * 1000 // 32000
+    assert info["bitrate_kbps"] == 448 and not info["vbr"]
+
+
+def test_xing_frame_count_wins():
+    # minimal MPEG-1 L3 mono frame with a Xing tag claiming 999 frames
+    hdr = bytes([0xFF, 0xFB, 0x92, 0xC0])   # 128k 44100 mono, padding
+    h = parse_frame_header(hdr)
+    body = bytearray(h.frame_bytes - 4)
+    body[17:29] = b"Xing" + struct.pack(">II", 1, 999)
+    frame = hdr + bytes(body)
+    info = mpeg_audio_info(frame + frame)   # 2 physical frames
+    assert info["n_frames"] == 999 and info["vbr"]
+
+
+# --- Layer I codec ----------------------------------------------------------
+
+def test_layer1_roundtrip_sine_high_rate():
+    sr = 32000
+    t = np.arange(sr // 4) / sr
+    sig = 0.5 * np.sin(2 * np.pi * 1000 * t)
+    r_sr, ch, out = decode_layer1(encode_layer1(sig, sr, 448))
+    assert (r_sr, ch) == (sr, 1)
+    n = min(out.shape[0], sig.size)
+    e = out[:n, 0] - sig[:n]
+    snr = 10 * np.log10(np.mean(sig[:n] ** 2) / np.mean(e ** 2))
+    assert snr > 70, snr                   # nb=13 -> quantizer-limited
+
+
+def test_layer1_bitrate_ladder_monotone():
+    sr = 32000
+    sig = 0.5 * np.sin(2 * np.pi * 700 * np.arange(4000) / sr)
+    snrs = []
+    for br in (96, 192, 320, 448):
+        _, _, out = decode_layer1(encode_layer1(sig, sr, br))
+        n = min(out.shape[0], sig.size)
+        e = out[:n, 0] - sig[:n]
+        snrs.append(10 * np.log10(np.mean(sig[:n] ** 2) / np.mean(e ** 2)))
+    assert all(b > a for a, b in zip(snrs, snrs[1:])), snrs
+    assert snrs[0] > 10 and snrs[-1] > 70, snrs
+
+
+def test_layer1_stereo_roundtrip():
+    sr = 44100
+    t = np.arange(6000) / sr
+    st_sig = np.stack([0.5 * np.sin(2 * np.pi * 1000 * t),
+                       0.3 * np.sin(2 * np.pi * 440 * t)], axis=1)
+    r_sr, ch, out = decode_layer1(encode_layer1(st_sig, sr, 448))
+    assert (r_sr, ch) == (sr, 2)
+    n = min(out.shape[0], st_sig.shape[0])
+    e = out[:n] - st_sig[:n]
+    snr = 10 * np.log10(np.mean(st_sig[:n] ** 2) / np.mean(e ** 2))
+    assert snr > 20, snr                   # nb drops to 4 for 2ch@44.1k
+
+
+def test_layer1_noise_roundtrip():
+    rng = np.random.RandomState(7)
+    sig = (rng.rand(10000) - 0.5) * 1.8
+    _, _, out = decode_layer1(encode_layer1(sig, 48000, 448))
+    n = min(out.shape[0], sig.size)
+    e = out[:n, 0] - sig[:n]
+    snr = 10 * np.log10(np.mean(sig[:n] ** 2) / np.mean(e ** 2))
+    assert snr > 40, snr
+
+
+def test_layer1_encoder_rejects():
+    sig = np.zeros(100)
+    with pytest.raises(ImageError):
+        encode_layer1(sig, 8000, 448)       # not an MPEG-1 rate
+    with pytest.raises(ImageError):
+        encode_layer1(sig, 32000, 100)      # not a Layer I bitrate
+    with pytest.raises(ImageError):
+        encode_layer1(np.zeros((10, 3)), 32000, 448)
+    with pytest.raises(ImageError):
+        encode_layer1(np.zeros(0), 32000, 448)
+
+
+def test_layer1_decoder_hostile():
+    sig = 0.2 * np.sin(2 * np.pi * 300 * np.arange(1000) / 32000)
+    enc = bytearray(encode_layer1(sig, 32000, 448))
+    with pytest.raises(ImageError):
+        decode_layer1(b"")                  # no frames
+    with pytest.raises(ImageError):
+        decode_layer1(b"\xFF\xFB\x92\x40" + b"\x00" * 1000)  # L3 stream
+    # truncated final frame is skipped, not an error
+    r, ch, out = decode_layer1(bytes(enc[:len(enc) - 100]))
+    assert out.shape[0] > 0
+    # flip allocation nibbles to the forbidden value 15
+    enc2 = bytearray(enc)
+    enc2[4] = 0xFF
+    with pytest.raises(ImageError):
+        decode_layer1(bytes(enc2))
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_mpeg_fuzz_never_leaks(data):
+    # arbitrary bytes: ImageError or a well-formed result, never a leak
+    for fn in (mpeg_audio_info, decode_layer1):
+        try:
+            fn(data)
+        except ImageError:
+            pass
+
+
+def test_scan_is_scan_only_fast():
+    # info on a multi-minute stream must not decode audio: cap says the
+    # 42k-frame scan finishes and reports exact counts
+    sig = np.zeros(384)
+    one = encode_layer1(sig, 32000, 96)     # smallest uniform-alloc rate
+    many = one * 1000
+    info = mpeg_audio_info(many)
+    assert info["n_frames"] == 2000         # 2 frames per encode (pad)
+    assert info["duration_ms"] == 2000 * 384 * 1000 // 32000
