@@ -4,11 +4,12 @@ GIF87a/GIF89a per the public spec: logical screen descriptor, global and
 local color tables, graphic-control extensions (transparency, disposal),
 interlacing (4-pass), and the variable-width LZW decompressor (clear /
 EOI codes, 12-bit cap, deferred-clear tolerance). Frames are composited
-onto the logical screen — draw-over (disposal 0/1/3 treated as leave-in-
-place; 3 'restore previous' is approximated, noted below) and
-restore-to-background (2) — so `decode_gif` yields the first displayed
-frame and `iter_gif_frames` yields every k-th composited frame
-(animation = frame-sampling like av.iter_y4m_luma).
+onto the logical screen with full disposal-method semantics — draw-over
+(0/1), restore-to-background (2; cleared to the RGB transparent stand-in
+when the disposing frame declared the background index transparent), and
+restore-previous (3; exact saved-region undo) — so `decode_gif` yields
+the first displayed frame and `iter_gif_frames` yields every k-th
+composited frame (animation = frame-sampling like av.iter_y4m_luma).
 
 Unlike the DCT codecs, GIF is palette-indexed and lossless: our decode of
 an ImageIO-written file must match ImageIO's own decode EXACTLY —
@@ -202,6 +203,7 @@ def _iter_gif_frames_impl(data: bytes, every_k: int = 1):
             raise ImageError("frame rect outside logical screen")
         rgb = ct[indices]
         region = canvas[top:top + h, left:left + w]
+        saved = region.copy() if disposal == 3 else None
         if transparent is not None and transparent < len(ct):
             mask = indices != transparent
             region[mask] = rgb[mask]
@@ -209,9 +211,16 @@ def _iter_gif_frames_impl(data: bytes, every_k: int = 1):
             region[:] = rgb
         if idx % every_k == 0:
             yield idx, canvas.copy()
-        if disposal == 2:  # restore to background for the NEXT frame
-            canvas[top:top + h, left:left + w] = bg
-        # disposal 3 (restore previous) approximated as leave-in-place
+        if disposal == 2:
+            # restore-to-background; when the disposing frame declared
+            # the background index transparent, renderers clear to
+            # transparent — black is the RGB stand-in (opaque surface)
+            if transparent is not None and transparent == bg_idx:
+                canvas[top:top + h, left:left + w] = 0
+            else:
+                canvas[top:top + h, left:left + w] = bg
+        elif disposal == 3:  # restore-previous: exact saved-region undo
+            canvas[top:top + h, left:left + w] = saved
         transparent = None
         disposal = 0
         idx += 1

@@ -51,9 +51,11 @@ def make_gif(frames, palette, sw=None, sh=None, interlace=False,
     for fi, fr in enumerate(frames):
         h, w = fr.shape
         left, top = (offsets[fi] if offsets else (0, 0))
-        if transparent is not None or disposal:
+        disp = disposal[fi] if isinstance(disposal, (list, tuple)) \
+            else disposal
+        if transparent is not None or disp:
             out += bytes([0x21, 0xF9, 4,
-                          ((disposal & 7) << 2)
+                          ((disp & 7) << 2)
                           | (1 if transparent is not None else 0),
                           0, 0, transparent or 0, 0])
         out += b"\x2C" + struct.pack("<HHHH", left, top, w, h)
@@ -343,3 +345,35 @@ def test_encode_gif_fuzz_roundtrip(data, ncol_bits):
     w = len(idx)
     got = decode_gif(encode_gif(img.tobytes(), w, 1, 3))[3]
     assert got == img.tobytes()
+
+
+def test_restore_previous_disposal_exact():
+    # frame 0 fills screen yellow; frame 1 (disposal 3) draws a gray
+    # patch at (1,1); frame 2 draws a 1px red dot. After frame 1's
+    # disposal, the patch region must be EXACTLY the yellow it covered.
+    base = np.full((6, 6), 4, np.uint8)
+    patch = np.full((3, 3), 5, np.uint8)
+    dot = np.full((1, 1), 1, np.uint8)
+    gif = make_gif([base, patch, dot], _PAL, disposal=[0, 3, 0],
+                   offsets=[(0, 0), (1, 1), (0, 0)])
+    frames = dict(iter_gif_frames(gif))
+    assert (frames[1][2, 2] == _PAL[5]).all()      # patch visible in f1
+    f2 = frames[2]
+    assert (f2[0, 0] == _PAL[1]).all()             # the dot
+    assert (f2[2, 2] == _PAL[4]).all()             # patch region restored
+    assert (f2[5, 5] == _PAL[4]).all()
+
+
+def test_disposal2_transparent_background_clears_to_black():
+    # bg index 0 is declared transparent by the disposing frame: the
+    # restore clears to the RGB transparent stand-in (black), not to
+    # palette[0]'s color — make palette[0] loudly non-black to see it.
+    pal = np.array([[200, 10, 10], [0, 255, 0]], np.uint8)
+    fr = np.full((4, 4), 1, np.uint8)
+    tail = np.full((1, 1), 1, np.uint8)
+    gif = make_gif([fr, tail], pal, disposal=2, transparent=0,
+                   offsets=[(0, 0), (3, 3)])
+    frames = dict(iter_gif_frames(gif))
+    f1 = frames[1]
+    assert (f1[0, 0] == 0).all()                   # cleared, not red
+    assert (f1[3, 3] == pal[1]).all()
