@@ -630,11 +630,13 @@ def q_mpeg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MPEG-1 Layer I encode→decode round-trip (self-consistent codec,
-    snacktory_spark.mpeg — spec framing, substituted MDCT filterbank +
-    midrise quantizer, see the module's honesty contract): per document,
-    encode the deterministic sine, decode it back in a second Arrow
-    stage, and verify sample rate, channel count, and SNR above the
+    """MPEG-1 Layer I/II encode→decode round-trip (self-consistent
+    codecs, snacktory_spark.mpeg — spec framing incl. Layer II scfsi +
+    grouped codewords, substituted MDCT filterbank + midrise quantizer,
+    see the module's honesty contract): per document, encode the
+    deterministic sine as Layer I (even doc_id) or Layer II (odd),
+    decode it back through the layer DISPATCHER in a second Arrow stage,
+    and verify sample rate, channel count, and SNR above the
     bitrate-appropriate floor. Narrow maps over a binary column."""
     import sys
     sys.path.insert(0, "/root/repo")
@@ -656,23 +658,27 @@ def q_mpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
     def to_mpeg(batches):
-        from snacktory_spark.mpeg import encode_layer1
+        from snacktory_spark.mpeg import encode_layer1, encode_layer2
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
                 sig, br = _mpeg_sig(doc_id)
-                payloads.append(encode_layer1(sig, 32000, br))
+                if int(doc_id) % 2:
+                    payloads.append(encode_layer2(sig, 32000,
+                                                  min(br, 384)))
+                else:
+                    payloads.append(encode_layer1(sig, 32000, br))
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "payload": payloads})
 
     def decode(batches):
         import numpy as np
-        from snacktory_spark.mpeg import decode_layer1
+        from snacktory_spark.mpeg import decode_mpeg
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 sig, br = _mpeg_sig(doc_id)
-                sr, ch, out = decode_layer1(bytes(payload))
+                sr, ch, out = decode_mpeg(bytes(payload))
                 n = min(out.shape[0], sig.size)
                 e = out[:n, 0] - sig[:n]
                 snr = 10.0 * np.log10(
@@ -1299,6 +1305,101 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF top terms — the keyword/topic-signal pass of a
+    text-analysis pipeline. Shape: one explode to (doc, token) pairs →
+    per-doc term counts (partial+final hash agg) → document frequencies
+    from the SAME aggregated table (distinct docs per token is just a
+    second agg over it — no re-scan) → shuffled equi-join on token (the
+    vocabulary is corpus-sized: NOT broadcast) → per-doc top-3 by
+    (tfidf desc, token asc) via a rank window partitioned by doc_id —
+    WindowGroupLimit prunes to ≤3 rows per doc map-side before the final
+    shuffle, so a mega-document costs nothing extra.
+
+    Smoothed idf = ln((N+1)/(df+1)); tfidf = tf * idf with tf the raw
+    in-doc count — deterministic and exactly reproducible in the SQL
+    oracle. Rounded to 6 decimals for cross-engine float stability."""
+    from pyspark.sql import Window, functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    pairs = (docs.filter(F.length("text") > 0)
+             .select("doc_id", F.explode(toks).alias("token")))
+    tf = pairs.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.filter(F.length("text") > 0).count()
+    scored = (tf.join(df_, "token")
+              .withColumn("tfidf",
+                          F.round(F.col("tf")
+                                  * F.log(F.lit(float(n_docs + 1))
+                                          / (F.col("df") + 1)), 6)))
+    w = (Window.partitionBy("doc_id")
+         .orderBy(F.desc("tfidf"), F.asc("token")))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("doc_id", "rk", "token",
+                    F.col("tf").cast("long").alias("tf"),
+                    F.col("df").cast("long").alias("df"), "tfidf"))
+
+
+def q_int8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized embedding kNN — the memory-bandwidth ANN variant: a
+    100-TB store keeps embeddings scalar-quantized at 4× compression and
+    scans int8 codes instead of float32. Per-dimension global [min, max]
+    (one tiny agg; 64 floats collected driver-side and inlined as
+    literals — same documented seed-collect pattern as q_knn_cosine),
+    linear quantization to 0..255, then exact top-5 by the QUANTIZED dot
+    product for 3 query vectors against the corpus. floor arithmetic is
+    fully deterministic, so the SQL oracle reproduces it exactly.
+
+    Plan: ONE corpus scan; quantize + all 3 dots JVM-side (zip_with /
+    aggregate), posexplode of the 3-dot array, per-query top-5 via a
+    rank window (WindowGroupLimit prunes to ≤5 per query map-side —
+    the final shuffle carries 15 rows)."""
+    from pyspark.sql import Window, functions as F
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding"))
+    stats = (emb.select(F.posexplode("embedding").alias("dim", "v"))
+             .groupBy("dim").agg(F.min("v").alias("lo"),
+                                 F.max("v").alias("hi"))
+             .orderBy("dim").collect())   # 64 rows: per-dim quant params
+    los = [float(r["lo"]) for r in stats]
+    rngs = [max(float(r["hi"]) - float(r["lo"]), 1e-30) for r in stats]
+
+    def quant_py(vec):
+        return [min(255, max(0, int((x - lo) / r * 255)))
+                for x, lo, r in zip(vec, los, rngs)]
+
+    lo_lit = F.array(*[F.lit(x) for x in los])
+    rng_lit = F.array(*[F.lit(x) for x in rngs])
+    q = F.zip_with(
+        F.zip_with("embedding", lo_lit, lambda x, lo: x - lo),
+        rng_lit,
+        lambda d, r: F.least(F.lit(255), F.greatest(
+            F.lit(0), F.floor(d / r * 255).cast("int"))))
+    qd = emb.select("vec_id", q.alias("q"))
+    qrows = {int(r["vec_id"]): quant_py([float(x) for x in r["embedding"]])
+             for r in emb.filter(F.col("vec_id").isin(1, 2, 3)).collect()}
+    qids = sorted(qrows)
+    dots = F.array(*[
+        F.aggregate(
+            F.zip_with("q", F.array(*[F.lit(v) for v in qrows[i]]),
+                       lambda a, b: (a * b).cast("long")),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        for i in qids])
+    qid_lit = F.array(*[F.lit(i) for i in qids])
+    scored = (qd.select("vec_id", F.posexplode(dots).alias("qi", "qdot"))
+              .select(F.element_at(qid_lit, F.col("qi") + 1)
+                      .cast("long").alias("query_id"),
+                      "vec_id", "qdot")
+              .filter(F.col("vec_id") != F.col("query_id")))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("qdot"), F.asc("vec_id")))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("query_id", F.col("rk").cast("long").alias("rk"),
+                    "vec_id", "qdot"))
+
+
 def q_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keeper election — the step dedup exists for: every document is
     marked kept/dropped, keeping exactly one representative (the min
@@ -1555,6 +1656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_roundtrip": q_gif_roundtrip,
         "mpeg_scan": q_mpeg_scan,
         "mpeg_roundtrip": q_mpeg_roundtrip,
+        "tfidf_topterms": q_tfidf_topterms,
+        "int8_knn": q_int8_knn,
         "av_features": q_av_features,
         "ivf_assign": q_ivf_assign,
         "conv_flatten": q_conv_flatten,
@@ -2020,6 +2123,66 @@ def oracle_sql() -> dict[str, str]:
                    (6 + (doc_id % 3) * 5)::INT AS height,
                    3::INT AS channels, true AS pixels_match
             FROM documents
+        """,
+        # smoothed tf-idf with ln((N+1)/(df+1)); top-3 per doc by
+        # (tfidf desc, token asc) — deterministic tie-break both engines
+        "tfidf_topterms": """
+            WITH d AS (SELECT doc_id, lower(trim(text)) AS t
+                       FROM documents WHERE length(text) > 0),
+            pairs AS (SELECT doc_id,
+                             unnest(regexp_split_to_array(t, '\\s+'))
+                                 AS token
+                      FROM d),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM pairs GROUP BY 1, 2),
+            dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS c FROM d),
+            scored AS (
+                SELECT doc_id, token, tf, df,
+                       round(tf * ln(((SELECT c FROM n) + 1)::DOUBLE
+                                     / (df + 1)), 6) AS tfidf
+                FROM tf JOIN dfreq USING (token)),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY tfidf DESC, token ASC) AS rk
+                FROM scored)
+            SELECT doc_id, rk::BIGINT AS rk, token,
+                   tf::BIGINT AS tf, df::BIGINT AS df, tfidf
+            FROM ranked WHERE rk <= 3
+        """,
+        # identical floor arithmetic: q_d = clip(floor((x-lo)/r*255));
+        # quantized dot products are integers, ties broken by vec_id
+        "int8_knn": """
+            WITH dims AS (
+                SELECT unnest(range(len(embedding))) AS dim,
+                       unnest(embedding) AS v
+                FROM embeddings),
+            st AS (SELECT dim, min(v) AS lo,
+                          greatest(max(v) - min(v), 1e-30) AS r
+                   FROM dims GROUP BY dim),
+            q AS (
+                SELECT vec_id, dim,
+                       least(255, greatest(0,
+                           floor((v - lo) / r * 255)))::BIGINT AS qv
+                FROM (SELECT vec_id,
+                             unnest(range(len(embedding))) AS dim,
+                             unnest(embedding) AS v
+                      FROM embeddings) x JOIN st USING (dim)),
+            dots AS (
+                SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+                       sum(a.qv * b.qv)::BIGINT AS qdot
+                FROM q a JOIN q b USING (dim)
+                WHERE a.vec_id IN (1, 2, 3) AND b.vec_id != a.vec_id
+                GROUP BY 1, 2),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY qdot DESC, vec_id ASC) AS rk
+                FROM dots)
+            SELECT query_id::BIGINT AS query_id, rk::BIGINT AS rk,
+                   vec_id::BIGINT AS vec_id, qdot
+            FROM ranked WHERE rk <= 5
         """,
         # MPEG Layer I frame arithmetic is closed-form on doc_id:
         # n_samples = 1000 + (doc_id%5)*384, frames = ceil((n+64)/384),

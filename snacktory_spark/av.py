@@ -250,9 +250,9 @@ def decode_audio(data: bytes) -> tuple[int, int, np.ndarray]:
     if data[:4] == b".snd":
         return decode_au(data)
     if len(data) > 1 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0:
-        from .mpeg import decode_layer1
-        return decode_layer1(data)
-    raise ImageError("unsupported audio container (WAV/AIFF/AU/MP1)")
+        from .mpeg import decode_mpeg
+        return decode_mpeg(data)
+    raise ImageError("unsupported audio container (WAV/AIFF/AU/MP1/MP2)")
 
 
 def audio_features(data: bytes) -> list[float]:

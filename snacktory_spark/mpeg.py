@@ -30,9 +30,13 @@ Two honesty tiers, stated up front:
   and `decode_layer1` decodes THIS module's streams — a conformant
   third-party Layer I stream parses (framing is exact) but
   reconstructs through the substitute window/curve, so samples differ
-  slightly from a reference decoder. Layer II needs the Annex B
-  allocation-class tables and Layer III the 32 Huffman tables — both
-  remain declared stubs in multimodal.py for the same reason.
+  slightly from a reference decoder. Layer II gets the same treatment
+  (see the Layer II section below): its distinctive framing — scfsi
+  scalefactor sharing and grouped base-N triplet codewords — is
+  implemented from the spec, with the Annex B allocation-class tables
+  substituted by a uniform allocation. Layer III's 32 Huffman tables
+  would be a pure Annex B reproduction — full L3 decode remains a
+  declared stub for the same reason.
 
 The scalefactor table IS reproduced — it is closed-form
 (sf[i] = 2 · 2^(-i/3), ISO 11172-3 Table B.1), not a magic table.
@@ -277,10 +281,13 @@ def _filterbank() -> np.ndarray:
 
 
 # Analysis scale keeps subband samples of any |x|<=1 signal inside the
-# scalefactor table's [-2, 2) domain (the spec's polyphase normalization
-# does the same); synthesis scale is its exact complement so the TDAC
-# product stays 2/M.
-_ASCALE = 0.5 * (2.0 / _M) ** 0.5
+# scalefactor table's [-2, 2] domain (the spec's polyphase normalization
+# does the same): |X_k| <= _ASCALE * sum(w) for any such signal, so
+# _ASCALE = 2/sum(w) makes clipping impossible — the scalefactors are
+# chosen per part, so SNR is unaffected by the scale. Synthesis scale is
+# the exact complement keeping the TDAC product at 2/M.
+_W_SUM = float(np.sin(np.pi * (np.arange(_LW) + 0.5) / _LW).sum())
+_ASCALE = 2.0 / _W_SUM
 _SSCALE = (2.0 / _M) / _ASCALE
 
 
@@ -502,3 +509,265 @@ def _decode_layer1(data: bytes):
         chans.append(y[_M:])                    # drop the encoder's lead pad
     n = min(ch.size for ch in chans)
     return sr, channels, np.stack([ch[:n] for ch in chans], axis=1)
+
+
+# --- Layer II codec (spec-shaped: grouping + scfsi; same substitutions) -----
+#
+# Layer II's distinctive framing features ARE implemented from the spec:
+# 1152 samples/frame as three 12-sample parts per subband; scfsi
+# (scalefactor selection info, 2 bits/subband) sharing scalefactors
+# across the parts; GROUPING for the 3/5/9-step quantizers (three
+# consecutive samples packed base-N into one 5/7/10-bit codeword). The
+# Annex B per-(bitrate, samplerate) allocation tables (which subbands
+# may use which step lists, with 2-4-bit allocation fields) are the
+# piece NOT reproduced from memory; substituted by a uniform 4-bit
+# allocation per subband indexing the step ladder below — same honesty
+# contract as Layer I above.
+
+# step ladder: index 1..15 → number of quantization steps
+_L2_STEPS = (0, 3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023,
+             2047, 4095, 65535)
+_L2_GROUPED = {3: 5, 5: 7, 9: 10}   # steps → grouped codeword bits
+
+
+def _l2_code_bits(steps: int) -> int:
+    if steps in _L2_GROUPED:
+        return _L2_GROUPED[steps]   # one codeword per 3 samples
+    return max(2, steps.bit_length())
+
+
+def _l2_quant(s: np.ndarray, sf: np.ndarray, steps: int) -> np.ndarray:
+    """Midrise uniform quantizer with `steps` levels on [-sf, sf)."""
+    q = np.floor((s / sf + 1.0) * (steps / 2.0))
+    return np.clip(q, 0, steps - 1).astype(np.int64)
+
+
+def _l2_dequant(c: np.ndarray, sf: np.ndarray, steps: int) -> np.ndarray:
+    return sf * ((2.0 * c + 1.0) / steps - 1.0)
+
+
+_L2_BITRATES = _BITRATE_MPEG1[2][1:]
+
+
+def encode_layer2(samples: np.ndarray, sample_rate: int = 32000,
+                  bitrate_kbps: int = 384) -> bytes:
+    """MPEG-1 Layer II encoder, mono (n,) or stereo (n, 2) float in
+    [-1, 1]: real scfsi (per-subband scalefactor sharing chosen from the
+    three parts' actual maxima) and real grouping; uniform allocation
+    per the substitution note above."""
+    if sample_rate not in _L1_SR:
+        raise ImageError(f"MPEG-1 sample rate must be one of {_L1_SR}")
+    if bitrate_kbps not in _L2_BITRATES:
+        raise ImageError("not a legal Layer II bitrate")
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    if x.ndim != 2 or x.shape[1] not in (1, 2):
+        raise ImageError("samples must be (n,) mono or (n, 2) stereo")
+    if x.shape[0] == 0:
+        raise ImageError("empty signal")
+    if x.size > MAX_DECODE_SAMPLES:
+        raise ImageError("signal too long (sample cap)")
+    nch = x.shape[1]
+    frame_bytes = 144 * bitrate_kbps * 1000 // sample_rate
+    # choose the largest uniform step index whose worst-case frame
+    # (3 scalefactors everywhere) fits; scfsi savings only help
+    budget = frame_bytes * 8 - 32 - nch * (128 + 64 + 3 * 192)
+    alloc_idx = 0
+    for i in range(1, len(_L2_STEPS)):
+        steps = _L2_STEPS[i]
+        bits = _l2_code_bits(steps)
+        per_ch = 12 * _M * bits if steps in _L2_GROUPED \
+            else 36 * _M * bits
+        if per_ch * nch <= budget:
+            alloc_idx = i
+    if alloc_idx == 0:
+        raise ImageError("bitrate too low for uniform Layer II allocation")
+    steps = _L2_STEPS[alloc_idx]
+    bits = _l2_code_bits(steps)
+    sr_idx = _L1_SR.index(sample_rate)
+    br_idx = 1 + _L2_BITRATES.index(bitrate_kbps)
+    header = bytes([
+        0xFF,
+        0xE0 | (_V_MPEG1 << 3) | (0b10 << 1) | 0x1,   # Layer II, no CRC
+        (br_idx << 4) | (sr_idx << 2),
+        (0b11 if nch == 1 else 0b00) << 6,
+    ])
+    bank = _filterbank()
+    n = x.shape[0]
+    n_frames = (n + 2 * _M + 1151) // 1152
+    subs = []
+    for c in range(nch):
+        xpad = np.concatenate([np.zeros(_M), x[:, c],
+                               np.zeros(n_frames * 1152 - _M - n)])
+        subs.append(_analyze(xpad, bank))             # (32, 36*n_frames)
+    out = bytearray()
+    for f in range(n_frames):
+        w = _BitWriter()
+        for sb in range(_M):                          # uniform allocation
+            for c in range(nch):
+                w.write(alloc_idx, 4)
+        # per (subband, channel): three 12-sample parts -> scalefactor
+        # index per part, scfsi from which parts can share (share = the
+        # smaller-index (coarser-range) scalefactor covers both maxima)
+        part_sf = np.empty((nch, _M, 3), dtype=np.int64)
+        for c in range(nch):
+            s = subs[c][:, f * 36:(f + 1) * 36]
+            for p in range(3):
+                maxabs = np.abs(s[:, p * 12:(p + 1) * 12]).max(axis=1)
+                for sb in range(_M):
+                    fits = np.nonzero(_SCALEFACTORS >= maxabs[sb])[0]
+                    part_sf[c, sb, p] = fits[-1] if fits.size else 0
+        scfsi = np.empty((nch, _M), dtype=np.int64)
+        sent_sf: list = [[None] * _M for _ in range(nch)]
+        for c in range(nch):
+            for sb in range(_M):
+                a, b_, d = part_sf[c, sb]
+                if a == b_ == d:
+                    scfsi[c, sb] = 2            # one sf for all parts
+                    sent_sf[c][sb] = (a,)
+                elif a == b_:
+                    scfsi[c, sb] = 1            # parts 0+1 share
+                    sent_sf[c][sb] = (a, d)
+                elif b_ == d:
+                    scfsi[c, sb] = 3            # parts 1+2 share
+                    sent_sf[c][sb] = (a, b_)
+                else:
+                    scfsi[c, sb] = 0            # three distinct
+                    sent_sf[c][sb] = (a, b_, d)
+        for sb in range(_M):
+            for c in range(nch):
+                w.write(int(scfsi[c, sb]), 2)
+        for sb in range(_M):
+            for c in range(nch):
+                for v in sent_sf[c][sb]:
+                    w.write(int(v), 6)
+        # samples: 12 triplet slots per frame part-structure — iterate
+        # the 36 samples as 12 groups of 3 (grouped) or singles
+        for g in range(12):
+            for sb in range(_M):
+                for c in range(nch):
+                    s3 = subs[c][:, f * 36:(f + 1) * 36][sb, g * 3:g * 3 + 3]
+                    sf = _SCALEFACTORS[part_sf[c, sb, g // 4]]
+                    q = _l2_quant(s3, sf, steps)
+                    if steps in _L2_GROUPED:
+                        code = int(q[0] + steps * q[1] + steps * steps * q[2])
+                        w.write(code, bits)
+                    else:
+                        for v in q:
+                            w.write(int(v), bits)
+        w.pad_to(frame_bytes - 4)
+        out += header + w.buf
+    return bytes(out)
+
+
+def decode_layer2(data: bytes) -> tuple[int, int, np.ndarray]:
+    """MPEG-1 Layer II decoder → (sample_rate, channels, float (n, ch)).
+    Real scfsi expansion and grouped-codeword unpacking; allocation and
+    dequantization per this module's substitutions (see docstring)."""
+    try:
+        return _decode_layer2(data)
+    except ImageError:
+        raise
+    except (ValueError, IndexError, struct.error, OverflowError,
+            MemoryError) as e:
+        raise ImageError(f"malformed Layer II: {type(e).__name__}: {e}") \
+            from None
+
+
+def _decode_layer2(data: bytes):
+    bank = _filterbank()
+    sr = None
+    channels = None
+    per_ch_sub: list = []
+    for pos, hdr in iter_mpeg_frames(data):
+        if hdr.layer != 2 or hdr.version != _V_MPEG1:
+            raise ImageError("not an MPEG-1 Layer II stream")
+        if hdr.mode == 1:
+            raise ImageError("intensity-stereo Layer II not supported")
+        if sr is None:
+            sr = hdr.sample_rate
+            channels = hdr.channels
+            per_ch_sub = [[] for _ in range(channels)]
+        elif hdr.sample_rate != sr or hdr.channels != channels:
+            raise ImageError("mid-stream format change")
+        if (sum(s.shape[1] for s in per_ch_sub[0]) + 36) * _M * channels \
+                > MAX_DECODE_SAMPLES:
+            raise ImageError("Layer II output exceeds sample cap")
+        br = _BitReader(data, (pos + 4 + (2 if hdr.crc else 0)) * 8)
+        nch = channels
+        alloc = [[0] * _M for _ in range(nch)]
+        for sb in range(_M):
+            for c in range(nch):
+                alloc[c][sb] = br.read(4)
+                if alloc[c][sb] >= len(_L2_STEPS):
+                    raise ImageError("Layer II allocation out of range")
+        scfsi = [[0] * _M for _ in range(nch)]
+        for sb in range(_M):
+            for c in range(nch):
+                if alloc[c][sb]:
+                    scfsi[c][sb] = br.read(2)
+        sf = np.zeros((nch, _M, 3), dtype=np.int64)
+        for sb in range(_M):
+            for c in range(nch):
+                if not alloc[c][sb]:
+                    continue
+                pat = scfsi[c][sb]
+                if pat == 0:
+                    a, b_, d = br.read(6), br.read(6), br.read(6)
+                elif pat == 1:
+                    a = b_ = br.read(6)
+                    d = br.read(6)
+                elif pat == 2:
+                    a = b_ = d = br.read(6)
+                else:
+                    a = br.read(6)
+                    b_ = d = br.read(6)
+                sf[c, sb] = (a, b_, d)
+        frame = np.zeros((nch, _M, 36))
+        for g in range(12):
+            for sb in range(_M):
+                for c in range(nch):
+                    a = alloc[c][sb]
+                    if not a:
+                        continue
+                    steps = _L2_STEPS[a]
+                    bits = _l2_code_bits(steps)
+                    if steps in _L2_GROUPED:
+                        code = br.read(bits)
+                        q = np.array([code % steps,
+                                      (code // steps) % steps,
+                                      code // (steps * steps)])
+                        if (q >= steps).any():
+                            raise ImageError("grouped codeword overflow")
+                    else:
+                        q = np.array([br.read(bits) for _ in range(3)])
+                    sfv = _SCALEFACTORS[sf[c, sb, g // 4]]
+                    frame[c, sb, g * 3:g * 3 + 3] = _l2_dequant(
+                        q.astype(np.float64), sfv, steps)
+        for c in range(nch):
+            per_ch_sub[c].append(frame[c])
+    if sr is None:
+        raise ImageError("no Layer II frames")
+    chans = []
+    for c in range(channels):
+        sub = np.concatenate(per_ch_sub[c], axis=1)
+        y = _synthesize(sub, bank)
+        chans.append(y[_M:])
+    n = min(ch.size for ch in chans)
+    return sr, channels, np.stack([ch[:n] for ch in chans], axis=1)
+
+
+def decode_mpeg(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Dispatch on the first confirmed frame's layer: Layer I/II decode
+    through this module's self-consistent codecs; Layer III raises (its
+    32 Huffman tables are an Annex B reproduction we refuse — it stays a
+    declared stub)."""
+    for _pos, hdr in iter_mpeg_frames(data):
+        if hdr.layer == 1:
+            return decode_layer1(data)
+        if hdr.layer == 2:
+            return decode_layer2(data)
+        raise ImageError("MPEG Layer III decode is a declared stub "
+                         "(see module docstring)")
+    raise ImageError("no MPEG audio frames")

@@ -24,11 +24,12 @@ Decode reality in this container (no PIL/ffmpeg):
 - **video: REAL for Y4M (YUV4MPEG2 C420/C444)** via `snacktory_spark.av`
   — streaming frame iteration, every-k frame sampling, luma statistics.
 - **MPEG audio**: frame scanning (duration/bitrate/VBR metadata) is REAL
-  and spec-exact for MP1/MP2/MP3 files; MPEG-1 Layer I additionally
-  decodes through `snacktory_spark.mpeg`'s self-consistent codec (spec
-  framing; MDCT filterbank + midrise quantizer substituted for the two
-  Annex B tables — see mpeg.py's two-tier honesty contract).
-- remaining perceptual codecs (MP2/MP3 full decode, AAC/H.264/VP9):
+  and spec-exact for MP1/MP2/MP3 files; MPEG-1 Layer I AND Layer II
+  additionally decode through `snacktory_spark.mpeg`'s self-consistent
+  codecs (spec framing incl. L2 scfsi sharing + grouped codewords; MDCT
+  filterbank + midrise quantizer substituted for the Annex B tables —
+  see mpeg.py's two-tier honesty contract).
+- remaining perceptual codecs (MP3 full decode, AAC/H.264/VP9):
   stubbed — NotImplementedError by default, `deterministic_fake=True`
   yields a seeded content-derived feature vector so the Spark-side
   plumbing stays fully exercised.

@@ -188,3 +188,98 @@ def test_scan_is_scan_only_fast():
     info = mpeg_audio_info(many)
     assert info["n_frames"] == 2000         # 2 frames per encode (pad)
     assert info["duration_ms"] == 2000 * 384 * 1000 // 32000
+
+
+# --- Layer II ---------------------------------------------------------------
+
+from snacktory_spark.mpeg import decode_layer2, decode_mpeg, encode_layer2
+
+
+def test_layer2_roundtrip_ladder_monotone():
+    sr = 32000
+    sig = 0.5 * np.sin(2 * np.pi * 700 * np.arange(8000) / sr)
+    snrs = []
+    for br in (96, 192, 256, 384):
+        _, _, out = decode_layer2(encode_layer2(sig, sr, br))
+        n = min(out.shape[0], sig.size)
+        e = out[:n, 0] - sig[:n]
+        snrs.append(10 * np.log10(np.mean(sig[:n] ** 2) / np.mean(e ** 2)))
+    assert all(b > a for a, b in zip(snrs, snrs[1:])), snrs
+    assert snrs[0] > 6 and snrs[-1] > 60, snrs
+
+
+def test_layer2_grouped_codewords_at_low_rate():
+    # 96 kbps mono fits only the 3-step quantizer -> every sample rides
+    # a grouped 5-bit base-3 triplet codeword; round-trip must still work
+    sr = 32000
+    sig = 0.4 * np.sin(2 * np.pi * 500 * np.arange(4000) / sr)
+    enc = encode_layer2(sig, sr, 96)
+    r, ch, out = decode_layer2(enc)
+    assert (r, ch) == (sr, 1)
+    n = min(out.shape[0], sig.size)
+    e = out[:n, 0] - sig[:n]
+    assert 10 * np.log10(np.mean(sig[:n] ** 2) / np.mean(e ** 2)) > 6
+
+
+def test_layer2_scfsi_sharing_roundtrip():
+    # an amplitude-modulated signal makes the three 12-sample parts
+    # differ (scfsi 0/1/3 paths), a steady sine shares them (scfsi 2);
+    # both must round-trip
+    sr = 32000
+    t = np.arange(6000)
+    ramp = 0.05 + 0.9 * (t / 6000.0)
+    sig = ramp * np.sin(2 * np.pi * 900 * t / sr)
+    _, _, out = decode_layer2(encode_layer2(sig, sr, 384))
+    n = min(out.shape[0], sig.size)
+    e = out[:n, 0] - sig[:n]
+    assert 10 * np.log10(np.mean(sig[:n] ** 2) / np.mean(e ** 2)) > 55
+
+
+def test_layer2_stereo_and_scan():
+    sr = 44100
+    t = np.arange(5000) / sr
+    st_sig = np.stack([0.5 * np.sin(2 * np.pi * 1000 * t),
+                       0.2 * np.sin(2 * np.pi * 300 * t)], axis=1)
+    enc = encode_layer2(st_sig, sr, 384)
+    info = mpeg_audio_info(enc)
+    assert (info["layer"], info["channels"], info["sample_rate"]) \
+        == (2, 2, sr)
+    assert info["n_frames"] == (5000 + 64 + 1151) // 1152
+    r, ch, out = decode_layer2(enc)
+    n = min(out.shape[0], st_sig.shape[0])
+    e = out[:n] - st_sig[:n]
+    assert 10 * np.log10(np.mean(st_sig[:n] ** 2) / np.mean(e ** 2)) > 10
+
+
+def test_decode_mpeg_dispatch():
+    sig = 0.3 * np.sin(2 * np.pi * 600 * np.arange(2000) / 32000)
+    assert decode_mpeg(encode_layer1(sig, 32000, 448))[1] == 1
+    assert decode_mpeg(encode_layer2(sig, 32000, 384))[1] == 1
+    # a Layer III header walks but decode is a declared stub
+    l3 = bytes([0xFF, 0xFB, 0x92, 0xC0])
+    h = parse_frame_header(l3)
+    frame = l3 + bytes(h.frame_bytes - 4)
+    with pytest.raises(ImageError, match="stub"):
+        decode_mpeg(frame + frame)
+
+
+def test_layer2_rejects_and_hostile():
+    sig = np.zeros(100)
+    with pytest.raises(ImageError):
+        encode_layer2(sig, 32000, 64)   # below uniform-allocation floor
+    with pytest.raises(ImageError):
+        encode_layer2(sig, 32000, 100)  # not a legal bitrate
+    good = encode_layer2(0.1 * np.ones(1200), 32000, 384)
+    bad = bytearray(good)
+    bad[4] = 0xFF                        # allocation index 15 out of range
+    with pytest.raises(ImageError):
+        decode_layer2(bytes(bad))
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_layer2_fuzz_never_leaks(data):
+    try:
+        decode_mpeg(data)
+    except ImageError:
+        pass
