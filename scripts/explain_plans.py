@@ -161,13 +161,45 @@ def main():
                      "Candidates are nprobe/k of the corpus; the exact "
                      "rerank never sees the rest."))
 
-    # 18. seq_pack: the per-shard pack — window partitioned by source
+    # 18. seq_pack: two-level prefix sum (r4 — no token-granularity window)
     sections.append(("seq_pack (fixed-length sequence packing)",
                      plan_of(em.q_seq_pack(spark, SF_DIR)),
-                     "Generate(posexplode) -> Window partitioned by "
-                     "source (P parallel per-shard packs, never a global "
-                     "sort) -> partial+final hash agg with min_by/max_by "
-                     "boundary tokens."))
+                     "Per-doc token counts ride a two-level exclusive "
+                     "prefix sum (range exchange reused across the totals "
+                     "and cumsum branches, windows keyed by (_pid, "
+                     "source)) -> doc_id equi-join re-attaches token "
+                     "arrays -> Generate over ~n/128 sequence ids -> "
+                     "partial+final hash agg. Tokens never transit an "
+                     "exchange as rows; no single-task sort even for a "
+                     "dominant source."))
+
+    # 19. dedup_keeper: the labeling join is NOT a forced broadcast (r4)
+    sections.append(("dedup_keeper (cluster labeling join)",
+                     plan_of(em.q_dedup_keeper(spark, SF_DIR)),
+                     "The near-dup cluster labeling is corpus-"
+                     "proportional on web data, so the final join is a "
+                     "plain shuffled equi-join on doc_id — AQE still "
+                     "promotes to broadcast when the labeling is "
+                     "genuinely small; no static broadcast hint."))
+
+    # 20. tfidf_topterms: shuffled vocab join + map-side top-k
+    sections.append(("tfidf_topterms (per-doc TF-IDF top terms)",
+                     plan_of(em.q_tfidf_topterms(spark, SF_DIR)),
+                     "One Generate to (doc, token); tf and df both "
+                     "aggregate off the same pairs (partial+final); the "
+                     "vocabulary join carries NO broadcast hint -- at this test SF the planner's own size estimate picks broadcast, at corpus scale the same plan becomes a shuffled hash join; the per-doc top-3 rank window "
+                     "carries a WindowGroupLimit, pruning to <=3 rows "
+                     "per doc before the final shuffle."))
+
+    # 21. int8_knn: one corpus scan, literal quant params, 15-row shuffle
+    sections.append(("int8_knn (scalar-quantized ANN scan)",
+                     plan_of(em.q_int8_knn(spark, SF_DIR)),
+                     "Quantization parameters are literals (64-float "
+                     "collect, the documented seed pattern), so the "
+                     "whole scoring pass is ONE scan with JVM-side "
+                     "zip_with/aggregate; per-query top-5 via "
+                     "WindowGroupLimit — the final exchange carries 15 "
+                     "rows."))
 
     with open("/root/repo/BENCH/PLANS.md", "w") as f:
         f.write("# Physical plans of the headline queries\n\n"
