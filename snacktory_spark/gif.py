@@ -343,3 +343,59 @@ def encode_gif(pixels: bytes, width: int, height: int,
         out += chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+def encode_gif_animation(frames, delays_cs=10, disposal=1,
+                         loop: bool = True) -> bytes:
+    """Animated GIF89a encoder: frames are (h, w, 3) uint8 arrays sharing
+    one exact global palette (≤256 unique colors ACROSS all frames —
+    same scope rule as encode_gif), full-screen draw-over frames with
+    per-frame delay (centiseconds) and disposal method, optional
+    NETSCAPE2.0 infinite-loop block. Decoding with iter_gif_frames
+    composites each frame back byte-exactly (full-screen draw-over)."""
+    frames = [np.asarray(f, np.uint8) for f in frames]
+    if not frames:
+        raise ImageError("animation needs at least one frame")
+    h, w = frames[0].shape[:2]
+    if any(f.shape != (h, w, 3) for f in frames):
+        raise ImageError("all frames must be (h, w, 3) and equal size")
+    if w < 1 or h < 1 or w > 0xFFFF or h > 0xFFFF:
+        raise ImageError("GIF dimensions out of bounds")
+    if isinstance(delays_cs, int):
+        delays_cs = [delays_cs] * len(frames)
+    if isinstance(disposal, int):
+        disposal = [disposal] * len(frames)
+    if len(delays_cs) != len(frames) or len(disposal) != len(frames):
+        raise ImageError("per-frame delay/disposal length mismatch")
+    stack = np.concatenate([f.reshape(-1, 3) for f in frames])
+    palette, indices = np.unique(stack, axis=0, return_inverse=True)
+    n_colors = palette.shape[0]
+    if n_colors > 256:
+        raise ImageError(f"GIF animation needs <=256 unique colors "
+                         f"across frames (got {n_colors})")
+    gct_bits = max(1, int(n_colors - 1).bit_length())
+    gct = np.zeros(((1 << gct_bits), 3), np.uint8)
+    gct[:n_colors] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | 0x70 | (gct_bits - 1))
+    out += b"\x00\x00"
+    out += gct.tobytes()
+    if loop:  # NETSCAPE2.0 application extension: loop forever
+        out += b"\x21\xFF\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    mcs = max(2, gct_bits)
+    npx = w * h
+    for fi in range(len(frames)):
+        out += bytes([0x21, 0xF9, 4, (disposal[fi] & 7) << 2])
+        out += struct.pack("<H", delays_cs[fi]) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out.append(mcs)
+        idx = indices[fi * npx:(fi + 1) * npx].astype(np.uint8)
+        body = _lzw_encode(mcs, idx.tobytes())
+        for i in range(0, len(body), 255):
+            chunk = body[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)

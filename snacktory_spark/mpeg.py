@@ -7,7 +7,11 @@ Two honesty tiers, stated up front:
   header syntax, public knowledge): sync walk, version/layer/bitrate/
   samplerate tables, frame-size arithmetic (Layer I slot=4 bytes), CRC
   flag, channel mode, ID3v2 skip, Xing/Info VBR frame-count detection
-  via the Layer III side-info offsets. This is the metadata path a
+  via the Layer III side-info offsets, and full Layer III SIDE-INFO
+  parsing (main_data_begin bit-reservoir pointer, per-granule
+  part2_3_length / big_values / block types — the field layout
+  self-validates by summing to the known 17/32 and 9/17-byte sizes;
+  see parse_l3_sideinfo). This is the metadata path a
   100-TB media pipeline actually runs over MP3 corpora — duration /
   bitrate / frame inventory WITHOUT decoding audio — and it works on
   arbitrary real-world MP3/MP2/MP1 files.
@@ -771,3 +775,107 @@ def decode_mpeg(data: bytes) -> tuple[int, int, np.ndarray]:
         raise ImageError("MPEG Layer III decode is a declared stub "
                          "(see module docstring)")
     raise ImageError("no MPEG audio frames")
+
+
+# --- Layer III side-info parse (scan tier: REAL, no audio decode) -----------
+#
+# The side-info field layout is spec-structural and self-validating: the
+# field widths below sum to exactly the known side-info sizes (MPEG-1:
+# 17 bytes mono / 32 stereo; MPEG-2 LSF: 9 / 17) — a misremembered
+# width would break that identity. Huffman payload decode stays a
+# declared stub (module docstring); parsing side info is what metadata
+# scans and frame-accurate MP3 splitters actually need: main_data_begin
+# gives the bit-reservoir back-pointer, part2_3_length the per-granule
+# payload extents.
+
+def parse_l3_sideinfo(data: bytes, pos: int, hdr: FrameHeader) -> dict:
+    """Parse the Layer III side info of the frame at `pos` →
+    {main_data_begin, granules: [{part2_3_length, big_values,
+    global_gain, block_type, ...} per (granule, channel)]}."""
+    if hdr.layer != 3:
+        raise ImageError("not a Layer III frame")
+    nch = hdr.channels
+    lsf = hdr.version != _V_MPEG1
+    br = _BitReader(data, (pos + 4 + (2 if hdr.crc else 0)) * 8)
+    out: dict = {}
+    if not lsf:
+        out["main_data_begin"] = br.read(9)
+        br.read(5 if nch == 1 else 3)            # private_bits
+        out["scfsi"] = [[br.read(1) for _ in range(4)]
+                        for _ in range(nch)]
+        n_gr = 2
+    else:
+        out["main_data_begin"] = br.read(8)
+        br.read(1 if nch == 1 else 2)
+        out["scfsi"] = [[0] * 4 for _ in range(nch)]
+        n_gr = 1
+    grs = []
+    for _g in range(n_gr):
+        for _c in range(nch):
+            g: dict = {}
+            g["part2_3_length"] = br.read(12)
+            g["big_values"] = br.read(9)
+            if g["big_values"] > 288:            # spec limit: <= 576/2
+                raise ImageError("big_values out of range")
+            g["global_gain"] = br.read(8)
+            g["scalefac_compress"] = br.read(9 if lsf else 4)
+            if br.read(1):                       # window switching
+                g["block_type"] = br.read(2)
+                if g["block_type"] == 0:
+                    raise ImageError("reserved block type in switched "
+                                     "window")
+                g["mixed_block_flag"] = br.read(1)
+                g["table_select"] = [br.read(5) for _ in range(2)]
+                g["subblock_gain"] = [br.read(3) for _ in range(3)]
+            else:
+                g["block_type"] = 0
+                g["mixed_block_flag"] = 0
+                g["table_select"] = [br.read(5) for _ in range(3)]
+                g["region0_count"] = br.read(4)
+                g["region1_count"] = br.read(3)
+            if not lsf:
+                g["preflag"] = br.read(1)
+            g["scalefac_scale"] = br.read(1)
+            g["count1table_select"] = br.read(1)
+            grs.append(g)
+    out["granules"] = grs
+    # the identity that validates the layout: we must have consumed
+    # exactly the spec's side-info size
+    side_bytes = (17 if nch == 1 else 32) if not lsf else \
+                 (9 if nch == 1 else 17)
+    consumed = br.pos - (pos + 4 + (2 if hdr.crc else 0)) * 8
+    if consumed != side_bytes * 8:
+        raise ImageError("side-info size mismatch (parser bug)")
+    return out
+
+
+def l3_stream_stats(data: bytes) -> dict:
+    """Scan-tier Layer III stream statistics: frame count, bit-reservoir
+    usage (how many frames back-reference main data), mean per-granule
+    payload bits, short-block fraction — the metadata a corpus-level
+    MP3 audit computes without Huffman decode."""
+    n = 0
+    reservoir_frames = 0
+    p23_sum = 0
+    p23_n = 0
+    short_blocks = 0
+    for pos, hdr in iter_mpeg_frames(data):
+        if hdr.layer != 3:
+            raise ImageError("not a Layer III stream")
+        si = parse_l3_sideinfo(data, pos, hdr)
+        n += 1
+        if si["main_data_begin"] > 0:
+            reservoir_frames += 1
+        for g in si["granules"]:
+            p23_sum += g["part2_3_length"]
+            p23_n += 1
+            if g["block_type"] == 2:
+                short_blocks += 1
+    if n == 0:
+        raise ImageError("no Layer III frames")
+    return {
+        "n_frames": n,
+        "reservoir_frames": reservoir_frames,
+        "mean_part2_3_bits": p23_sum // max(1, p23_n),
+        "short_block_fraction": round(short_blocks / max(1, p23_n), 4),
+    }

@@ -377,3 +377,50 @@ def test_disposal2_transparent_background_clears_to_black():
     f1 = frames[1]
     assert (f1[0, 0] == 0).all()                   # cleared, not red
     assert (f1[3, 3] == pal[1]).all()
+
+
+def test_encode_gif_animation_roundtrip():
+    from snacktory_spark.gif import encode_gif_animation
+    rng = np.random.RandomState(9)
+    pal = rng.randint(0, 256, (40, 3)).astype(np.uint8)
+    frames = [pal[rng.randint(0, 40, (11, 13))] for _ in range(4)]
+    gif = encode_gif_animation(frames, delays_cs=[5, 10, 15, 20],
+                               disposal=1, loop=True)
+    assert count_gif_frames(gif) == 4
+    # full-screen draw-over: each composited frame == its source exactly
+    for idx, canvas in iter_gif_frames(gif):
+        assert (canvas == frames[idx]).all(), idx
+    # every-k sampling works on our own animation
+    assert sorted(dict(iter_gif_frames(gif, every_k=2))) == [0, 2]
+
+
+def test_encode_gif_animation_errors():
+    from snacktory_spark.gif import encode_gif_animation
+    with pytest.raises(ImageError):
+        encode_gif_animation([])
+    a = np.zeros((4, 4, 3), np.uint8)
+    b = np.zeros((5, 4, 3), np.uint8)
+    with pytest.raises(ImageError, match="equal size"):
+        encode_gif_animation([a, b])
+    with pytest.raises(ImageError, match="length mismatch"):
+        encode_gif_animation([a, a], delays_cs=[1])
+    rich = np.arange(300, dtype=np.uint16)
+    img = np.stack([(rich // 256).astype(np.uint8),
+                    (rich % 256).astype(np.uint8),
+                    np.zeros(300, np.uint8)], axis=1).reshape(30, 10, 3)
+    with pytest.raises(ImageError, match="256 unique"):
+        encode_gif_animation([img])
+
+
+@needs_java
+def test_imageio_decodes_our_animation_first_frame(java_tool):
+    from snacktory_spark.gif import encode_gif_animation
+    rng = np.random.RandomState(31)
+    frames = [_PAL[rng.randint(0, len(_PAL), (9, 14))] for _ in range(3)]
+    out = java_tool / "anim.gif"
+    out.write_bytes(encode_gif_animation(frames, loop=True))
+    ref = java_tool / "anim_ref.raw"
+    subprocess.run(["java", "GBX.java", "decode", str(out), str(ref)],
+                   cwd=java_tool, check=True, capture_output=True)
+    jref = np.frombuffer(ref.read_bytes()[8:], np.uint8).reshape(9, 14, 3)
+    assert (jref == frames[0]).all()   # ImageIO.read returns frame 0

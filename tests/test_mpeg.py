@@ -283,3 +283,107 @@ def test_layer2_fuzz_never_leaks(data):
         decode_mpeg(data)
     except ImageError:
         pass
+
+
+# --- Layer III side info (scan tier) ----------------------------------------
+
+from snacktory_spark.mpeg import l3_stream_stats, parse_l3_sideinfo
+
+
+class _BW:
+    def __init__(self):
+        self.bits = []
+
+    def w(self, v, n):
+        self.bits += [(v >> i) & 1 for i in range(n - 1, -1, -1)]
+
+    def out(self):
+        while len(self.bits) % 8:
+            self.bits.append(0)
+        return bytes(int("".join(map(str, self.bits[i:i + 8])), 2)
+                     for i in range(0, len(self.bits), 8))
+
+
+def _l3_frame(mono=True, switched=False, main_data_begin=123,
+              p23=(1000, 1001), block_type=2):
+    hdr = bytes([0xFF, 0xFB, 0x92, 0xC0 if mono else 0x00])
+    h = parse_frame_header(hdr)
+    bw = _BW()
+    nch = 1 if mono else 2
+    bw.w(main_data_begin, 9)
+    bw.w(0, 5 if mono else 3)
+    for _ in range(4 * nch):
+        bw.w(1, 1)
+    for g in range(2):
+        for _c in range(nch):
+            bw.w(p23[g], 12)
+            bw.w(100 + g, 9)
+            bw.w(200, 8)
+            bw.w(7, 4)
+            if switched:
+                bw.w(1, 1)
+                bw.w(block_type, 2)
+                bw.w(0, 1)
+                bw.w(3, 5); bw.w(4, 5)
+                bw.w(1, 3); bw.w(2, 3); bw.w(3, 3)
+            else:
+                bw.w(0, 1)
+                bw.w(3, 5); bw.w(4, 5); bw.w(5, 5)
+                bw.w(6, 4); bw.w(2, 3)
+            bw.w(1, 1); bw.w(0, 1); bw.w(1, 1)
+    side = bw.out()
+    assert len(side) == (17 if mono else 32)   # the layout identity
+    return hdr + side + bytes(h.frame_bytes - 4 - len(side)), h
+
+
+@pytest.mark.parametrize("mono,switched", [
+    (True, True), (True, False), (False, True), (False, False),
+])
+def test_l3_sideinfo_parse(mono, switched):
+    frame, h = _l3_frame(mono=mono, switched=switched)
+    si = parse_l3_sideinfo(frame, 0, h)
+    assert si["main_data_begin"] == 123
+    n_gr = 2 * (1 if mono else 2)
+    assert len(si["granules"]) == n_gr
+    g0 = si["granules"][0]
+    assert g0["part2_3_length"] == 1000 and g0["big_values"] == 100
+    assert g0["block_type"] == (2 if switched else 0)
+    if not switched:
+        assert g0["region0_count"] == 6 and g0["region1_count"] == 2
+
+
+def test_l3_stream_stats():
+    long_f, _ = _l3_frame(switched=False, main_data_begin=0)
+    short_f, _ = _l3_frame(switched=True, main_data_begin=200)
+    stats = l3_stream_stats(long_f + short_f + short_f)
+    assert stats["n_frames"] == 3
+    assert stats["reservoir_frames"] == 2
+    assert stats["mean_part2_3_bits"] == 1000  # (1000+1001)/2 floored
+    assert stats["short_block_fraction"] == round(4 / 6, 4)
+
+
+def test_l3_sideinfo_rejects():
+    frame, h = _l3_frame()
+    bad = bytearray(frame)
+    # big_values > 288: bits 9..(9+5 priv+4 scfsi)=18 .. granule starts
+    # at bit offset 32*8? easier: corrupt via parse of a Layer I frame
+    sig = np.zeros(400)
+    l1 = encode_layer1(sig, 32000, 448)
+    h1 = parse_frame_header(l1)
+    with pytest.raises(ImageError):
+        parse_l3_sideinfo(l1, 0, h1)
+    # truncated side info
+    with pytest.raises(ImageError):
+        parse_l3_sideinfo(frame[:10], 0, h)
+
+
+@given(st.binary(min_size=17, max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_l3_sideinfo_fuzz(side):
+    hdr = bytes([0xFF, 0xFB, 0x92, 0xC0])
+    h = parse_frame_header(hdr)
+    frame = (hdr + side + bytes(max(0, h.frame_bytes - 4 - len(side))))
+    try:
+        parse_l3_sideinfo(frame, 0, h)
+    except ImageError:
+        pass
