@@ -1305,6 +1305,53 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme: Schleimer/
+    Wilkerson/Aiken, SIGMOD'03): hash every k-token gram (k=4), slide a
+    w=4 window over the hash sequence, keep each window's MINIMUM hash —
+    guarantees any shared run of w+k-1 tokens between two documents
+    shares a fingerprint, at ~1/w the storage of full gram sets. The
+    plagiarism/near-dup primitive that composes with the MinHash and
+    SimHash ops.
+
+    Entirely JVM-side higher-order functions (transform over sequence +
+    array_min over slices — one narrow map), then explode + distinct
+    (partial+final agg). Hashes are md5 hex strings compared
+    lexicographically so DuckDB reproduces the selection exactly."""
+    from pyspark.sql import functions as F
+    K, W = 4, 4
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = (docs.filter(F.length("text") > 0)
+            .select("doc_id", toks.alias("toks"))
+            .filter(F.size("toks") >= K + W - 1))
+    hashes = F.transform(F.sequence(F.lit(1), F.size("toks") - (K - 1)),
+                         _md5_gram_at(K))
+    wins = base.select("doc_id", hashes.alias("hs"))
+    mins = F.transform(F.sequence(F.lit(1), F.size("hs") - (W - 1)),
+                       _win_min_at(W))
+    return (wins.select("doc_id", F.explode(mins).alias("fp"))
+            .distinct())
+
+
+def _md5_gram_at(k):
+    """md5 hex of the k-token gram at 1-based index i (HOF closure)."""
+    from pyspark.sql import functions as F
+
+    def g(i):
+        return F.md5(F.concat_ws(" ", F.slice("toks", i, k)))
+    return g
+
+
+def _win_min_at(w):
+    """Minimum (lexicographic) of the w hashes starting at 1-based j."""
+    from pyspark.sql import functions as F
+
+    def g(j):
+        return F.array_min(F.slice("hs", j, w))
+    return g
+
+
 def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document TF-IDF top terms — the keyword/topic-signal pass of a
     text-analysis pipeline. Shape: one explode to (doc, token) pairs →
@@ -1658,6 +1705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mpeg_roundtrip": q_mpeg_roundtrip,
         "tfidf_topterms": q_tfidf_topterms,
         "int8_knn": q_int8_knn,
+        "winnow_fingerprint": q_winnow_fingerprint,
         "av_features": q_av_features,
         "ivf_assign": q_ivf_assign,
         "conv_flatten": q_conv_flatten,
@@ -2123,6 +2171,28 @@ def oracle_sql() -> dict[str, str]:
                    (6 + (doc_id % 3) * 5)::INT AS height,
                    3::INT AS channels, true AS pixels_match
             FROM documents
+        """,
+        # winnowing: same md5-hex gram hashes, lexicographic window min
+        "winnow_fingerprint": """
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+')
+                           AS toks
+                FROM documents WHERE length(text) > 0),
+            h AS (
+                SELECT doc_id,
+                       list_transform(range(1, len(toks) - 2),
+                           i -> md5(array_to_string(
+                                list_slice(toks, i, i + 3), ' ')))
+                           AS hs
+                FROM d WHERE len(toks) >= 7),
+            w AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(hs) - 2),
+                           j -> list_min(list_slice(hs, j, j + 3))))
+                           AS fp
+                FROM h)
+            SELECT DISTINCT doc_id, fp FROM w
         """,
         # smoothed tf-idf with ln((N+1)/(df+1)); top-3 per doc by
         # (tfidf desc, token asc) — deterministic tie-break both engines

@@ -515,3 +515,40 @@ def test_connected_components_nonconvergence_raises(spark):
     df = spark.createDataFrame(chain, "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iter=2)
+
+
+def test_winnowing_shared_run_guarantee(spark, tmp_path):
+    """The MOSS guarantee: two documents sharing a run of >= w+k-1 = 7
+    tokens MUST share at least one fingerprint; disjoint vocabularies
+    share none."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py")
+    em = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(em)
+    shared = "alpha beta gamma delta epsilon zeta eta"       # 7 tokens
+    rows = [
+        (1, f"one two three four {shared} five six seven eight"),
+        (2, f"nine ten eleven twelve {shared} thirteen fourteen fifteen sixteen"),
+        (3, "red orange yellow green blue indigo violet pink brown black"),
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows]),
+        "lang": pa.array(["en"] * 3), "source": pa.array(["t"] * 3),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    }), d / "documents.parquet")
+    fps = em.q_winnow_fingerprint(spark, str(d)).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 7-token run must collide"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+    # storage reduction: fingerprints ≈ 1/w of the gram count
+    n_toks = len(rows[0][1].split())
+    assert len(by_doc[1]) < n_toks - 3   # fewer than all grams
