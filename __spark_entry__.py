@@ -1352,6 +1352,39 @@ def _win_min_at(w):
     return g
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: train an add-1-smoothed unigram
+    language model on a reference slice (doc_id < 50 stands in for the
+    wiki-quality corpus) and score every document's per-token mean
+    negative log-prob → perplexity; low-ppl ≈ looks like the reference
+    distribution. The filter CCNet/RedPajama run before training-data
+    selection (theirs is a 5-gram KenLM; the plumbing shape — fixed
+    reference model joined against the full corpus — is identical).
+
+    Scale shape: the LM is bounded by the REFERENCE corpus size (fixed,
+    not corpus-proportional) so its join side is legitimately small;
+    the join carries no hint — the planner broadcasts it while it fits.
+    Unknown tokens hit the smoothing floor 1/(T+V) via a left join +
+    coalesce. Everything partial+final hash aggs; one explode."""
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    pairs = (docs.filter(F.length("text") > 0)
+             .select("doc_id", F.explode(toks).alias("token")))
+    ref = pairs.filter(F.col("doc_id") < 50)
+    lm = ref.groupBy("token").agg(F.count("*").alias("c"))
+    totals = ref.agg(F.count("*").alias("t"),
+                     F.countDistinct("token").alias("v")).first()
+    t, v = int(totals["t"]), int(totals["v"])
+    # add-1: p(tok) = (c+1)/(T+V); unseen -> 1/(T+V)
+    logp = F.log((F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                 / F.lit(float(t + v)))
+    return (pairs.join(lm, "token", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.round(F.exp(-F.avg(logp)), 4).alias("ppl")))
+
+
 def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document TF-IDF top terms — the keyword/topic-signal pass of a
     text-analysis pipeline. Shape: one explode to (doc, token) pairs →
@@ -1706,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topterms": q_tfidf_topterms,
         "int8_knn": q_int8_knn,
         "winnow_fingerprint": q_winnow_fingerprint,
+        "lm_perplexity": q_lm_perplexity,
         "av_features": q_av_features,
         "ivf_assign": q_ivf_assign,
         "conv_flatten": q_conv_flatten,
@@ -2171,6 +2205,24 @@ def oracle_sql() -> dict[str, str]:
                    (6 + (doc_id % 3) * 5)::INT AS height,
                    3::INT AS channels, true AS pixels_match
             FROM documents
+        """,
+        # add-1 unigram LM trained on doc_id < 50; ppl = exp(mean -ln p)
+        "lm_perplexity": """
+            WITH pairs AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)),
+                                                    '\\s+')) AS token
+                FROM documents WHERE length(text) > 0),
+            lm AS (SELECT token, count(*) AS c FROM pairs
+                   WHERE doc_id < 50 GROUP BY 1),
+            tot AS (SELECT count(*) AS t, count(DISTINCT token) AS v
+                    FROM pairs WHERE doc_id < 50)
+            SELECT p.doc_id, count(*)::BIGINT AS n_tokens,
+                   round(exp(-avg(ln((coalesce(lm.c, 0) + 1.0)
+                                     / (SELECT t + v FROM tot)))), 4)
+                       AS ppl
+            FROM pairs p LEFT JOIN lm USING (token)
+            GROUP BY p.doc_id
         """,
         # winnowing: same md5-hex gram hashes, lexicographic window min
         "winnow_fingerprint": """
