@@ -1317,7 +1317,11 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Entirely JVM-side higher-order functions (transform over sequence +
     array_min over slices — one narrow map), then explode + distinct
     (partial+final agg). Hashes are md5 hex strings compared
-    lexicographically so DuckDB reproduces the selection exactly."""
+    lexicographically so DuckDB reproduces the selection exactly; the
+    transient per-row hash array is bounded by the ingest pipeline's
+    500KB document cap (~80k tokens → ~6 MB worst case — executor-safe;
+    a production deployment would swap in a fixed-width binary hash at
+    the cost of oracle portability)."""
     from pyspark.sql import functions as F
     K, W = 4, 4
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

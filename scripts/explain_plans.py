@@ -201,6 +201,22 @@ def main():
                      "WindowGroupLimit — the final exchange carries 15 "
                      "rows."))
 
+    # 22. winnow_fingerprint: HOF-only narrow map + distinct
+    sections.append(("winnow_fingerprint (MOSS winnowing)",
+                     plan_of(em.q_winnow_fingerprint(spark, SF_DIR)),
+                     "Gram hashing and window-min selection are "
+                     "higher-order functions inside one Project — no "
+                     "Python, no join; Generate(explode) then "
+                     "partial+final HashAggregate for the distinct."))
+
+    # 23. lm_perplexity: fixed-size LM side, unhinted join
+    sections.append(("lm_perplexity (CCNet-style LM scoring)",
+                     plan_of(em.q_lm_perplexity(spark, SF_DIR)),
+                     "The unigram LM aggregates the bounded reference "
+                     "slice; the corpus-wide scoring join carries no "
+                     "hint (planner broadcasts while the LM fits); "
+                     "per-doc score is one partial+final agg."))
+
     with open("/root/repo/BENCH/PLANS.md", "w") as f:
         f.write("# Physical plans of the headline queries\n\n"
                 "Generated by scripts/explain_plans.py (local[4], AQE on).\n")
