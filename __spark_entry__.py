@@ -695,6 +695,71 @@ def q_mpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "snr_ok boolean")
 
 
+def q_media_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AAC-ADTS + H.264 Annex-B container scanning (REAL structural
+    parse — snacktory_spark.mpeg/av): per document, synthesize a
+    structurally valid ADTS stream and Annex-B stream (doc_id-derived
+    frame/GOP counts; filler payloads — the scanner validates framing,
+    not codec entropy), then scan both in a second Arrow stage: AAC
+    frame count/duration/profile, H.264 NAL inventory / keyframe count /
+    SPS profile-level. The no-decode audit pass a 100-TB media corpus
+    runs over its compressed audio/video columns. Narrow maps; oracled
+    closed-form on doc_id."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import pandas as pd
+    from snacktory_spark.pipeline.extract_job import ensure_py_files
+
+    ensure_py_files(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def _params(doc_id):
+        d = int(doc_id)
+        return (10 + d % 7,            # aac frames
+                100 + d % 50,          # aac payload bytes
+                1 + d % 3,             # gops
+                4 + d % 5)             # gop length
+
+    def build(batches):
+        from snacktory_spark.av import build_h264_annexb
+        from snacktory_spark.mpeg import build_adts_stream
+        for pdf in batches:
+            aacs, h264s = [], []
+            for doc_id in pdf["doc_id"]:
+                nf, pb, gops, glen = _params(doc_id)
+                aacs.append(build_adts_stream(nf, pb, 48000, 2, 1,
+                                              seed=int(doc_id)))
+                h264s.append(build_h264_annexb(gops, glen, 100, 41,
+                                               seed=int(doc_id)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "aac": aacs,
+                                "h264": h264s})
+
+    def scan(batches):
+        from snacktory_spark.av import h264_annexb_info
+        from snacktory_spark.mpeg import aac_adts_info
+        for pdf in batches:
+            rows = []
+            for doc_id, aac, h264 in zip(pdf["doc_id"], pdf["aac"],
+                                         pdf["h264"]):
+                a = aac_adts_info(bytes(aac))
+                v = h264_annexb_info(bytes(h264))
+                rows.append((doc_id, a["n_frames"], a["duration_ms"],
+                             a["profile"], v["n_nals"], v["n_keyframes"],
+                             v["n_slices"], v["profile_idc"],
+                             v["level_idc"]))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "aac_frames", "aac_duration_ms", "aac_profile",
+                "n_nals", "n_keyframes", "n_slices", "profile_idc",
+                "level_idc"])
+
+    built = docs.mapInPandas(build,
+                             "doc_id long, aac binary, h264 binary")
+    return built.mapInPandas(
+        scan, "doc_id long, aac_frames long, aac_duration_ms long, "
+              "aac_profile string, n_nals long, n_keyframes long, "
+              "n_slices long, profile_idc long, level_idc long")
+
+
 def q_streaming_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming oracled by BATCH EQUIVALENCE (VERDICT r2 item
     7): the watermarked windowed aggregation (streaming_conv_stats) runs
@@ -1744,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "int8_knn": q_int8_knn,
         "winnow_fingerprint": q_winnow_fingerprint,
         "lm_perplexity": q_lm_perplexity,
+        "media_container_scan": q_media_container_scan,
         "av_features": q_av_features,
         "ivf_assign": q_ivf_assign,
         "conv_flatten": q_conv_flatten,
@@ -2208,6 +2274,23 @@ def oracle_sql() -> dict[str, str]:
                    (8 + (doc_id % 4) * 4)::INT AS width,
                    (6 + (doc_id % 3) * 5)::INT AS height,
                    3::INT AS channels, true AS pixels_match
+            FROM documents
+        """,
+        # ADTS/Annex-B framing is closed-form on doc_id (structural
+        # synth: frames = 10+d%7 at 1024 samples/frame 48kHz; NALs =
+        # SPS+PPS + gops*gop_len slices with one IDR per gop)
+        "media_container_scan": """
+            SELECT doc_id,
+                   (10 + doc_id % 7)::BIGINT AS aac_frames,
+                   ((10 + doc_id % 7) * 1024 * 1000 // 48000)::BIGINT
+                       AS aac_duration_ms,
+                   'LC' AS aac_profile,
+                   (2 + (1 + doc_id % 3) * (4 + doc_id % 5))::BIGINT
+                       AS n_nals,
+                   (1 + doc_id % 3)::BIGINT AS n_keyframes,
+                   ((1 + doc_id % 3) * (4 + doc_id % 5))::BIGINT
+                       AS n_slices,
+                   100::BIGINT AS profile_idc, 41::BIGINT AS level_idc
             FROM documents
         """,
         # add-1 unigram LM trained on doc_id < 50; ppl = exp(mean -ln p)

@@ -19,8 +19,15 @@ interchange formats need nothing beyond struct + numpy:
   luma statistics — the frame-sample + feature-extract shape a training
   pipeline runs over video.
 
-Perceptual codecs (MP3/AAC/H.264/VP9) genuinely need native libs and
-remain declared stubs in multimodal.py. Reference parity: the reference
+- **H.264 Annex-B NAL scanning**: start-code walk, NAL-type inventory,
+  keyframe (IDR) counts, SPS profile/level from their fixed byte
+  offsets — the no-decode video-corpus audit pass (see
+  h264_annexb_info; slice/entropy decode stays a declared stub).
+
+Perceptual codec DECODE (MP3 L3/AAC/H.264/VP9) genuinely needs the
+specs' normative entropy tables and remains a declared stub in
+multimodal.py (MPEG-1 Layer I/II decode self-consistently via mpeg.py;
+MPEG/ADTS/Annex-B SCANNING is real). Reference parity: the reference
 treats audio/video as opaque URLs (HtmlFetcher extension routing); these
 decoders serve SURVEY §2's multimodal-column ops.
 
@@ -410,3 +417,106 @@ def video_features(data: bytes, every_k: int = 2) -> list[float]:
     return [float(total), float(len(means)),
             float(np.mean(means)), float(np.mean(stds)),
             float(np.mean(diffs)) if diffs else 0.0]
+
+
+# ---------------------------------------------------------------------------
+# H.264 Annex-B NAL scanning (scan tier: REAL structure, no slice decode)
+# ---------------------------------------------------------------------------
+
+_H264_NAL_NAMES = {
+    1: "slice", 5: "idr", 6: "sei", 7: "sps", 8: "pps", 9: "aud",
+}
+
+
+def iter_h264_nals(data: bytes):
+    """Yield (offset, nal_ref_idc, nal_unit_type, payload) for each NAL
+    unit in an H.264 Annex-B byte stream (00 00 01 / 00 00 00 01 start
+    codes, public structure — ITU-T H.264 Annex B). The payload is the
+    raw EBSP (emulation-prevention bytes NOT stripped — scanning doesn't
+    need the RBSP). Slice/entropy decode is out of scope entirely."""
+    n = len(data)
+    i = 0
+    starts = []
+    while True:
+        j = data.find(b"\x00\x00\x01", i)
+        if j < 0:
+            break
+        lead = 4 if j >= 1 and data[j - 1] == 0 else 3
+        starts.append((j - (lead - 3), j + 3))
+        i = j + 3
+    if not starts:
+        raise ImageError("no H.264 start codes")
+    for k, (_s, body) in enumerate(starts):
+        end = starts[k + 1][0] if k + 1 < len(starts) else n
+        if body >= end:
+            raise ImageError("empty NAL unit")
+        hdr = data[body]
+        if hdr & 0x80:
+            raise ImageError("forbidden_zero_bit set in NAL header")
+        yield body, (hdr >> 5) & 0x3, hdr & 0x1F, data[body + 1:end]
+
+
+def h264_annexb_info(data: bytes) -> dict:
+    """Corpus-audit stats for an Annex-B stream: NAL counts by type,
+    IDR (keyframe) count, access-unit estimate, and the SPS
+    profile/level — profile_idc and level_idc sit at fixed byte offsets
+    0 and 2 of the SPS payload (before any Exp-Golomb field), so
+    reading them needs no bitstream parse."""
+    counts: dict[str, int] = {}
+    n_idr = 0
+    n_aud = 0
+    n_slices = 0
+    profile_idc = None
+    level_idc = None
+    n = 0
+    for _off, _ref, typ, payload in iter_h264_nals(data):
+        n += 1
+        if n > (1 << 22):
+            raise ImageError("H.264 stream exceeds NAL cap")
+        name = _H264_NAL_NAMES.get(typ, f"type{typ}")
+        counts[name] = counts.get(name, 0) + 1
+        if typ == 5:
+            n_idr += 1
+            n_slices += 1
+        elif typ == 1:
+            n_slices += 1
+        elif typ == 9:
+            n_aud += 1
+        elif typ == 7 and profile_idc is None:
+            if len(payload) < 3:
+                raise ImageError("truncated SPS")
+            profile_idc = payload[0]
+            level_idc = payload[2]
+    return {
+        "n_nals": n,
+        "nal_counts": counts,
+        "n_slices": n_slices,
+        "n_keyframes": n_idr,
+        "n_access_units": n_aud if n_aud else n_slices,
+        "profile_idc": profile_idc,
+        "level_idc": level_idc,
+    }
+
+
+def build_h264_annexb(n_gops: int, gop_len: int, profile_idc: int = 100,
+                      level_idc: int = 41, seed: int = 0) -> bytes:
+    """Structurally valid Annex-B stream (SPS/PPS then GOPs of one IDR +
+    gop_len-1 non-IDR slices, deterministic filler payloads) for
+    scanner tests/queries — payloads are NOT real coded slices; start
+    codes, NAL headers, and the fixed-offset SPS profile/level are
+    exactly what the scanner validates."""
+    def nal(ref, typ, payload):
+        return b"\x00\x00\x00\x01" + bytes([(ref << 5) | typ]) + payload
+
+    out = bytearray()
+    sps = bytes([profile_idc, 0x00, level_idc]) + bytes(
+        ((seed + i) * 37) % 251 + 1 for i in range(5))
+    out += nal(3, 7, sps)
+    out += nal(3, 8, bytes([0xC8, 0x42]))
+    for g in range(n_gops):
+        for s in range(gop_len):
+            typ = 5 if s == 0 else 1
+            payload = bytes(((seed + g * gop_len + s + i) * 53) % 251 + 1
+                            for i in range(40))
+            out += nal(2 if typ == 5 else 0, typ, payload)
+    return bytes(out)

@@ -11,10 +11,12 @@ Two honesty tiers, stated up front:
   parsing (main_data_begin bit-reservoir pointer, per-granule
   part2_3_length / big_values / block types — the field layout
   self-validates by summing to the known 17/32 and 9/17-byte sizes;
-  see parse_l3_sideinfo). This is the metadata path a
-  100-TB media pipeline actually runs over MP3 corpora — duration /
+  see parse_l3_sideinfo), plus AAC ADTS frame scanning (profile /
+  sampling-frequency / channel-config / 13-bit frame length — see
+  aac_adts_info). This is the metadata path a
+  100-TB media pipeline actually runs over MP3/AAC corpora — duration /
   bitrate / frame inventory WITHOUT decoding audio — and it works on
-  arbitrary real-world MP3/MP2/MP1 files.
+  arbitrary real-world MP3/MP2/MP1/ADTS files.
 
 - **The Layer I codec is spec-SHAPED but self-consistent, not
   bit-parity with third-party decoders.** The bitstream framing
@@ -879,3 +881,125 @@ def l3_stream_stats(data: bytes) -> dict:
         "mean_part2_3_bits": p23_sum // max(1, p23_n),
         "short_block_fraction": round(short_blocks / max(1, p23_n), 4),
     }
+
+
+# --- AAC ADTS frame scanning (scan tier: REAL, no audio decode) -------------
+
+_ADTS_SR = (96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+            16000, 12000, 11025, 8000)
+_AAC_PROFILES = ("Main", "LC", "SSR", "LTP")
+
+
+def parse_adts_header(data: bytes, pos: int = 0) -> dict:
+    """Parse one ADTS header (ISO 13818-7 / 14496-3 fixed+variable
+    header, public structure): syncword, MPEG version, profile,
+    sampling-frequency index, channel configuration, frame length,
+    raw-data-block count. → dict incl. frame_bytes and samples (1024 per
+    raw data block)."""
+    if pos + 7 > len(data):
+        raise ImageError("truncated ADTS header")
+    b = data[pos:pos + 7]
+    if b[0] != 0xFF or (b[1] & 0xF0) != 0xF0:
+        raise ImageError("no ADTS sync")
+    if (b[1] & 0x06) != 0:          # layer must be 00
+        raise ImageError("ADTS layer bits nonzero")
+    crc = (b[1] & 0x1) == 0
+    profile = (b[2] >> 6) & 0x3
+    sf_idx = (b[2] >> 2) & 0xF
+    if sf_idx >= len(_ADTS_SR):
+        raise ImageError("reserved ADTS sampling frequency")
+    channel_cfg = ((b[2] & 0x1) << 2) | ((b[3] >> 6) & 0x3)
+    frame_len = ((b[3] & 0x03) << 11) | (b[4] << 3) | ((b[5] >> 5) & 0x7)
+    if frame_len < (9 if crc else 7):
+        raise ImageError("ADTS frame length below header size")
+    n_blocks = (b[6] & 0x03) + 1
+    return {
+        "mpeg4": (b[1] & 0x08) == 0,
+        "crc": crc,
+        "profile": _AAC_PROFILES[profile],
+        "sample_rate": _ADTS_SR[sf_idx],
+        "channels": channel_cfg,
+        "frame_bytes": frame_len,
+        "samples": 1024 * n_blocks,
+    }
+
+
+def aac_adts_info(data: bytes) -> dict:
+    """Scan an ADTS stream (the raw-AAC container): frame inventory,
+    duration, mean frame size — no audio decode (AAC decode needs the
+    14496-3 Huffman codebooks; declared stub like MP3 Layer III)."""
+    pos = _skip_id3v2(data)
+    first = None
+    n = 0
+    total_bytes = 0
+    samples = 0
+    while pos + 7 <= len(data):
+        try:
+            h = parse_adts_header(data, pos)
+        except ImageError:
+            if first is not None:
+                break               # trailing garbage after valid frames
+            pos += 1
+            continue
+        if first is None:
+            # confirm by the successor header (sync bytes occur in junk)
+            nxt = pos + h["frame_bytes"]
+            if nxt + 7 <= len(data):
+                try:
+                    h2 = parse_adts_header(data, nxt)
+                    ok = (h2["sample_rate"] == h["sample_rate"]
+                          and h2["profile"] == h["profile"])
+                except ImageError:
+                    ok = False
+                if not ok:
+                    pos += 1
+                    continue
+            first = h
+        if pos + h["frame_bytes"] > len(data):
+            break                   # truncated final frame
+        n += 1
+        if n > MAX_FRAMES:
+            raise ImageError("ADTS stream exceeds frame cap")
+        total_bytes += h["frame_bytes"]
+        samples += h["samples"]
+        pos += h["frame_bytes"]
+    if first is None or n == 0:
+        raise ImageError("no ADTS frames")
+    return {
+        "profile": first["profile"],
+        "sample_rate": first["sample_rate"],
+        "channels": first["channels"],
+        "n_frames": n,
+        "duration_ms": samples * 1000 // first["sample_rate"],
+        "mean_frame_bytes": total_bytes // n,
+    }
+
+
+def build_adts_stream(n_frames: int, payload_bytes: int,
+                      sample_rate: int = 48000, channels: int = 2,
+                      profile: int = 1, seed: int = 0) -> bytes:
+    """Structurally valid ADTS stream with deterministic filler payloads
+    (for scanner tests/queries — the payload is NOT real AAC audio; the
+    header arithmetic and framing are exactly what a corpus scanner
+    validates)."""
+    if sample_rate not in _ADTS_SR:
+        raise ImageError("not an ADTS sampling frequency")
+    sf_idx = _ADTS_SR.index(sample_rate)
+    frame_len = 7 + payload_bytes
+    if frame_len >= (1 << 13):
+        raise ImageError("ADTS frame too long (13-bit length)")
+    out = bytearray()
+    for f in range(n_frames):
+        h = bytearray(7)
+        h[0] = 0xFF
+        h[1] = 0xF1                 # MPEG-4, layer 00, no CRC
+        h[2] = ((profile & 3) << 6) | (sf_idx << 2) \
+            | ((channels >> 2) & 1)
+        h[3] = ((channels & 3) << 6) | ((frame_len >> 11) & 0x3)
+        h[4] = (frame_len >> 3) & 0xFF
+        h[5] = ((frame_len & 0x7) << 5) | 0x1F
+        h[6] = 0xFC                 # buffer fullness all-1s, 1 block
+        out += h
+        out += bytes(((seed + f + i) * 131) % 251
+                     for i in range(payload_bytes))
+    return bytes(out)

@@ -285,3 +285,56 @@ def test_multimodal_real_y4m_decode():
     clip = encode_y4m([np.full((8, 8), 77, np.uint8)] * 3, fps=25)
     f = decode_payload(clip, "video", deterministic_fake=False)
     assert len(f) == 5 and f[0] == 3.0 and abs(float(f[2]) - 77) < 1e-6
+
+
+# --- H.264 Annex-B NAL scanning ---------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+from snacktory_spark.av import (build_h264_annexb, h264_annexb_info,
+                                iter_h264_nals)
+
+
+def test_h264_nal_inventory():
+    s = build_h264_annexb(4, 6, profile_idc=100, level_idc=41, seed=2)
+    info = h264_annexb_info(s)
+    assert info["nal_counts"] == {"sps": 1, "pps": 1, "idr": 4,
+                                  "slice": 20}
+    assert (info["n_nals"], info["n_keyframes"], info["n_slices"]) \
+        == (26, 4, 24)
+    assert (info["profile_idc"], info["level_idc"]) == (100, 41)
+    # both 3- and 4-byte start codes resolve to the same NAL bodies
+    types = [t for _o, _r, t, _p in iter_h264_nals(s)]
+    assert types[:3] == [7, 8, 5]
+
+
+def test_h264_three_byte_start_codes():
+    # hand-build with 3-byte start codes only
+    s = (b"\x00\x00\x01" + bytes([0x67, 66, 0, 30, 9, 9])
+         + b"\x00\x00\x01" + bytes([0x68, 1])
+         + b"\x00\x00\x01" + bytes([0x65, 2, 3]))
+    info = h264_annexb_info(s)
+    assert info["n_nals"] == 3 and info["n_keyframes"] == 1
+    assert info["profile_idc"] == 66 and info["level_idc"] == 30
+
+
+def test_h264_hostile():
+    from snacktory_spark.imaging import ImageError
+    with pytest.raises(ImageError):
+        h264_annexb_info(b"no start codes")
+    with pytest.raises(ImageError):            # forbidden bit
+        h264_annexb_info(b"\x00\x00\x01" + bytes([0x80 | 7, 1, 2]))
+    with pytest.raises(ImageError):            # truncated SPS
+        h264_annexb_info(b"\x00\x00\x01" + bytes([0x67, 66]))
+    with pytest.raises(ImageError):            # empty NAL
+        h264_annexb_info(b"\x00\x00\x01")
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_h264_fuzz_never_leaks(data):
+    from snacktory_spark.imaging import ImageError
+    try:
+        h264_annexb_info(b"\x00\x00\x01" + data)
+    except ImageError:
+        pass

@@ -387,3 +387,44 @@ def test_l3_sideinfo_fuzz(side):
         parse_l3_sideinfo(frame, 0, h)
     except ImageError:
         pass
+
+
+# --- AAC ADTS scanning ------------------------------------------------------
+
+from snacktory_spark.mpeg import (aac_adts_info, build_adts_stream,
+                                  parse_adts_header)
+
+
+def test_adts_scan_counts_and_duration():
+    s = build_adts_stream(25, 300, 48000, 2, 1, seed=3)
+    info = aac_adts_info(s + b"trailing-garbage")
+    assert info == {"profile": "LC", "sample_rate": 48000, "channels": 2,
+                    "n_frames": 25,
+                    "duration_ms": 25 * 1024 * 1000 // 48000,
+                    "mean_frame_bytes": 307}
+    tag = b"ID3" + bytes([4, 0, 0, 0, 0, 0, 10]) + b"\x00" * 10
+    assert aac_adts_info(tag + s)["n_frames"] == 25
+
+
+def test_adts_header_fields_and_rejects():
+    s = build_adts_stream(2, 64, 44100, 1, 0, seed=0)
+    h = parse_adts_header(s)
+    assert (h["profile"], h["sample_rate"], h["channels"],
+            h["frame_bytes"], h["samples"]) == ("Main", 44100, 1, 71, 1024)
+    with pytest.raises(ImageError):
+        parse_adts_header(b"\x00" * 7)               # no sync
+    bad = bytearray(s[:7])
+    bad[1] |= 0x06                                   # layer bits nonzero
+    with pytest.raises(ImageError):
+        parse_adts_header(bytes(bad))
+    with pytest.raises(ImageError):
+        aac_adts_info(b"\xff\xf1" + b"\x00" * 20)    # unconfirmed lone sync
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_adts_fuzz_never_leaks(data):
+    try:
+        aac_adts_info(data)
+    except ImageError:
+        pass
