@@ -1,0 +1,204 @@
+"""WARC/1.0 record parsing + writing (ISO 28500, public structure) —
+the container web corpora actually ship in (Common Crawl et al.).
+
+Scan tier, fully REAL: WARC records are length-framed (the
+Content-Length header covers the payload exactly, followed by CRLF
+CRLF), so record iteration, type inventory, and HTTP response payload
+extraction need no heuristics. Both storage layouts are handled: plain
+concatenated records and the standard per-record-gzip-member stream
+(each record its own deflate member — the layout that makes WARC
+splittable at scale; stdlib zlib decompresses member-by-member).
+
+At 100 TB: WARC files are the INPUT format of a web-extraction
+pipeline — one file per task (they are not block-splittable without an
+index; per-record gzip members + a CDX offset index give random
+access). The extract query reads payloads as binary rows and runs the
+parser in an Arrow-batched map — the same narrow-map shape as the other
+binary-column ops.
+
+Hostile-input contract (same as imaging/jpeg/pdf/av/mpeg): every
+failure raises ImageError; record counts and sizes are capped BEFORE
+allocation.
+
+Reference parity: the reference fetches live URLs (HtmlFetcher); WARC
+is the batch-table re-expression of that source per SURVEY §2.1 —
+the archived fetch, same payloads, no network.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+from .imaging import ImageError
+
+MAX_RECORDS = 1 << 20
+MAX_RECORD_BYTES = 1 << 26      # 64 MB per record payload cap
+_CRLF = b"\r\n"
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Concatenate all gzip members (the standard WARC storage layout:
+    one member per record). Caps total output."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out += d.decompress(data[pos:], MAX_RECORD_BYTES + 1)
+        except zlib.error as e:
+            raise ImageError(f"bad gzip member: {e}") from None
+        if d.unconsumed_tail:
+            raise ImageError("gzip member exceeds record cap")
+        if len(out) > MAX_RECORDS * 4096 + MAX_RECORD_BYTES:
+            raise ImageError("WARC stream exceeds size cap")
+        if not d.eof:
+            raise ImageError("truncated gzip member")
+        consumed = len(data[pos:]) - len(d.unused_data)
+        if consumed <= 0:
+            raise ImageError("gzip member consumed no bytes")
+        pos += consumed
+    return bytes(out)
+
+
+def iter_warc_records(data: bytes):
+    """Yield (headers: dict, payload: bytes) for each WARC record.
+    Accepts plain or per-record-gzip streams (sniffed by magic).
+    Header names are lower-cased; the version line is checked."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    pos = 0
+    n = 0
+    while pos < len(data):
+        # tolerate inter-record padding CRLFs
+        while data[pos:pos + 2] == _CRLF:
+            pos += 2
+        if pos >= len(data):
+            return
+        eol = data.find(_CRLF, pos)
+        if eol < 0:
+            raise ImageError("truncated WARC version line")
+        version = data[pos:eol]
+        if not version.startswith(b"WARC/"):
+            raise ImageError("missing WARC/ version line")
+        if version not in (b"WARC/1.0", b"WARC/1.1"):
+            raise ImageError(f"unsupported {version.decode('latin-1')}")
+        hdr_end = data.find(_CRLF + _CRLF, eol)
+        if hdr_end < 0:
+            raise ImageError("truncated WARC header block")
+        headers: dict[str, str] = {}
+        for line in data[eol + 2:hdr_end].split(_CRLF):
+            if b":" not in line:
+                raise ImageError("malformed WARC header line")
+            k, v = line.split(b":", 1)
+            headers[k.strip().lower().decode("latin-1")] = \
+                v.strip().decode("latin-1")
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ImageError("WARC record without valid Content-Length") \
+                from None
+        if length < 0 or length > MAX_RECORD_BYTES:
+            raise ImageError("WARC record exceeds size cap")
+        body_start = hdr_end + 4
+        body_end = body_start + length
+        if body_end > len(data):
+            raise ImageError("truncated WARC record payload")
+        if data[body_end:body_end + 4] != _CRLF + _CRLF:
+            raise ImageError("WARC record missing terminating CRLFCRLF")
+        yield headers, data[body_start:body_end]
+        n += 1
+        if n > MAX_RECORDS:
+            raise ImageError("WARC stream exceeds record cap")
+        pos = body_end + 4
+
+
+def warc_info(data: bytes) -> dict:
+    """Record inventory: counts by WARC-Type, total payload bytes,
+    distinct target URIs — the CDX-building scan, no HTTP parse."""
+    counts: dict[str, int] = {}
+    total = 0
+    uris = set()
+    n = 0
+    for headers, payload in iter_warc_records(data):
+        n += 1
+        t = headers.get("warc-type", "unknown")
+        counts[t] = counts.get(t, 0) + 1
+        total += len(payload)
+        uri = headers.get("warc-target-uri")
+        if uri:
+            uris.add(uri)
+    if n == 0:
+        raise ImageError("no WARC records")
+    return {"n_records": n, "type_counts": counts,
+            "payload_bytes": total, "n_uris": len(uris)}
+
+
+def split_http_response(payload: bytes) -> tuple[int, dict, bytes]:
+    """Split a WARC response payload (HTTP message) into (status,
+    headers, body). Strict: status line must be HTTP/x.y NNN."""
+    sep = payload.find(_CRLF + _CRLF)
+    if sep < 0:
+        raise ImageError("HTTP payload without header terminator")
+    lines = payload[:sep].split(_CRLF)
+    parts = lines[0].split(b" ", 2)
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
+        raise ImageError("not an HTTP response status line")
+    try:
+        status = int(parts[1])
+    except ValueError:
+        raise ImageError("bad HTTP status code") from None
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        if b":" not in line:
+            raise ImageError("malformed HTTP header line")
+        k, v = line.split(b":", 1)
+        headers[k.strip().lower().decode("latin-1")] = \
+            v.strip().decode("latin-1")
+    return status, headers, payload[sep + 4:]
+
+
+def iter_warc_responses(data: bytes):
+    """Yield (target_uri, status, content_type, body) for every
+    response record — the payloads the extraction pipeline consumes."""
+    for headers, payload in iter_warc_records(data):
+        if headers.get("warc-type") != "response":
+            continue
+        status, http, body = split_http_response(payload)
+        yield (headers.get("warc-target-uri", ""), status,
+               http.get("content-type", ""), body)
+
+
+def write_warc(pages, gzip_members: bool = True,
+               date: str = "2020-01-01T00:00:00Z") -> bytes:
+    """Build a WARC/1.0 stream: one warcinfo record then one response
+    record per (uri, html_bytes) pair, HTTP/1.1 200 payloads,
+    per-record gzip members by default (the splittable layout).
+    Deterministic (fixed date, sequential record ids) so tests and
+    oracles are closed-form."""
+    def record(rtype, rid, body, extra=()):
+        hdr = [b"WARC/1.0",
+               b"WARC-Type: " + rtype.encode(),
+               b"WARC-Record-ID: <urn:test:" + rid.encode() + b">",
+               b"WARC-Date: " + date.encode()]
+        hdr += [k.encode() + b": " + v.encode() for k, v in extra]
+        hdr.append(b"Content-Length: " + str(len(body)).encode())
+        raw = _CRLF.join(hdr) + _CRLF + _CRLF + body + _CRLF + _CRLF
+        if not gzip_members:
+            return raw
+        c = zlib.compressobj(6, zlib.DEFLATED, 31)
+        return c.compress(raw) + c.flush()
+
+    out = bytearray()
+    info = b"software: snacktory-spark-warc\r\n"
+    out += record("warcinfo", "info-0", info,
+                  [("Content-Type", "application/warc-fields")])
+    for i, (uri, html) in enumerate(pages):
+        http = (b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: text/html; charset=utf-8\r\n"
+                b"Content-Length: " + str(len(html)).encode()
+                + b"\r\n\r\n" + html)
+        out += record("response", f"resp-{i}", http,
+                      [("WARC-Target-URI", uri),
+                       ("Content-Type",
+                        "application/http; msgtype=response")])
+    return bytes(out)

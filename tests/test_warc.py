@@ -1,0 +1,95 @@
+"""WARC/1.0 parser/writer tests: both storage layouts, HTTP split,
+hostile input, fuzz. See snacktory_spark/warc.py."""
+import sys
+import zlib
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+sys.path.insert(0, "/root/repo")
+
+from snacktory_spark.imaging import ImageError
+from snacktory_spark.warc import (iter_warc_records, iter_warc_responses,
+                                  split_http_response, warc_info,
+                                  write_warc)
+
+PAGES = [(f"http://ex.com/{i}",
+          f"<html><body>page {i} éü</body></html>".encode())
+         for i in range(5)]
+
+
+@pytest.mark.parametrize("gz", [True, False])
+def test_warc_roundtrip_both_layouts(gz):
+    w = write_warc(PAGES, gzip_members=gz)
+    info = warc_info(w)
+    assert info["n_records"] == 6
+    assert info["type_counts"] == {"warcinfo": 1, "response": 5}
+    assert info["n_uris"] == 5
+    got = list(iter_warc_responses(w))
+    assert [(g[0], g[3]) for g in got] == PAGES
+    assert all(g[1] == 200 for g in got)
+    assert all(g[2] == "text/html; charset=utf-8" for g in got)
+
+
+def test_warc_record_headers_and_framing():
+    w = write_warc(PAGES[:1], gzip_members=False)
+    recs = list(iter_warc_records(w))
+    assert recs[0][0]["warc-type"] == "warcinfo"
+    h, payload = recs[1]
+    assert h["warc-target-uri"] == "http://ex.com/0"
+    assert int(h["content-length"]) == len(payload)
+    # a payload containing CRLFCRLF must NOT split the record (length
+    # framing, not delimiter scanning)
+    tricky = [(u, b"<body>\r\n\r\nfake WARC/1.0\r\n\r\n</body>")
+              for u, _ in PAGES[:2]]
+    got = list(iter_warc_responses(write_warc(tricky)))
+    assert [g[3] for g in got] == [t[1] for t in tricky]
+
+
+def test_http_split():
+    status, hdrs, body = split_http_response(
+        b"HTTP/1.1 404 Not Found\r\nX-A: b\r\n\r\nmissing")
+    assert (status, hdrs["x-a"], body) == (404, "b", b"missing")
+    for bad in (b"nonsense", b"HTTP/1.1\r\n\r\n", b"GET / HTTP/1.1\r\n\r\n",
+                b"HTTP/1.1 abc\r\n\r\n"):
+        with pytest.raises(ImageError):
+            split_http_response(bad)
+
+
+@pytest.mark.parametrize("mutant", [
+    b"",
+    b"WARC/1.0\r\n",                                   # no header block
+    b"WARC/2.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n",  # bad version
+    b"NOTWARC\r\nContent-Length: 0\r\n\r\n\r\n\r\n",
+    b"WARC/1.0\r\nno-colon-line\r\n\r\n\r\n\r\n",
+    b"WARC/1.0\r\nWARC-Type: x\r\n\r\n\r\n\r\n",       # no length
+    b"WARC/1.0\r\nContent-Length: 99\r\n\r\nshort",    # truncated
+    b"\x1f\x8bgarbage-not-gzip",
+])
+def test_warc_hostile(mutant):
+    with pytest.raises(ImageError):
+        warc_info(mutant)
+
+
+def test_warc_missing_terminator():
+    w = bytearray(write_warc(PAGES[:1], gzip_members=False))
+    with pytest.raises(ImageError):
+        warc_info(bytes(w[:-3]))            # chop the final CRLFCRLF
+
+
+def test_gzip_member_cap():
+    # a gzip bomb: one member inflating far past the record cap
+    big = zlib.compressobj(9, zlib.DEFLATED, 31)
+    bomb = big.compress(b"\x00" * (1 << 27)) + big.flush()
+    with pytest.raises(ImageError):
+        warc_info(bomb)
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_warc_fuzz_never_leaks(data):
+    for prefix in (b"", b"WARC/1.0\r\n", b"\x1f\x8b"):
+        try:
+            warc_info(prefix + data)
+        except ImageError:
+            pass
