@@ -93,3 +93,64 @@ def test_warc_fuzz_never_leaks(data):
             warc_info(prefix + data)
         except ImageError:
             pass
+
+
+# --- WARC → extraction end-to-end (the Common Crawl ingest story) -----------
+
+def test_warc_to_extraction_end_to_end(tmp_path):
+    """Archive golden reference fixtures into a per-record-gzip WARC,
+    recover the HTML distributed through the WARC parser + the real
+    charset path (bytes_to_string), run the FULL snacktory extraction
+    pipeline over the recovered pages, and check the reference's own
+    golden expectations — the archived-fetch → extraction hop a Common
+    Crawl pipeline runs, end to end."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, "/root/repo/tests")
+    from golden_cases import GOLDEN_CASES
+
+    from snacktory_spark.converter import bytes_to_string
+    from snacktory_spark.pipeline.extract_job import (build_session,
+                                                      extracted_df)
+
+    wanted = {"data1_npr", "cnn", "bbc_noscript", "reuters"}
+    cases = [c for c in GOLDEN_CASES if c["name"] in wanted]
+    pages = []
+    for c in cases:
+        path = os.path.join("/root/reference", c["fixture"])
+        with open(path, "rb") as f:
+            pages.append((f"http://fixtures.test/{c['name']}", f.read()))
+    warc = write_warc(pages, gzip_members=True)
+
+    # distributed recovery: WARC bytes -> (uri, html string) rows via the
+    # real charset-detection decode (the fetch path, minus the network)
+    rows = [(uri, bytes_to_string(body))
+            for uri, status, _ct, body in iter_warc_responses(warc)
+            if status == 200]
+    assert len(rows) == len(cases)
+
+    spark = build_session(app="pytest-warc-e2e", master="local[4]",
+                          shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    ts = dt.datetime(2020, 1, 1)
+    transcripts = spark.createDataFrame(
+        [(uri, 0, "user", html, None, ts) for uri, html in rows],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    out = {r["conv_id"].rsplit("/", 1)[1]: r
+           for r in extracted_df(transcripts)
+           .select("conv_id", "title", "text", "author_name").collect()}
+    assert set(out) == wanted
+    for c in cases:
+        r = out[c["name"]]
+        if "title" in c:
+            assert r["title"] == c["title"], c["name"]
+        if "text_start" in c:
+            assert r["text"].startswith(c["text_start"]), c["name"]
+        if "text_end" in c:
+            assert r["text"].endswith(c["text_end"]), c["name"]
+        if "author" in c:
+            assert r["author_name"] == c["author"], c["name"]
