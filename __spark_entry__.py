@@ -817,6 +817,34 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                "content_type string, body_match boolean")
 
 
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source format (the LLM-training-data staple): write the
+    documents table as JSON Lines (distributed df.write.json, gzip —
+    splittable at the file level like WARC), read it back with an
+    EXPLICIT schema (schema-on-read without the inference pass a 100-TB
+    ingest can't afford), and aggregate per source — identical to
+    aggregating the parquet directly, which is the closed-form oracle.
+    The JSONL round-trip is the identity, so the oracle needs no file
+    access. Deterministic temp dir keyed by sf_dir; overwrite mode makes
+    reruns idempotent."""
+    import hashlib
+    import tempfile
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/snacktory_jsonl_{key}"
+    (docs.repartition(4, "source")
+     .write.mode("overwrite").option("compression", "gzip").json(path))
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long").json(path)
+    return (back.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars"),
+                 F.min("doc_id").cast("long").alias("min_doc"),
+                 F.max("doc_id").cast("long").alias("max_doc")))
+
+
 def q_streaming_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming oracled by BATCH EQUIVALENCE (VERDICT r2 item
     7): the watermarked windowed aggregation (streaming_conv_stats) runs
@@ -1868,6 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "media_container_scan": q_media_container_scan,
         "warc_roundtrip": q_warc_roundtrip,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "av_features": q_av_features,
         "ivf_assign": q_ivf_assign,
         "conv_flatten": q_conv_flatten,
@@ -2333,6 +2362,15 @@ def oracle_sql() -> dict[str, str]:
                    (6 + (doc_id % 3) * 5)::INT AS height,
                    3::INT AS channels, true AS pixels_match
             FROM documents
+        """,
+        # JSONL write->read is the identity, so the oracle aggregates
+        # the parquet directly
+        "jsonl_roundtrip": """
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS total_chars,
+                   min(doc_id)::BIGINT AS min_doc,
+                   max(doc_id)::BIGINT AS max_doc
+            FROM documents GROUP BY source
         """,
         # WARC round-trip is exact by construction: warcinfo + 1
         # response, HTTP 200 text/html, body byte-recovered
