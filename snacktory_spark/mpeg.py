@@ -477,7 +477,11 @@ def _decode_layer1(data: bytes):
             per_ch_sub = [[] for _ in range(channels)]
         elif hdr.sample_rate != sr or hdr.channels != channels:
             raise ImageError("mid-stream format change")
-        if (len(per_ch_sub[0]) + 12) * _M * channels > MAX_DECODE_SAMPLES:
+        # samples/ch = 12*frames*_M; mirror the Layer II formula (count
+        # subband COLUMNS, not frames) so the cap fires before the next
+        # frame's allocation, not 12x late
+        if (sum(s.shape[1] for s in per_ch_sub[0]) + 12) * _M * channels \
+                > MAX_DECODE_SAMPLES:
             raise ImageError("Layer I output exceeds sample cap")
         br = _BitReader(data, (pos + 4 + (2 if hdr.crc else 0)) * 8)
         nch = channels

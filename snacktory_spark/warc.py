@@ -10,15 +10,19 @@ concatenated records and the standard per-record-gzip-member stream
 splittable at scale; stdlib zlib decompresses member-by-member).
 
 At 100 TB: WARC files are the INPUT format of a web-extraction
-pipeline — one file per task (they are not block-splittable without an
-index; per-record gzip members + a CDX offset index give random
-access). The extract query reads payloads as binary rows and runs the
-parser in an Arrow-batched map — the same narrow-map shape as the other
-binary-column ops.
+pipeline. Per-record gzip members + a CDX offset index give random
+access: build_cdx() emits one (offset, length) compressed byte range
+per record, and read_warc_range() parses exactly one record from such
+a range — so a mega-WARC is read as MANY tasks (one per index stripe),
+not one straggler task per file. The extract query reads payloads as
+binary rows and runs the parser in an Arrow-batched map — the same
+narrow-map shape as the other binary-column ops.
 
 Hostile-input contract (same as imaging/jpeg/pdf/av/mpeg): every
 failure raises ImageError; record counts and sizes are capped BEFORE
-allocation.
+allocation. Gzip members are decompressed LAZILY one at a time with a
+per-member output cap, so a member-level decompression bomb errors at
+~64 MB resident, never the whole-stream budget.
 
 Reference parity: the reference fetches live URLs (HtmlFetcher); WARC
 is the batch-table re-expression of that source per SURVEY §2.1 —
@@ -33,41 +37,44 @@ from .imaging import ImageError
 
 MAX_RECORDS = 1 << 20
 MAX_RECORD_BYTES = 1 << 26      # 64 MB per record payload cap
+_MEMBER_SLACK = 1 << 16         # header allowance beyond the payload cap
 _CRLF = b"\r\n"
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Concatenate all gzip members (the standard WARC storage layout:
-    one member per record). Caps total output."""
-    out = bytearray()
+def _iter_gzip_members(data: bytes):
+    """Yield (offset, compressed_length, decompressed_bytes) per gzip
+    member, LAZILY — at most one member is resident, and each member's
+    decompressed output is capped at one record (payload cap + header
+    slack) BEFORE further allocation. A ~4 MB per-record gzip bomb now
+    errors at ~64 MB resident instead of buffering a multi-GB stream."""
     pos = 0
+    n = 0
+    cap = MAX_RECORD_BYTES + _MEMBER_SLACK
     while pos < len(data):
         d = zlib.decompressobj(wbits=31)
         try:
-            out += d.decompress(data[pos:], MAX_RECORD_BYTES + 1)
+            out = d.decompress(data[pos:], cap + 1)
         except zlib.error as e:
             raise ImageError(f"bad gzip member: {e}") from None
-        if d.unconsumed_tail:
+        if d.unconsumed_tail or len(out) > cap:
             raise ImageError("gzip member exceeds record cap")
-        if len(out) > MAX_RECORDS * 4096 + MAX_RECORD_BYTES:
-            raise ImageError("WARC stream exceeds size cap")
         if not d.eof:
             raise ImageError("truncated gzip member")
         consumed = len(data[pos:]) - len(d.unused_data)
         if consumed <= 0:
             raise ImageError("gzip member consumed no bytes")
+        yield pos, consumed, out
         pos += consumed
-    return bytes(out)
+        n += 1
+        if n > MAX_RECORDS:
+            raise ImageError("WARC stream exceeds record cap")
 
 
-def iter_warc_records(data: bytes):
-    """Yield (headers: dict, payload: bytes) for each WARC record.
-    Accepts plain or per-record-gzip streams (sniffed by magic).
-    Header names are lower-cased; the version line is checked."""
-    if data[:2] == b"\x1f\x8b":
-        data = _gunzip_members(data)
+def _iter_plain_records(data: bytes, n0: int = 0):
+    """Yield (headers, payload) for each record in an UNCOMPRESSED WARC
+    chunk. n0 seeds the record-count cap across chunks."""
     pos = 0
-    n = 0
+    n = n0
     while pos < len(data):
         # tolerate inter-record padding CRLFs
         while data[pos:pos + 2] == _CRLF:
@@ -110,6 +117,59 @@ def iter_warc_records(data: bytes):
         if n > MAX_RECORDS:
             raise ImageError("WARC stream exceeds record cap")
         pos = body_end + 4
+
+
+def iter_warc_records(data: bytes):
+    """Yield (headers: dict, payload: bytes) for each WARC record.
+    Accepts plain or per-record-gzip streams (sniffed by magic).
+    Header names are lower-cased; the version line is checked.
+    Gzip members are decompressed one at a time (bounded residency)."""
+    if data[:2] == b"\x1f\x8b":
+        n = 0
+        for _off, _clen, raw in _iter_gzip_members(data):
+            for rec in _iter_plain_records(raw, n0=n):
+                n += 1
+                yield rec
+        return
+    yield from _iter_plain_records(data)
+
+
+def build_cdx(data: bytes) -> list[dict]:
+    """CDX-style offset index over a per-record-gzip WARC (the Common
+    Crawl access pattern, cf. the public CDXJ format): one row per gzip
+    member = one record, with (offset, length) addressing the COMPRESSED
+    member byte range — so a reader fetches + decompresses exactly one
+    record without touching the rest of the file. This is what makes a
+    mega-WARC block-splittable: partition the index, not the file.
+    Requires the standard one-record-per-member layout (enforced)."""
+    if data[:2] != b"\x1f\x8b":
+        raise ImageError("CDX index requires the per-record-gzip layout")
+    rows: list[dict] = []
+    for off, clen, raw in _iter_gzip_members(data):
+        recs = list(_iter_plain_records(raw))
+        if len(recs) != 1:
+            raise ImageError("gzip member holds != 1 WARC record")
+        headers, payload = recs[0]
+        rows.append({
+            "offset": off,
+            "length": clen,
+            "warc_type": headers.get("warc-type", "unknown"),
+            "target_uri": headers.get("warc-target-uri", ""),
+            "payload_length": len(payload),
+        })
+    if not rows:
+        raise ImageError("no WARC records")
+    return rows
+
+
+def read_warc_range(member: bytes):
+    """Parse exactly ONE record from a compressed member byte range
+    fetched via a CDX row (file[offset : offset+length]). The random-
+    access read path: seek + read `length` bytes, never the file."""
+    recs = list(iter_warc_records(member))
+    if len(recs) != 1:
+        raise ImageError("CDX range does not hold exactly one record")
+    return recs[0]
 
 
 def warc_info(data: bytes) -> dict:

@@ -190,6 +190,21 @@ def test_scan_is_scan_only_fast():
     assert info["duration_ms"] == 2000 * 384 * 1000 // 32000
 
 
+def test_layer1_sample_cap_counts_samples_not_frames(monkeypatch):
+    """r4 ADVICE: the Layer I cap counted FRAMES as if they were 32
+    samples each (a (32,12) block is 384), firing 12x late — ~GBs
+    allocated from a ~25 MB crafted payload before the error. With the
+    cap scaled to 4 frames of budget, the 5th frame must raise; the
+    old formula admitted ~36 frames."""
+    import snacktory_spark.mpeg as mpeg
+    one = encode_layer1(np.zeros(384), 32000, 96)       # 2 frames (pad)
+    monkeypatch.setattr(mpeg, "MAX_DECODE_SAMPLES", 4 * 384)
+    _, _, out = decode_layer1(one * 2)                  # 4 frames: fits
+    assert out.shape[0] > 3 * 384       # 1504: 4x384 minus synthesis delay
+    with pytest.raises(ImageError):
+        decode_layer1(one * 5)                          # 10 frames: raises
+
+
 # --- Layer II ---------------------------------------------------------------
 
 from snacktory_spark.mpeg import decode_layer2, decode_mpeg, encode_layer2

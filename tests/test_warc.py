@@ -9,7 +9,8 @@ from hypothesis import given, settings, strategies as st
 sys.path.insert(0, "/root/repo")
 
 from snacktory_spark.imaging import ImageError
-from snacktory_spark.warc import (iter_warc_records, iter_warc_responses,
+from snacktory_spark.warc import (build_cdx, iter_warc_records,
+                                  iter_warc_responses, read_warc_range,
                                   split_http_response, warc_info,
                                   write_warc)
 
@@ -83,6 +84,62 @@ def test_gzip_member_cap():
     bomb = big.compress(b"\x00" * (1 << 27)) + big.flush()
     with pytest.raises(ImageError):
         warc_info(bomb)
+
+
+def test_gzip_member_cap_is_per_member():
+    """The lazy member loop must cap EACH member's output before the
+    next allocation — a stream of bombs never accumulates (the r4
+    ADVICE finding: the old whole-stream buffer admitted ~4 GB)."""
+    import tracemalloc
+    one = zlib.compressobj(9, zlib.DEFLATED, 31)
+    bomb = one.compress(b"\x00" * (1 << 27)) + one.flush()   # ~128 MB out
+    stream = bomb * 8                                        # ~1 GB if buffered
+    tracemalloc.start()
+    with pytest.raises(ImageError):
+        warc_info(stream)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    # one member's capped output (64 MB + slack) + zlib scratch, never 8x
+    assert peak < 300 * 1024 * 1024
+
+
+# --- CDX offset index + random-access range read (splittable ingest) --------
+
+def test_cdx_index_and_range_read():
+    w = write_warc(PAGES, gzip_members=True)
+    cdx = build_cdx(w)
+    assert len(cdx) == 6                      # warcinfo + 5 responses
+    assert [r["warc_type"] for r in cdx] == ["warcinfo"] + ["response"] * 5
+    assert cdx[0]["offset"] == 0
+    # ranges tile the file exactly: offset[i+1] == offset[i] + length[i]
+    for a, b in zip(cdx, cdx[1:]):
+        assert b["offset"] == a["offset"] + a["length"]
+    assert cdx[-1]["offset"] + cdx[-1]["length"] == len(w)
+    # each range parses standalone to the SAME record as the full scan,
+    # without touching the rest of the stream
+    full = list(iter_warc_records(w))
+    for row, want in zip(cdx, full):
+        member = w[row["offset"]:row["offset"] + row["length"]]
+        h, payload = read_warc_range(member)
+        assert (h, payload) == want
+        assert row["payload_length"] == len(payload)
+        assert row["target_uri"] == h.get("warc-target-uri", "")
+
+
+def test_cdx_rejects_plain_layout_and_multi_record_members():
+    with pytest.raises(ImageError):
+        build_cdx(write_warc(PAGES, gzip_members=False))
+    # one member holding two records breaks random access -> reject
+    plain = write_warc(PAGES[:2], gzip_members=False)
+    c = zlib.compressobj(6, zlib.DEFLATED, 31)
+    with pytest.raises(ImageError):
+        build_cdx(c.compress(plain) + c.flush())
+
+
+def test_read_warc_range_rejects_multi():
+    w = write_warc(PAGES[:2], gzip_members=True)
+    with pytest.raises(ImageError):
+        read_warc_range(w)      # whole file = 3 records, not 1
 
 
 @given(st.binary(min_size=0, max_size=300))
