@@ -209,7 +209,12 @@ def test_seq_pack_no_token_granularity_window(spark, em):
 def test_no_python_row_udfs_in_relational_plans(spark, em):
     # ArrowEvalPython (pandas UDF) or BatchEvalPython (row UDF) in the
     # relational headliners would mean Python crept into the hot path
-    for name in ("pricing_summary", "event_sessions", "doc_token_stats",
-                 "doc_repetition", "knn_cosine"):
-        plan = _check(plan_of(em.queries()[name](spark, SF_DIR)))
+    # constituent fns, not registry keys — doc_repetition is registered
+    # inside the doc_token_stats composite since r5
+    for name, fn in (("pricing_summary", em.q_pricing_summary),
+                     ("event_sessions", em.q_event_sessions),
+                     ("doc_token_stats", em.q_doc_token_stats),
+                     ("doc_repetition", em.q_doc_repetition),
+                     ("knn_cosine", em.q_knn_cosine)):
+        plan = _check(plan_of(fn(spark, SF_DIR)))
         assert "EvalPython" not in plan, name

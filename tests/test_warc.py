@@ -152,6 +152,51 @@ def test_warc_fuzz_never_leaks(data):
             pass
 
 
+def test_splittable_warc_read_multi_task(tmp_path):
+    """The CDX scale path (VERDICT r4 #1): ONE multi-record .warc.gz
+    must be readable as MANY tasks. Build the index distributed, read
+    range-parallel over 4 partitions, and check (a) >1 partition holds
+    rows from the SAME file, (b) the union equals the whole-file scan,
+    (c) a corrupt file yields an error row, never a task failure."""
+    from pyspark.sql import functions as F
+
+    from snacktory_spark.pipeline.extract_job import build_session
+    from snacktory_spark.pipeline.warc_source import (read_warc_ranges,
+                                                      warc_index_df)
+
+    pages = [(f"http://ex.com/{i}",
+              f"<html><body>page {i}</body></html>".encode())
+             for i in range(40)]
+    big = write_warc(pages, gzip_members=True)
+    (tmp_path / "part-0.warc.gz").write_bytes(big)
+    small = write_warc(pages[:3], gzip_members=True)
+    (tmp_path / "part-1.warc.gz").write_bytes(small)
+    (tmp_path / "junk.warc.gz").write_bytes(b"\x1f\x8bnot really gzip")
+
+    spark = build_session(app="pytest-warc-split", master="local[4]",
+                          shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    idx = warc_index_df(spark, str(tmp_path) + "/*.warc.gz")
+    pidx = idx.toPandas()
+    errs = pidx[pidx["offset"] < 0]
+    assert len(errs) == 1 and "junk" in errs.iloc[0]["path"]
+    assert len(pidx) == (41 + 4) + 1     # records + warcinfos + error row
+
+    out = read_warc_ranges(spark, idx, num_partitions=4)
+    got = (out.withColumn("pid", F.spark_partition_id())
+           .select("path", "pid", "target_uri", "status", "content_type",
+                   "body").toPandas())
+    # the 40-record file's rows span >1 task — the splittable property
+    big_pids = set(got[got["path"].str.contains("part-0")]["pid"])
+    assert len(big_pids) > 1
+    # union over both files == whole-file scans, byte-exact bodies
+    want = {(u, s, ct, bytes(b)) for u, s, ct, b in
+            list(iter_warc_responses(big)) + list(iter_warc_responses(small))}
+    have = {(r["target_uri"], r["status"], r["content_type"],
+             bytes(r["body"])) for _, r in got.iterrows()}
+    assert have == want and len(got) == 43
+
+
 # --- WARC → extraction end-to-end (the Common Crawl ingest story) -----------
 
 def test_warc_to_extraction_end_to_end(tmp_path):
