@@ -696,15 +696,18 @@ def q_mpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AAC-ADTS + H.264 Annex-B container scanning (REAL structural
-    parse — snacktory_spark.mpeg/av): per document, synthesize a
-    structurally valid ADTS stream and Annex-B stream (doc_id-derived
-    frame/GOP counts; filler payloads — the scanner validates framing,
-    not codec entropy), then scan both in a second Arrow stage: AAC
-    frame count/duration/profile, H.264 NAL inventory / keyframe count /
-    SPS profile-level. The no-decode audit pass a 100-TB media corpus
-    runs over its compressed audio/video columns. Narrow maps; oracled
-    closed-form on doc_id."""
+    """AAC-ADTS + H.264 Annex-B + MP4/ISO-BMFF + Ogg + FLAC container
+    scanning (REAL structural parse — snacktory_spark.mpeg/av/
+    containers): per document, synthesize structurally valid streams
+    (doc_id-derived parameters; filler payloads — the scanners validate
+    framing/boxes/pages/CRCs, not codec entropy), then scan all five in
+    a second Arrow stage: AAC frame count/duration/profile, H.264 NAL
+    inventory / keyframe count / SPS profile-level, MP4 box-tree
+    duration/track/sample inventory, Ogg page walk with CRC
+    verification, FLAC STREAMINFO. The no-decode audit pass a 100-TB
+    media corpus runs over its compressed audio/video columns — real
+    corpora ship mp4/ogg containers, not bare elementary streams
+    (VERDICT r4 next #4). Narrow maps; oracled closed-form on doc_id."""
     import sys
     sys.path.insert(0, "/root/repo")
     import pandas as pd
@@ -720,44 +723,86 @@ def q_media_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1 + d % 3,             # gops
                 4 + d % 5)             # gop length
 
+    def _cparams(doc_id):
+        d = int(doc_id)
+        return {"mp4_samples": 5 + d % 9,
+                "mp4_ms": 200 + (d % 10) * 100,
+                "ogg_pages": 2 + d % 4,
+                "ogg_ppp": 1 + d % 3,
+                "flac_rate": (8000, 16000, 22050, 44100, 48000)[d % 5],
+                "flac_total": 1000 + (d % 7) * 500}
+
     def build(batches):
         from snacktory_spark.av import build_h264_annexb
+        from snacktory_spark.containers import (build_flac, build_mp4,
+                                                build_ogg)
         from snacktory_spark.mpeg import build_adts_stream
         for pdf in batches:
-            aacs, h264s = [], []
+            aacs, h264s, mp4s, oggs, flacs = [], [], [], [], []
             for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
                 nf, pb, gops, glen = _params(doc_id)
+                c = _cparams(doc_id)
                 aacs.append(build_adts_stream(nf, pb, 48000, 2, 1,
-                                              seed=int(doc_id)))
+                                              seed=d))
                 h264s.append(build_h264_annexb(gops, glen, 100, 41,
-                                               seed=int(doc_id)))
+                                               seed=d))
+                mp4s.append(build_mp4(
+                    c["mp4_samples"], 20 + d % 11, c["mp4_ms"],
+                    handler=b"soun" if d % 2 else b"vide",
+                    codec=b"mp4a" if d % 2 else b"avc1", seed=d))
+                oggs.append(build_ogg(c["ogg_pages"], c["ogg_ppp"],
+                                      20 + d % 50, seed=d))
+                flacs.append(build_flac(c["flac_rate"], 1 + d % 2,
+                                        c["flac_total"], seed=d))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "aac": aacs,
-                                "h264": h264s})
+                                "h264": h264s, "mp4": mp4s,
+                                "ogg": oggs, "flac": flacs})
 
     def scan(batches):
         from snacktory_spark.av import h264_annexb_info
+        from snacktory_spark.containers import (flac_info, mp4_info,
+                                                ogg_info)
         from snacktory_spark.mpeg import aac_adts_info
         for pdf in batches:
             rows = []
-            for doc_id, aac, h264 in zip(pdf["doc_id"], pdf["aac"],
-                                         pdf["h264"]):
+            for doc_id, aac, h264, mp4, ogg, flac in zip(
+                    pdf["doc_id"], pdf["aac"], pdf["h264"], pdf["mp4"],
+                    pdf["ogg"], pdf["flac"]):
                 a = aac_adts_info(bytes(aac))
                 v = h264_annexb_info(bytes(h264))
+                m = mp4_info(bytes(mp4))
+                o = ogg_info(bytes(ogg))
+                f = flac_info(bytes(flac))
                 rows.append((doc_id, a["n_frames"], a["duration_ms"],
                              a["profile"], v["n_nals"], v["n_keyframes"],
                              v["n_slices"], v["profile_idc"],
-                             v["level_idc"]))
+                             v["level_idc"],
+                             m["duration_ms"],
+                             m["tracks"][0]["n_samples"],
+                             m["tracks"][0]["codec"],
+                             o["n_pages"], o["n_packets"],
+                             o["last_granule"],
+                             f["sample_rate"], f["channels"],
+                             f["duration_ms"]))
             yield pd.DataFrame(rows, columns=[
                 "doc_id", "aac_frames", "aac_duration_ms", "aac_profile",
                 "n_nals", "n_keyframes", "n_slices", "profile_idc",
-                "level_idc"])
+                "level_idc", "mp4_duration_ms", "mp4_samples",
+                "mp4_codec", "ogg_pages", "ogg_packets", "ogg_granule",
+                "flac_rate", "flac_channels", "flac_duration_ms"])
 
-    built = docs.mapInPandas(build,
-                             "doc_id long, aac binary, h264 binary")
+    built = docs.mapInPandas(
+        build, "doc_id long, aac binary, h264 binary, mp4 binary, "
+               "ogg binary, flac binary")
     return built.mapInPandas(
         scan, "doc_id long, aac_frames long, aac_duration_ms long, "
               "aac_profile string, n_nals long, n_keyframes long, "
-              "n_slices long, profile_idc long, level_idc long")
+              "n_slices long, profile_idc long, level_idc long, "
+              "mp4_duration_ms long, mp4_samples long, "
+              "mp4_codec string, ogg_pages long, ogg_packets long, "
+              "ogg_granule long, flac_rate long, flac_channels long, "
+              "flac_duration_ms long")
 
 
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2492,9 +2537,11 @@ def oracle_sql() -> dict[str, str]:
                    true AS cdx_ok
             FROM documents
         """,
-        # ADTS/Annex-B framing is closed-form on doc_id (structural
-        # synth: frames = 10+d%7 at 1024 samples/frame 48kHz; NALs =
-        # SPS+PPS + gops*gop_len slices with one IDR per gop)
+        # ADTS/Annex-B/MP4/Ogg/FLAC framing is closed-form on doc_id
+        # (structural synth: frames = 10+d%7 at 1024 samples/frame
+        # 48kHz; NALs = SPS+PPS + gops*gop_len slices with one IDR per
+        # gop; MP4 mvhd duration/stsz count; Ogg granule = pages *
+        # packets/page * 1024; FLAC duration = total*1000//rate)
         "media_container_scan": """
             SELECT doc_id,
                    (10 + doc_id % 7)::BIGINT AS aac_frames,
@@ -2506,7 +2553,24 @@ def oracle_sql() -> dict[str, str]:
                    (1 + doc_id % 3)::BIGINT AS n_keyframes,
                    ((1 + doc_id % 3) * (4 + doc_id % 5))::BIGINT
                        AS n_slices,
-                   100::BIGINT AS profile_idc, 41::BIGINT AS level_idc
+                   100::BIGINT AS profile_idc, 41::BIGINT AS level_idc,
+                   (200 + (doc_id % 10) * 100)::BIGINT AS mp4_duration_ms,
+                   (5 + doc_id % 9)::BIGINT AS mp4_samples,
+                   CASE WHEN doc_id % 2 = 1 THEN 'mp4a' ELSE 'avc1' END
+                       AS mp4_codec,
+                   (2 + doc_id % 4)::BIGINT AS ogg_pages,
+                   ((2 + doc_id % 4) * (1 + doc_id % 3))::BIGINT
+                       AS ogg_packets,
+                   ((2 + doc_id % 4) * (1 + doc_id % 3) * 1024)::BIGINT
+                       AS ogg_granule,
+                   (CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        WHEN 2 THEN 22050 WHEN 3 THEN 44100
+                        ELSE 48000 END)::BIGINT AS flac_rate,
+                   (1 + doc_id % 2)::BIGINT AS flac_channels,
+                   ((1000 + (doc_id % 7) * 500) * 1000
+                    // (CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                            WHEN 2 THEN 22050 WHEN 3 THEN 44100
+                            ELSE 48000 END))::BIGINT AS flac_duration_ms
             FROM documents
         """,
         # add-1 unigram LM trained on doc_id < 50; ppl = exp(mean -ln p)

@@ -1,0 +1,359 @@
+"""MP4/ISO-BMFF, Ogg, and FLAC container scanning (REAL structural
+parse) + deterministic builders for tests/queries.
+
+Scan tier, same honesty contract as mpeg.py's ADTS/Annex-B walkers:
+real corpora ship media in CONTAINERS, and the pass a 100-TB corpus
+actually runs over its media columns is the no-decode structural audit
+— box/page/metadata-block walks yielding duration, track inventory,
+codec fourcc, sample counts — not sample decoding. All three formats'
+container framing is pure public structure (ISO 14496-12 box layout,
+RFC 3533 Ogg page framing incl. the 0x04C11DB7 page CRC, the FLAC
+STREAMINFO bit layout); none needs the normative codec tables that keep
+full MP3/AAC/H.264 decode honestly stubbed (multimodal.py).
+
+Builders synthesize structurally valid files with deterministic filler
+payloads — the headers/framing are exactly what a corpus scanner
+validates; payloads are NOT real codec bitstreams and are never
+decoded.
+
+Hostile-input contract (imaging/jpeg/pdf/av/mpeg/warc): every failure
+raises ImageError (ValueError/IndexError/struct.error wrapped at the
+public functions); box/page/block counts and declared sizes are
+validated against the buffer BEFORE allocation.
+
+Reference parity: the reference routes binary attachments by sniffed
+file type and skips non-HTML (HtmlFetcher.java:206-327 content-type
+gate, EP2); this module is the batch-table deepening of that gate for
+media columns, per SURVEY §2.1/§2.5.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from .imaging import ImageError
+
+MAX_BOXES = 1 << 16          # per file, all levels combined
+MAX_PAGES = 1 << 16          # Ogg pages per stream
+MAX_META_BLOCKS = 1 << 10    # FLAC metadata blocks
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF (ISO 14496-12 box structure)
+# ---------------------------------------------------------------------------
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _iter_boxes(data: bytes, start: int, end: int, depth: int,
+                count: list):
+    """Yield (fourcc, body_start, body_end, depth) walking the box tree.
+    Size fields are validated against the enclosing range before any
+    recursion; 64-bit largesize and size==0 (to-end) handled."""
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ImageError("truncated MP4 box header")
+        size = struct.unpack(">I", data[pos:pos + 4])[0]
+        fourcc = data[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ImageError("truncated MP4 largesize")
+            size = struct.unpack(">Q", data[pos + 8:pos + 16])[0]
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ImageError("MP4 box size out of range")
+        count[0] += 1
+        if count[0] > MAX_BOXES:
+            raise ImageError("MP4 box count exceeds cap")
+        yield fourcc, body, pos + size, depth
+        if fourcc in _MP4_CONTAINERS and depth < 8:
+            yield from _iter_boxes(data, body, pos + size, depth + 1,
+                                   count)
+        pos += size
+
+
+def mp4_info(data: bytes) -> dict:
+    """Structural MP4 inventory: brand, movie duration (mvhd), per-track
+    handler type + sample count (stsz) + codec fourcc (stsd), mdat
+    payload bytes. No sample decode."""
+    try:
+        if len(data) < 12 or data[4:8] != b"ftyp":
+            raise ImageError("not an MP4 (no ftyp)")
+        brand = data[8:12].decode("latin-1")
+        count = [0]
+        duration_ms = None
+        tracks: list[dict] = []
+        cur: dict | None = None
+        mdat_bytes = 0
+        for fourcc, b, e, depth in _iter_boxes(data, 0, len(data), 0,
+                                               count):
+            if fourcc == b"mvhd":
+                v = data[b]
+                if v == 1:
+                    ts, dur = struct.unpack(">IQ", data[b + 20:b + 32])
+                else:
+                    ts, dur = struct.unpack(">II", data[b + 12:b + 20])
+                if ts == 0:
+                    raise ImageError("mvhd timescale 0")
+                duration_ms = dur * 1000 // ts
+            elif fourcc == b"trak":
+                cur = {"handler": "", "codec": "", "n_samples": 0}
+                tracks.append(cur)
+            elif fourcc == b"hdlr" and cur is not None:
+                cur["handler"] = data[b + 8:b + 12].decode("latin-1")
+            elif fourcc == b"stsd" and cur is not None:
+                n = struct.unpack(">I", data[b + 4:b + 8])[0]
+                if n >= 1:
+                    cur["codec"] = data[b + 12:b + 16].decode("latin-1")
+            elif fourcc == b"stsz" and cur is not None:
+                cur["n_samples"] = struct.unpack(
+                    ">I", data[b + 8:b + 12])[0]
+            elif fourcc == b"mdat":
+                mdat_bytes += e - b
+        if duration_ms is None:
+            raise ImageError("MP4 without mvhd")
+        return {"brand": brand, "duration_ms": duration_ms,
+                "n_tracks": len(tracks), "tracks": tracks,
+                "mdat_bytes": mdat_bytes}
+    except ImageError:
+        raise
+    except (ValueError, IndexError, struct.error, RecursionError) as e:
+        raise ImageError(f"malformed MP4: {type(e).__name__}: {e}") \
+            from None
+
+
+def _box(fourcc: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+
+def build_mp4(n_samples: int, sample_size: int, duration_ms: int,
+              handler: bytes = b"vide", codec: bytes = b"avc1",
+              timescale: int = 1000, seed: int = 0) -> bytes:
+    """Structurally valid single-track MP4: ftyp + moov(mvhd, trak(
+    tkhd, mdia(mdhd, hdlr, minf(stbl(stsd, stts, stsc, stsz, stco)))))
+    + mdat with deterministic filler samples."""
+    mvhd = (b"\x00\x00\x00\x00" + b"\x00" * 8
+            + struct.pack(">II", timescale,
+                          duration_ms * timescale // 1000)
+            + b"\x00" * 80)
+    tkhd = b"\x00\x00\x00\x07" + b"\x00" * 80
+    mdhd = (b"\x00\x00\x00\x00" + b"\x00" * 8
+            + struct.pack(">II", timescale,
+                          duration_ms * timescale // 1000)
+            + b"\x00" * 4)
+    hdlr = b"\x00\x00\x00\x00" + b"\x00" * 4 + handler + b"\x00" * 13
+    stsd = (b"\x00\x00\x00\x00" + struct.pack(">I", 1)
+            + _box(codec, b"\x00" * 16))
+    stts = (b"\x00\x00\x00\x00" + struct.pack(">I", 1)
+            + struct.pack(">II", n_samples, 1))
+    stsc = (b"\x00\x00\x00\x00" + struct.pack(">I", 1)
+            + struct.pack(">III", 1, n_samples, 1))
+    stsz = (b"\x00\x00\x00\x00" + struct.pack(">II", 0, n_samples)
+            + b"".join(struct.pack(">I", sample_size)
+                       for _ in range(n_samples)))
+    payload = bytes(((seed + i) * 137) % 251
+                    for i in range(n_samples * sample_size))
+    stbl = _box(b"stsd", stsd) + _box(b"stts", stts) \
+        + _box(b"stsc", stsc) + _box(b"stsz", stsz)
+    # stco offset = after ftyp+moov; compute by assembling moov twice
+    # (placeholder must match the real 12-byte stco body exactly)
+    minf = _box(b"stbl", stbl + _box(b"stco", b"\x00" * 12))
+    mdia = _box(b"mdhd", mdhd) + _box(b"hdlr", hdlr) \
+        + _box(b"minf", minf)
+    trak = _box(b"tkhd", tkhd) + _box(b"mdia", mdia)
+    moov_len = len(_box(b"moov", _box(b"mvhd", mvhd)
+                        + _box(b"trak", trak)))
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    stco = (b"\x00\x00\x00\x00" + struct.pack(">I", 1)
+            + struct.pack(">I", len(ftyp) + moov_len + 8))
+    minf = _box(b"stbl", stbl + _box(b"stco", stco))
+    mdia = _box(b"mdhd", mdhd) + _box(b"hdlr", hdlr) \
+        + _box(b"minf", minf)
+    trak = _box(b"tkhd", tkhd) + _box(b"mdia", mdia)
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + _box(b"trak", trak))
+    return ftyp + moov + _box(b"mdat", payload)
+
+
+# ---------------------------------------------------------------------------
+# Ogg (RFC 3533 page framing)
+# ---------------------------------------------------------------------------
+
+def _ogg_crc_table():
+    table = []
+    for i in range(256):
+        r = i << 24
+        for _ in range(8):
+            r = ((r << 1) ^ 0x04C11DB7 if r & 0x80000000
+                 else r << 1) & 0xFFFFFFFF
+        table.append(r)
+    return table
+
+
+_OGG_CRC = _ogg_crc_table()
+
+
+def _ogg_crc(data: bytes) -> int:
+    r = 0
+    for b in data:
+        r = ((r << 8) & 0xFFFFFFFF) ^ _OGG_CRC[((r >> 24) & 0xFF) ^ b]
+    return r
+
+
+def ogg_info(data: bytes) -> dict:
+    """Ogg page walk with CRC verification: page count, packet count
+    (lacing-value terminations), logical streams (serials), final
+    granule position. No codec parse."""
+    try:
+        pos = 0
+        n_pages = 0
+        n_packets = 0
+        serials = set()
+        last_granule = 0
+        while pos < len(data):
+            if data[pos:pos + 4] != b"OggS":
+                raise ImageError("bad Ogg capture pattern")
+            if pos + 27 > len(data):
+                raise ImageError("truncated Ogg page header")
+            if data[pos + 4] != 0:
+                raise ImageError("unsupported Ogg version")
+            granule, serial, _seq, crc, n_segs = struct.unpack(
+                "<qIIIB", data[pos + 6:pos + 27])
+            seg_table = data[pos + 27:pos + 27 + n_segs]
+            if len(seg_table) != n_segs:
+                raise ImageError("truncated Ogg segment table")
+            body_len = sum(seg_table)
+            page_end = pos + 27 + n_segs + body_len
+            if page_end > len(data):
+                raise ImageError("truncated Ogg page body")
+            page = bytearray(data[pos:page_end])
+            page[22:26] = b"\x00\x00\x00\x00"
+            if _ogg_crc(bytes(page)) != crc:
+                raise ImageError("Ogg page CRC mismatch")
+            n_pages += 1
+            if n_pages > MAX_PAGES:
+                raise ImageError("Ogg page count exceeds cap")
+            n_packets += sum(1 for s in seg_table if s < 255)
+            serials.add(serial)
+            if granule >= 0:
+                last_granule = max(last_granule, granule)
+            pos = page_end
+        if n_pages == 0:
+            raise ImageError("no Ogg pages")
+        return {"n_pages": n_pages, "n_packets": n_packets,
+                "n_streams": len(serials), "last_granule": last_granule}
+    except ImageError:
+        raise
+    except (ValueError, IndexError, struct.error) as e:
+        raise ImageError(f"malformed Ogg: {type(e).__name__}: {e}") \
+            from None
+
+
+def build_ogg(n_pages: int, packets_per_page: int, packet_bytes: int,
+              serial: int = 0xABCD, samples_per_packet: int = 1024,
+              seed: int = 0) -> bytes:
+    """Structurally valid single-stream Ogg: BOS page, data pages, EOS
+    flag on the last; correct page CRCs; deterministic filler packets
+    (< 255 bytes each so one lacing value terminates each packet)."""
+    if packet_bytes >= 255:
+        raise ImageError("builder packets must be < 255 bytes")
+    out = bytearray()
+    for p in range(n_pages):
+        htype = 0x02 if p == 0 else (0x04 if p == n_pages - 1 else 0)
+        granule = (p + 1) * packets_per_page * samples_per_packet
+        segs = bytes([packet_bytes] * packets_per_page)
+        body = bytes(((seed + p + i) * 149) % 251
+                     for i in range(packets_per_page * packet_bytes))
+        hdr = (b"OggS\x00" + bytes([htype])
+               + struct.pack("<qIII", granule, serial, p, 0)
+               + bytes([packets_per_page]) + segs)
+        page = bytearray(hdr + body)
+        crc = _ogg_crc(bytes(page))
+        page[22:26] = struct.pack("<I", crc)
+        out += page
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# FLAC (metadata block walk; STREAMINFO bit layout)
+# ---------------------------------------------------------------------------
+
+def flac_info(data: bytes) -> dict:
+    """FLAC metadata walk: STREAMINFO (sample rate, channels, bits per
+    sample, total samples -> duration), block inventory. Audio frames
+    after the metadata section are counted as bytes, not decoded."""
+    try:
+        if data[:4] != b"fLaC":
+            raise ImageError("not a FLAC stream")
+        pos = 4
+        n_blocks = 0
+        info = None
+        while True:
+            if pos + 4 > len(data):
+                raise ImageError("truncated FLAC block header")
+            last = data[pos] & 0x80
+            btype = data[pos] & 0x7F
+            blen = int.from_bytes(data[pos + 1:pos + 4], "big")
+            body = data[pos + 4:pos + 4 + blen]
+            if len(body) != blen:
+                raise ImageError("truncated FLAC block body")
+            n_blocks += 1
+            if n_blocks > MAX_META_BLOCKS:
+                raise ImageError("FLAC block count exceeds cap")
+            if btype == 0:
+                if blen != 34:
+                    raise ImageError("bad STREAMINFO length")
+                bits = int.from_bytes(body[10:18], "big")
+                sample_rate = bits >> 44
+                channels = ((bits >> 41) & 0x7) + 1
+                bps = ((bits >> 36) & 0x1F) + 1
+                total = bits & ((1 << 36) - 1)
+                if sample_rate == 0:
+                    raise ImageError("STREAMINFO sample rate 0")
+                info = {"sample_rate": sample_rate,
+                        "channels": channels, "bits_per_sample": bps,
+                        "total_samples": total,
+                        "duration_ms": total * 1000 // sample_rate}
+            pos += 4 + blen
+            if last:
+                break
+        if info is None:
+            raise ImageError("FLAC without STREAMINFO")
+        info["n_meta_blocks"] = n_blocks
+        info["frame_bytes"] = len(data) - pos
+        return info
+    except ImageError:
+        raise
+    except (ValueError, IndexError, struct.error) as e:
+        raise ImageError(f"malformed FLAC: {type(e).__name__}: {e}") \
+            from None
+
+
+def build_flac(sample_rate: int, channels: int, total_samples: int,
+               bits_per_sample: int = 16, frame_bytes: int = 64,
+               seed: int = 0) -> bytes:
+    """fLaC marker + STREAMINFO + VORBIS_COMMENT + deterministic filler
+    frame section (NOT real FLAC frames — the scanner never decodes)."""
+    if not (1 <= channels <= 8) or not (4 <= bits_per_sample <= 32):
+        raise ImageError("FLAC parameter out of range")
+    if sample_rate <= 0 or sample_rate >= (1 << 20):
+        raise ImageError("FLAC sample rate out of range")
+    bits = ((sample_rate << 44) | ((channels - 1) << 41)
+            | ((bits_per_sample - 1) << 36)
+            | (total_samples & ((1 << 36) - 1)))
+    streaminfo = (struct.pack(">HH", 4096, 4096)
+                  + b"\x00\x00\x00" * 2          # min/max frame size
+                  + bits.to_bytes(8, "big") + b"\x00" * 16)
+    vendor = b"snacktory-spark"
+    comment = (struct.pack("<I", len(vendor)) + vendor
+               + struct.pack("<I", 0))
+    frames = bytes(((seed + i) * 151) % 251 for i in range(frame_bytes))
+    return (b"fLaC"
+            + bytes([0x00]) + len(streaminfo).to_bytes(3, "big")
+            + streaminfo
+            + bytes([0x80 | 0x04]) + len(comment).to_bytes(3, "big")
+            + comment
+            + frames)

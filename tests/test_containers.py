@@ -1,0 +1,173 @@
+"""MP4/Ogg/FLAC container scanner tests: build→info round-trips,
+header arithmetic, hostile input, fuzz. See snacktory_spark/containers.py."""
+import struct
+import sys
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+sys.path.insert(0, "/root/repo")
+
+from snacktory_spark.containers import (build_flac, build_mp4, build_ogg,
+                                        flac_info, mp4_info, ogg_info)
+from snacktory_spark.imaging import ImageError
+
+
+# --- MP4 --------------------------------------------------------------------
+
+def test_mp4_roundtrip():
+    data = build_mp4(n_samples=12, sample_size=50, duration_ms=480,
+                     handler=b"vide", codec=b"avc1", seed=7)
+    info = mp4_info(data)
+    assert info["brand"] == "isom"
+    assert info["duration_ms"] == 480
+    assert info["n_tracks"] == 1
+    assert info["tracks"][0] == {"handler": "vide", "codec": "avc1",
+                                 "n_samples": 12}
+    assert info["mdat_bytes"] == 12 * 50
+
+
+def test_mp4_audio_track_and_stco_offset():
+    data = build_mp4(n_samples=5, sample_size=20, duration_ms=2000,
+                     handler=b"soun", codec=b"mp4a")
+    info = mp4_info(data)
+    assert info["tracks"][0]["handler"] == "soun"
+    assert info["tracks"][0]["codec"] == "mp4a"
+    # the stco chunk offset must point exactly at the mdat payload
+    stco_at = data.find(b"stco")
+    off = struct.unpack(">I", data[stco_at + 12:stco_at + 16])[0]
+    mdat_at = data.find(b"mdat")
+    assert off == mdat_at + 4  # mdat body starts after size+fourcc
+
+
+@pytest.mark.parametrize("mutant", [
+    b"",
+    b"\x00\x00\x00\x08free",                       # no ftyp
+    b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00",   # ftyp only, no mvhd
+])
+def test_mp4_hostile(mutant):
+    with pytest.raises(ImageError):
+        mp4_info(mutant)
+
+
+def test_mp4_bad_box_size():
+    data = bytearray(build_mp4(3, 10, 100))
+    moov_at = data.find(b"moov")
+    data[moov_at - 4:moov_at] = struct.pack(">I", 1 << 30)  # size lies
+    with pytest.raises(ImageError):
+        mp4_info(bytes(data))
+
+
+def test_mp4_zero_timescale():
+    data = bytearray(build_mp4(3, 10, 100))
+    mvhd_at = data.find(b"mvhd")
+    # timescale field: mvhd body v0 at +4(hdr)+4(ver)+8(times)
+    data[mvhd_at + 16:mvhd_at + 20] = b"\x00\x00\x00\x00"
+    with pytest.raises(ImageError):
+        mp4_info(bytes(data))
+
+
+# --- Ogg --------------------------------------------------------------------
+
+def test_ogg_roundtrip():
+    data = build_ogg(n_pages=4, packets_per_page=3, packet_bytes=40,
+                     serial=0x1234, samples_per_packet=1024, seed=3)
+    info = ogg_info(data)
+    assert info == {"n_pages": 4, "n_packets": 12, "n_streams": 1,
+                    "last_granule": 4 * 3 * 1024}
+
+
+def test_ogg_crc_is_verified():
+    data = bytearray(build_ogg(2, 2, 30))
+    # flip one payload byte on the second page -> its CRC must fail
+    data[-1] ^= 0xFF
+    with pytest.raises(ImageError):
+        ogg_info(bytes(data))
+
+
+def test_ogg_multi_stream_concat():
+    a = build_ogg(2, 1, 10, serial=1)
+    b = build_ogg(3, 2, 10, serial=2)
+    info = ogg_info(a + b)
+    assert info["n_streams"] == 2
+    assert info["n_pages"] == 5
+    assert info["n_packets"] == 2 + 6
+
+
+@pytest.mark.parametrize("mutant", [
+    b"",
+    b"NotO",
+    b"OggS\x01" + b"\x00" * 30,     # bad version
+    b"OggS\x00" + b"\x00" * 10,     # truncated header
+])
+def test_ogg_hostile(mutant):
+    with pytest.raises(ImageError):
+        ogg_info(mutant)
+
+
+# --- FLAC -------------------------------------------------------------------
+
+def test_flac_roundtrip():
+    data = build_flac(sample_rate=44100, channels=2, total_samples=88200,
+                      bits_per_sample=16, frame_bytes=128)
+    info = flac_info(data)
+    assert info["sample_rate"] == 44100
+    assert info["channels"] == 2
+    assert info["bits_per_sample"] == 16
+    assert info["total_samples"] == 88200
+    assert info["duration_ms"] == 2000
+    assert info["n_meta_blocks"] == 2       # STREAMINFO + VORBIS_COMMENT
+    assert info["frame_bytes"] == 128
+
+
+def test_flac_parameter_extremes():
+    info = flac_info(build_flac(8000, 1, 1, bits_per_sample=4))
+    assert (info["sample_rate"], info["channels"],
+            info["bits_per_sample"]) == (8000, 1, 4)
+    info = flac_info(build_flac(192000, 8, (1 << 36) - 1,
+                                bits_per_sample=32))
+    assert (info["channels"], info["bits_per_sample"]) == (8, 32)
+    assert info["total_samples"] == (1 << 36) - 1
+
+
+@pytest.mark.parametrize("mutant", [
+    b"",
+    b"fLaX" + b"\x00" * 40,
+    b"fLaC",                                  # no blocks
+    b"fLaC\x80\x00\x00\x10" + b"\x00" * 4,    # truncated body
+    b"fLaC\x80\x00\x00\x22" + b"\x00" * 34,   # STREAMINFO, rate 0
+])
+def test_flac_hostile(mutant):
+    with pytest.raises(ImageError):
+        flac_info(mutant)
+
+
+# --- fuzz -------------------------------------------------------------------
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_containers_fuzz_never_leaks(data):
+    for fn, magic in ((mp4_info, b"\x00\x00\x00\x14ftyp"),
+                      (ogg_info, b"OggS"), (flac_info, b"fLaC")):
+        for payload in (data, magic + data):
+            try:
+                fn(payload)
+            except ImageError:
+                pass
+
+
+def test_fuzz_bitflip_of_valid():
+    import random
+    rng = random.Random(5)
+    corpora = [(mp4_info, build_mp4(6, 30, 240)),
+               (ogg_info, build_ogg(3, 2, 40)),
+               (flac_info, build_flac(48000, 2, 4800))]
+    for fn, valid in corpora:
+        for _ in range(300):
+            b = bytearray(valid)
+            for _ in range(rng.randint(1, 4)):
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            try:
+                fn(bytes(b))
+            except ImageError:
+                pass
