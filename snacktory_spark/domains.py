@@ -2,11 +2,21 @@
 
 The reference uses Guava's InternetDomainName
 (ArticleTextExtractor.java:3308-3357, :897-939). No public-suffix library is
-installable in this sandbox, so we vendor a compact public-suffix subset: all
-multi-label suffixes that occur in the reference's fixture corpus plus the
-common ccTLD second-level registries; unknown single-label TLDs of 2+ alpha
-chars are treated as suffixes (sufficient for every fixture; divergence from
-Guava is possible only for exotic private-registry suffixes).
+installable in this sandbox, so we vendor a compact public-suffix subset
+with the PSL's full RULE SEMANTICS (plain, wildcard `*.X`, exception
+`!Y.X` — exceptions beat wildcards, longest match wins) over a curated
+high-frequency data set: every multi-label suffix in the reference's
+fixture corpus, the common ccTLD second-level registries, the 47 .jp
+prefecture suffixes + the 7 designated-city `*.city.jp` wildcards with
+their `!city.` exceptions, the wildcard-only ccTLDs (`*.bd` family),
+and the US state / k12-cc-lib third-level scheme. Unknown single-label
+TLDs of 2+ alpha chars are treated as suffixes.
+
+Divergence (documented per SURVEY §7 risk register): exotic entries
+outside the vendored families (municipal .jp third-levels, private-
+registry suffixes like *.github.io) fall back to the generic rules, so
+topPrivateDomain may differ from Guava there. The vendored set is data
+— extend the sets below, never the algorithm.
 """
 
 from __future__ import annotations
@@ -14,22 +24,144 @@ from __future__ import annotations
 import re
 from urllib.parse import urlparse
 
-# common second-level public suffixes
+# common second-level public suffixes (plain PSL rules)
 _TWO_LEVEL_SUFFIXES = {
+    # uk
     "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "me.uk", "ltd.uk",
-    "plc.uk", "sch.uk",
-    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
-    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz",
-    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
-    "com.br", "net.br", "org.br", "gov.br",
-    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
-    "co.in", "net.in", "org.in", "gen.in", "firm.in", "ac.in",
-    "com.mx", "org.mx", "net.mx",
-    "com.ar", "com.tr", "com.tw", "com.hk", "com.sg", "com.my",
-    "co.za", "org.za", "co.kr", "or.kr", "co.il", "org.il",
-    "com.ua", "co.id", "com.ph", "com.pk", "com.ng", "com.eg",
-    "com.sa", "com.ve", "com.co", "com.pe", "com.ec", "com.uy",
+    "plc.uk", "sch.uk", "nhs.uk", "police.uk",
+    # au
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au", "asn.au",
+    "act.au", "nsw.au", "nt.au", "qld.au", "sa.au", "tas.au", "vic.au",
+    "wa.au",
+    # nz
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "geek.nz",
+    "gen.nz", "kiwi.nz", "maori.nz", "school.nz", "cri.nz", "health.nz",
+    "iwi.nz", "mil.nz", "parliament.nz",
+    # jp organizational
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp",
+    "gr.jp", "lg.jp",
+    # br
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br",
+    "jus.br", "leg.br", "rec.br", "srv.br", "tv.br",
+    # cn
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn", "mil.cn",
+    # in
+    "co.in", "net.in", "org.in", "gen.in", "firm.in", "ac.in", "gov.in",
+    "nic.in", "res.in", "edu.in", "ind.in",
+    # mx / latam
+    "com.mx", "org.mx", "net.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar", "int.ar",
+    "mil.ar", "tur.ar",
+    "gob.cl", "gov.cl", "mil.cl",
+    "com.ve", "com.co", "com.pe", "com.ec", "com.uy", "com.bo",
+    "com.py", "com.gt", "com.sv", "com.hn", "com.ni", "com.pa",
+    "com.do", "com.cu",
+    # tr
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "gen.tr",
+    "web.tr", "k12.tr", "av.tr", "bel.tr", "pol.tr",
+    # tw / hk / sg / my / ph / id / th / vn / kr / il
+    "com.tw", "net.tw", "org.tw", "gov.tw", "edu.tw", "idv.tw",
+    "game.tw", "ebiz.tw", "club.tw",
+    "com.hk", "net.hk", "org.hk", "gov.hk", "edu.hk", "idv.hk",
+    "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg", "per.sg",
+    "com.my", "net.my", "org.my", "gov.my", "edu.my", "mil.my",
+    "name.my",
+    "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph", "ngo.ph",
+    "mil.ph", "i.ph",
+    "co.id", "net.id", "or.id", "web.id", "sch.id", "go.id", "mil.id",
+    "ac.id", "biz.id", "my.id", "desa.id", "ponpes.id",
+    "ac.th", "co.th", "go.th", "in.th", "or.th", "net.th", "mi.th",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "int.vn",
+    "ac.vn", "biz.vn", "info.vn", "name.vn", "pro.vn", "health.vn",
+    "co.kr", "or.kr", "ne.kr", "re.kr", "pe.kr", "go.kr", "ac.kr",
+    "hs.kr", "ms.kr", "es.kr", "sc.kr", "kg.kr", "mil.kr",
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il",
+    "k12.il", "idf.il",
+    # za / ke / africa
+    "co.za", "org.za", "gov.za", "ac.za", "web.za", "net.za", "edu.za",
+    "mil.za", "nom.za",
+    "co.ke", "or.ke", "ac.ke", "go.ke", "ne.ke", "sc.ke", "info.ke",
+    "me.ke", "mobi.ke",
+    "com.ng", "net.ng", "org.ng", "gov.ng", "edu.ng", "sch.ng",
+    "name.ng", "mobi.ng",
+    "com.eg", "net.eg", "org.eg", "gov.eg", "edu.eg", "sci.eg",
+    "eun.eg", "mil.eg", "name.eg",
+    "co.tz", "or.tz", "ac.tz", "go.tz", "ne.tz", "sc.tz",
+    "co.ug", "or.ug", "ac.ug", "go.ug", "ne.ug", "sc.ug",
+    "co.zw", "org.zw", "gov.zw", "ac.zw", "co.bw", "org.bw",
+    # middle east
+    "com.sa", "net.sa", "org.sa", "gov.sa", "edu.sa", "med.sa",
+    "pub.sa", "sch.sa",
+    "com.kw", "net.kw", "org.kw", "gov.kw", "edu.kw", "emb.kw",
+    "ind.kw",
+    "com.qa", "net.qa", "org.qa", "gov.qa", "edu.qa", "mil.qa",
+    "name.qa", "sch.qa",
+    "com.om", "net.om", "org.om", "gov.om", "edu.om", "med.om",
+    "museum.om", "pro.om",
+    "com.bh", "net.bh", "org.bh", "gov.bh", "edu.bh",
+    "com.lb", "net.lb", "org.lb", "gov.lb", "edu.lb",
+    "com.jo", "net.jo", "org.jo", "gov.jo", "edu.jo", "mil.jo",
+    "name.jo", "sch.jo",
+    "co.ir", "net.ir", "org.ir", "gov.ir", "ac.ir", "id.ir", "sch.ir",
+    # europe ccSLDs
+    "com.ua", "net.ua", "org.ua", "gov.ua", "edu.ua", "in.ua",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "info.pl",
+    "waw.pl", "biz.pl",
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+    "com.pt", "edu.pt", "gov.pt", "int.pt", "net.pt", "nome.pt",
+    "org.pt", "publ.pt",
+    "com.gr", "edu.gr", "net.gr", "org.gr", "gov.gr",
+    "co.at", "or.at", "ac.at", "gv.at",
+    "co.hu", "org.hu", "info.hu", "2000.hu", "priv.hu", "sport.hu",
+    "tm.hu",
+    "com.ro", "org.ro", "tm.ro", "nt.ro", "nom.ro", "info.ro",
+    "rec.ro", "arts.ro", "firm.ro", "store.ro", "www.ro",
+    "com.ru", "net.ru", "org.ru", "pp.ru", "msk.ru", "spb.ru",
+    # pk
+    "com.pk", "net.pk", "org.pk", "gov.pk", "edu.pk", "fam.pk",
+    "biz.pk", "web.pk", "gok.pk", "gob.pk", "gkp.pk", "gop.pk",
+    "gos.pk",
+    # misc high-frequency
+    "com.bn", "com.lk", "edu.lk", "com.fj", "com.et", "com.na",
+    "co.ao", "ed.ao", "gv.ao", "it.ao", "og.ao", "pb.ao",
 }
+
+# .jp prefectures: plain second-level PSL rules (geographic type)
+_JP_PREFECTURES = {
+    "aichi", "akita", "aomori", "chiba", "ehime", "fukui", "fukuoka",
+    "fukushima", "gifu", "gunma", "hiroshima", "hokkaido", "hyogo",
+    "ibaraki", "ishikawa", "iwate", "kagawa", "kagoshima", "kanagawa",
+    "kochi", "kumamoto", "kyoto", "mie", "miyagi", "miyazaki", "nagano",
+    "nagasaki", "nara", "niigata", "oita", "okayama", "okinawa",
+    "osaka", "saga", "saitama", "shiga", "shimane", "shizuoka",
+    "tochigi", "tokushima", "tokyo", "tottori", "toyama", "wakayama",
+    "yamagata", "yamaguchi", "yamanashi",
+}
+_TWO_LEVEL_SUFFIXES |= {p + ".jp" for p in _JP_PREFECTURES}
+
+# .jp designated cities: `*.kawasaki.jp` wildcards with `!city.` excs
+_JP_CITY_WILDCARDS = {
+    "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
+    "sapporo.jp", "sendai.jp", "yokohama.jp",
+}
+_JP_CITY_EXCEPTIONS = {"city." + c for c in _JP_CITY_WILDCARDS}
+
+# wildcard-only ccTLDs: every `x.TLD` is a public suffix (`*.bd` ...)
+_TLD_WILDCARDS = {"bd", "ck", "er", "fk", "jm", "kh", "mm", "np",
+                  "pg", "ye"}
+_TLD_WILDCARD_EXCEPTIONS = {"www.ck"}          # `!www.ck`
+
+# US scheme: `XX.us` per state, plus `k12.XX.us` / `cc.XX.us` /
+# `lib.XX.us` third-level registries
+_US_STATES = {
+    "ak", "al", "ar", "az", "ca", "co", "ct", "dc", "de", "fl", "ga",
+    "hi", "ia", "id", "il", "in", "ks", "ky", "la", "ma", "md", "me",
+    "mi", "mn", "mo", "ms", "mt", "nc", "nd", "ne", "nh", "nj", "nm",
+    "nv", "ny", "oh", "ok", "or", "pa", "ri", "sc", "sd", "tn", "tx",
+    "ut", "va", "vt", "wa", "wi", "wv", "wy",
+}
+_TWO_LEVEL_SUFFIXES |= {s + ".us" for s in _US_STATES}
+_US_THIRD = {"k12", "cc", "lib"}
 
 _LABEL_RE = re.compile(r"^[a-z0-9]([a-z0-9_-]*[a-z0-9])?$", re.IGNORECASE)
 _ALL_DIGITS = re.compile(r"^[0-9.]+$")
@@ -74,12 +206,30 @@ def get_domain(url: str) -> str | None:
 
 
 def public_suffix_length(host: str) -> int | None:
-    """Number of labels in host's public suffix, or None if no suffix."""
+    """Number of labels in host's public suffix, or None if no suffix.
+    PSL rule semantics: exception rules beat wildcards; longest match
+    wins (3-level before 2-level before TLD default)."""
     labels = host.split(".")
     if len(labels) < 2:
         return None
     last2 = ".".join(labels[-2:])
+    last3 = ".".join(labels[-3:]) if len(labels) >= 3 else None
+    # exception rules: the matching name is REGISTRABLE, so its suffix
+    # is the rule minus the leftmost label
+    if last3 in _JP_CITY_EXCEPTIONS:           # !city.kawasaki.jp
+        return 2
+    if last2 in _TLD_WILDCARD_EXCEPTIONS:      # !www.ck
+        return 1
+    # 3-level rules
+    if len(labels) >= 3 and last2 in _JP_CITY_WILDCARDS:
+        return 3                               # *.kawasaki.jp
+    if (labels[-1] == "us" and len(labels) >= 3
+            and labels[-2] in _US_STATES and labels[-3] in _US_THIRD):
+        return 3                               # k12/cc/lib.XX.us
+    # 2-level rules
     if last2 in _TWO_LEVEL_SUFFIXES:
+        return 2
+    if labels[-1] in _TLD_WILDCARDS:           # *.bd family
         return 2
     tld = labels[-1]
     if len(tld) >= 2 and tld.isalpha():

@@ -1,0 +1,130 @@
+"""Public-suffix / topPrivateDomain tests — the vendored PSL subset
+with full rule semantics (plain, wildcard, exception; longest match
+wins). Reference: Guava InternetDomainName.topPrivateDomain
+(ArticleTextExtractor.java:3336-3357). See snacktory_spark/domains.py
+for the documented divergence envelope."""
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from snacktory_spark.domains import (extract_domain_name_without_tld,
+                                     get_domain, public_suffix_length,
+                                     top_private_domain)
+
+
+def tpd(host):
+    return top_private_domain(host, is_host=True)
+
+
+# --- generic + ccSLD families -----------------------------------------------
+
+@pytest.mark.parametrize("host,want", [
+    ("example.com", "example.com"),
+    ("a.b.example.com", "example.com"),
+    ("foo.co.uk", "foo.co.uk"),
+    ("www.foo.co.uk", "foo.co.uk"),
+    ("bbc.co.uk", "bbc.co.uk"),
+    ("trust.nhs.uk", "trust.nhs.uk"),
+    ("shop.com.au", "shop.com.au"),
+    ("dept.nsw.au", "dept.nsw.au"),
+    ("firm.co.nz", "firm.co.nz"),
+    ("x.govt.nz", "x.govt.nz"),
+    ("empresa.com.br", "empresa.com.br"),
+    ("tribunal.jus.br", "tribunal.jus.br"),
+    ("site.com.cn", "site.com.cn"),
+    ("lab.ac.cn", "lab.ac.cn"),
+    ("ministerio.gob.mx", "ministerio.gob.mx"),
+    ("diario.com.ar", "diario.com.ar"),
+    ("firma.com.tr", "firma.com.tr"),
+    ("okul.k12.tr", "okul.k12.tr"),
+    ("shop.co.kr", "shop.co.kr"),
+    ("uni.ac.kr", "uni.ac.kr"),
+    ("gazeta.com.ua", "gazeta.com.ua"),
+    ("sklep.com.pl", "sklep.com.pl"),
+    ("tienda.gob.es", "tienda.gob.es"),
+    ("skole.co.za", "skole.co.za"),
+    ("duka.co.ke", "duka.co.ke"),
+    ("suq.com.sa", "suq.com.sa"),
+    ("toko.co.id", "toko.co.id"),
+    ("rean.ac.th", "rean.ac.th"),
+    ("cua.com.vn", "cua.com.vn"),
+])
+def test_ccsld_families(host, want):
+    assert tpd(host) == want
+    assert tpd("extra." + host) == want
+
+
+# --- .jp geographic scheme --------------------------------------------------
+
+def test_jp_organizational_and_prefecture():
+    assert tpd("sony.co.jp") == "sony.co.jp"
+    assert tpd("www.metro.tokyo.jp") == "metro.tokyo.jp"
+    assert tpd("city.osaka.jp") == "city.osaka.jp"      # osaka = prefecture
+    assert tpd("x.pref.kanagawa.jp") == "pref.kanagawa.jp"
+    # prefecture label alone under .jp is REGISTRABLE per PSL (the
+    # wildcard needs a label in front; no plain rule for the city names)
+    assert tpd("kawasaki.jp") == "kawasaki.jp"
+
+
+def test_jp_designated_city_wildcards_and_exceptions():
+    # *.kawasaki.jp: every third-level is a suffix...
+    assert tpd("ward.kawasaki.jp") is None
+    assert tpd("shop.ward.kawasaki.jp") == "shop.ward.kawasaki.jp"
+    # ...EXCEPT !city.kawasaki.jp, which is the city's own registrable
+    assert tpd("city.kawasaki.jp") == "city.kawasaki.jp"
+    assert tpd("www.city.kawasaki.jp") == "city.kawasaki.jp"
+    for c in ("kitakyushu", "kobe", "nagoya", "sapporo", "sendai",
+              "yokohama"):
+        assert tpd(f"city.{c}.jp") == f"city.{c}.jp"
+        assert tpd(f"a.b.{c}.jp") == f"a.b.{c}.jp"
+
+
+# --- wildcard-only ccTLDs ---------------------------------------------------
+
+def test_tld_wildcards():
+    for t in ("bd", "ck", "er", "fk", "jm", "kh", "mm", "np", "pg",
+              "ye"):
+        assert tpd(f"foo.{t}") is None, t          # foo.TLD IS a suffix
+        assert tpd(f"shop.foo.{t}") == f"shop.foo.{t}", t
+    # !www.ck: the one registrable name directly under .ck
+    assert tpd("www.ck") == "www.ck"
+    assert tpd("mail.www.ck") == "www.ck"
+
+
+# --- US state scheme --------------------------------------------------------
+
+def test_us_states_and_k12():
+    assert tpd("foo.ca.us") == "foo.ca.us"
+    assert tpd("www.foo.ny.us") == "foo.ny.us"
+    assert tpd("school.k12.ca.us") == "school.k12.ca.us"
+    assert tpd("www.school.k12.tx.us") == "school.k12.tx.us"
+    assert tpd("college.cc.fl.us") == "college.cc.fl.us"
+    assert tpd("branch.lib.wa.us") == "branch.lib.wa.us"
+    assert tpd("k12.ca.us") is None                # the suffix itself
+
+
+# --- suffix-itself / fallback envelope --------------------------------------
+
+def test_suffix_itself_returns_none():
+    for s in ("co.uk", "com", "tokyo.jp", "k12.tr", "gob.mx"):
+        assert tpd(s) is None
+
+
+def test_psl_lengths():
+    assert public_suffix_length("a.co.uk") == 2
+    assert public_suffix_length("a.b.kawasaki.jp") == 3
+    assert public_suffix_length("x.city.kawasaki.jp") == 2
+    assert public_suffix_length("a.k12.ca.us") == 3
+    assert public_suffix_length("a.bd") == 2
+    assert public_suffix_length("www.ck") == 1
+    assert public_suffix_length("example.com") == 1
+    assert public_suffix_length("localhost") is None
+
+
+def test_existing_behavior_unchanged():
+    # the fixture-era behaviors the golden suite depends on
+    assert get_domain("http://221.214.182.123/x") is None
+    assert top_private_domain("http://www.cnn.com/a/b") == "cnn.com"
+    assert extract_domain_name_without_tld("www.bbc.co.uk") == "bbc"
