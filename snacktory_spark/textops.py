@@ -287,7 +287,8 @@ def ivf_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
 
 def connected_components(pairs: DataFrame, src: str = "doc_a",
                          dst: str = "doc_b", max_iter: int = 25,
-                         checkpoint_dir: str | None = None) -> DataFrame:
+                         checkpoint_dir: str | None = None,
+                         resume: bool = False) -> DataFrame:
     """Connected components over near-dup pairs by iterative min-label
     propagation — the final step of large-scale dedup (pick one keeper per
     duplicate cluster). Returns (doc_id, component) where component is the
@@ -310,13 +311,23 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     advances: the dir holds at most the edge set + two label snapshots
     during the run, and edges + the final labels after it (delete the dir
     once the result is consumed). Session state (checkpoint dir conf) is
-    never touched."""
+    never touched.
+
+    resume (VERDICT r3 item 7): after a driver/executor death mid-loop,
+    a NEW session can continue from the pinned state: pass the same
+    checkpoint_dir with resume=True (pairs may be an empty DataFrame —
+    the pinned edge set is used). The loop restarts from the latest
+    COMPLETE snapshot (parquet _SUCCESS marker; a snapshot the dying job
+    half-wrote is ignored), and min-label propagation is monotone, so
+    the fixpoint is identical to an uninterrupted run."""
     from pyspark.sql import functions as F
 
     if checkpoint_dir is not None:
         spark = pairs.sparkSession
         base = checkpoint_dir.rstrip("/")
         seq = {"n": 0}
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+        fs = jvm_path(base).getFileSystem(spark._jsc.hadoopConfiguration())
 
         def _pin(df):
             path = f"{base}/state-{seq['n']:05d}.parquet"
@@ -327,25 +338,53 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         def _drop(path):
             if path is None:
                 return
-            jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-            fs.delete(jpath, True)
+            fs.delete(jvm_path(path), True)
     else:
+        if resume:
+            raise ValueError("resume requires checkpoint_dir")
+
         def _pin(df):
             return df.localCheckpoint(), None
 
         def _drop(path):
             pass
 
-    edges0 = (pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-              .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-              .distinct())
-    # pinning TRUNCATES LINEAGE — with plain persist the logical plan
-    # doubles every iteration and Catalyst analysis time explodes (the
-    # standard iterative-DataFrame pitfall)
-    edges, _edges_path = _pin(edges0)
-    labels, label_path = _pin(edges.select(F.col("a").alias("id")).distinct()
-                               .withColumn("label", F.col("id")))
+    edges = labels = label_path = None
+    if resume:
+        # complete snapshots only: the kill may have half-written one
+        snaps = sorted(
+            s.getPath().getName()
+            for s in fs.listStatus(jvm_path(base))
+            if s.getPath().getName().startswith("state-")
+            and fs.exists(jvm_path(
+                f"{base}/{s.getPath().getName()}/_SUCCESS")))
+        if len(snaps) < 2:
+            raise ValueError(
+                f"cannot resume: {base} holds {len(snaps)} complete "
+                "snapshots (need the edge set + one label snapshot)")
+        edges = spark.read.parquet(f"{base}/{snaps[0]}")
+        latest = spark.read.parquet(f"{base}/{snaps[-1]}")
+        if "new_label" in latest.columns:   # a merged mid-loop snapshot
+            latest = latest.select(
+                "id", F.col("new_label").alias("label"))
+        # re-pin under a fresh index so _drop never deletes the state a
+        # concurrent reader might still want; stale intermediates stay
+        # until the normal rolling deletion catches up
+        seq["n"] = int(snaps[-1].split("-")[1].split(".")[0]) + 1
+        labels, label_path = _pin(latest)
+    else:
+        edges0 = (pairs.select(F.col(src).alias("a"),
+                               F.col(dst).alias("b"))
+                  .union(pairs.select(F.col(dst).alias("a"),
+                                      F.col(src).alias("b")))
+                  .distinct())
+        # pinning TRUNCATES LINEAGE — with plain persist the logical
+        # plan doubles every iteration and Catalyst analysis time
+        # explodes (the standard iterative-DataFrame pitfall)
+        edges, _edges_path = _pin(edges0)
+        labels, label_path = _pin(
+            edges.select(F.col("a").alias("id")).distinct()
+            .withColumn("label", F.col("id")))
     for _ in range(max_iter):
         prop = (edges.join(labels, edges["a"] == labels["id"])
                 .groupBy(F.col("b").alias("nid"))

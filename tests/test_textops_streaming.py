@@ -509,6 +509,82 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert written, "no checkpoint state written to checkpoint_dir"
 
 
+def test_connected_components_resume_after_kill(spark, tmp_path):
+    """The failure the reliable mode EXISTS for (VERDICT r3 item 7 /
+    r4 next #3): a subprocess driver runs the label loop against a
+    reliable checkpoint_dir and hard-dies (os._exit(137)) mid-loop,
+    after iteration 2's state pin. A NEW session then resumes from the
+    pinned parquet state and must converge to the exact labeling of an
+    uninterrupted run. The 9-node chain needs ~8 min-label iterations,
+    so the kill is genuinely mid-computation."""
+    import subprocess
+    import sys as _sys
+
+    from snacktory_spark.textops import connected_components
+
+    chain = [(i, i + 1) for i in range(8)] + [(20, 21)]
+    ckdir = str(tmp_path / "cc_resume")
+    script = f"""
+import os, sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+# patch the CONCRETE class (pyspark>=4 routes sessions through
+# pyspark.sql.classic, which overrides the abstract DataFrame.count)
+try:
+    from pyspark.sql.classic.dataframe import DataFrame
+except ImportError:
+    from pyspark.sql import DataFrame
+from snacktory_spark.textops import connected_components
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+df = spark.createDataFrame({chain!r}, "doc_a long, doc_b long")
+orig_count = DataFrame.count
+state = {{"n": 0}}
+def dying_count(self):
+    r = orig_count(self)
+    state["n"] += 1
+    if state["n"] >= 2:
+        os._exit(137)   # hard driver death: no cleanup, no stop()
+    return r
+DataFrame.count = dying_count
+connected_components(df, checkpoint_dir={ckdir!r})
+raise SystemExit("unreachable: the loop should have died")
+"""
+    proc = subprocess.run([_sys.executable, "-c", script],
+                          capture_output=True, timeout=600)
+    assert proc.returncode == 137, proc.stderr.decode()[-2000:]
+    import os
+    snaps = sorted(f for f in os.listdir(ckdir) if f.startswith("state-"))
+    assert len(snaps) >= 3          # edges + init labels + >=1 iteration
+
+    # NEW session (the fixture's) resumes from the pinned state
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    resumed = {r["doc_id"]: r["component"]
+               for r in connected_components(
+                   empty, checkpoint_dir=ckdir, resume=True).collect()}
+    want = {i: 0 for i in range(9)}
+    want.update({20: 20, 21: 20})
+    assert resumed == want
+    # and equals the uninterrupted run exactly
+    df = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    clean = {r["doc_id"]: r["component"]
+             for r in connected_components(df).collect()}
+    assert resumed == clean
+
+
+def test_connected_components_resume_guardrails(spark, tmp_path):
+    from snacktory_spark.textops import connected_components
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    with pytest.raises(ValueError, match="requires checkpoint_dir"):
+        connected_components(empty, resume=True)
+    d = tmp_path / "empty_ck"
+    d.mkdir()
+    with pytest.raises(ValueError, match="cannot resume"):
+        connected_components(empty, checkpoint_dir=str(d), resume=True)
+
+
 def test_connected_components_nonconvergence_raises(spark):
     from snacktory_spark.textops import connected_components
     chain = [(i, i + 1) for i in range(5)]
