@@ -112,7 +112,11 @@ def main():
     for name in rel_queries:
         t0 = time.time()
         try:
-            qs[name](spark, SF_DIR).count()
+            # prefer the constituent query fn (r5 registry composites
+            # merged some entries; benching constituents keeps the
+            # series comparable round-over-round)
+            fn = getattr(entrymod, f"q_{name}", None) or qs[name]
+            fn(spark, SF_DIR).count()
             timings[name] = round(time.time() - t0, 3)
         except Exception as e:  # pragma: no cover
             timings[name] = -1.0
