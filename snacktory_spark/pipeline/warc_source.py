@@ -142,3 +142,30 @@ def read_warc_ranges(spark: SparkSession, index_df: DataFrame,
                 "body"])
 
     return idx.mapInPandas(fetch, _RANGE_SCHEMA)
+
+
+def warc_html_df(spark: SparkSession, path_glob: str,
+                 num_partitions: int | None = None) -> DataFrame:
+    """The complete distributed ingest hop: CDX index → range-parallel
+    record read → HTTP 200 filter → charset-detected decode
+    (converter.bytes_to_string, the real fetch-path decode incl. the
+    500KB cap and meta/BOM sniff windows) — all executor-side, no
+    driver collect. Returns (url, html) rows ready to feed
+    extract_job.extracted_df as transcript turns; this is the
+    archived-fetch re-expression of the reference's only input path
+    (HtmlFetcher.java:206-327) at corpus scale."""
+    from pyspark.sql import functions as F
+
+    resp = read_warc_ranges(spark, warc_index_df(spark, path_glob),
+                            num_partitions)
+    ok = resp.filter(F.col("status") == 200)
+
+    def decode(batches):
+        from snacktory_spark.converter import bytes_to_string
+        for pdf in batches:
+            yield pd.DataFrame({
+                "url": pdf["target_uri"],
+                "html": [bytes_to_string(bytes(b)) for b in pdf["body"]],
+            })
+
+    return ok.mapInPandas(decode, "url string, html string")
