@@ -1990,12 +1990,53 @@ def q_mpeg_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan.join(q_mpeg_roundtrip(spark, sf_dir), "doc_id")
 
 
+def q_pq_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (the IVF-PQ storage layout every
+    billion-vector ANN store uses: FAISS/SCANN-style — each vector
+    compressed to one byte-ish code per subspace, searched via
+    per-subspace lookup tables): split the 64-dim embedding into 4
+    subspaces of 16 dims; per subspace the codebook is the matching
+    slice of the 4 fixed seed vectors (embeddings 1..4 — deterministic,
+    same seeds as the IVF coarse quantizer); code = argmin L2 (ties to
+    the lowest code), packed base-4 into one int. All JVM-side
+    expressions (slice + zip_with/aggregate unrolled over the 16
+    code distances) — one narrow map, no shuffle, no Python."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seeds = [r["embedding"] for r in
+             emb.filter(F.col("vec_id").isin(1, 2, 3, 4))
+                .orderBy("vec_id").collect()]
+    n_sub, sub_dim = 4, 16
+
+    def dist2(sub_idx, code_vec):
+        seg = F.slice(F.col("embedding"), sub_idx * sub_dim + 1, sub_dim)
+        lit = F.array(*[F.lit(float(x)) for x in code_vec])
+        return F.aggregate(F.zip_with(seg, lit, lambda a, b: (a - b) * (a - b)),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    packed = F.lit(0)
+    for s in range(n_sub):
+        best_c, best_d = F.lit(0), dist2(s, seeds[0][s * sub_dim:(s + 1) * sub_dim])
+        for c in range(1, 4):
+            d = dist2(s, seeds[c][s * sub_dim:(s + 1) * sub_dim])
+            cond = d < best_d
+            best_c = F.when(cond, F.lit(c)).otherwise(best_c)
+            best_d = F.when(cond, d).otherwise(best_d)
+        packed = packed + best_c * F.lit(4 ** s)
+    return emb.select("vec_id", packed.cast("long").alias("pq_code"))
+
+
 def q_ann_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite: IVF coarse-quantization cell + random-hyperplane LSH
-    bucket per vector — the two partitioning schemes the ANN scale
-    paths (ivf_topk, embedding_neardup) are built on."""
-    return q_ivf_assign(spark, sf_dir).join(
-        q_embedding_lsh_buckets(spark, sf_dir), "vec_id")
+    bucket + product-quantization code per vector — the three
+    partitioning/compression schemes the ANN scale paths (ivf_topk,
+    embedding_neardup, int8_knn) are built on; together they form the
+    IVF-PQ layout a billion-vector store ships."""
+    return (q_ivf_assign(spark, sf_dir)
+            .join(q_embedding_lsh_buckets(spark, sf_dir), "vec_id")
+            .join(q_pq_code(spark, sf_dir), "vec_id"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2774,9 +2815,30 @@ def oracle_sql() -> dict[str, str]:
                             sum(CASE WHEN list_dot_product(e.embedding, p.pe) >= 0
                                      THEN 1 << b ELSE 0 END)::INT AS lsh_bucket
                      FROM embeddings e, planes p
-                     GROUP BY e.vec_id)
-            SELECT iv.vec_id, iv.cell, iv.dist, lb.lsh_bucket
-            FROM iv JOIN lb USING (vec_id)
+                     GROUP BY e.vec_id),
+                 pqd AS (
+                     SELECT e.vec_id, s.s, cb.vec_id - 1 AS code,
+                            list_distance(
+                                list_slice(e.embedding, s.s * 16 + 1,
+                                           s.s * 16 + 16),
+                                list_slice(cb.embedding, s.s * 16 + 1,
+                                           s.s * 16 + 16)) AS d
+                     FROM embeddings e, range(4) s(s),
+                          (SELECT vec_id, embedding FROM embeddings
+                           WHERE vec_id BETWEEN 1 AND 4) cb),
+                 pqc AS (
+                     SELECT vec_id, s, code FROM (
+                         SELECT vec_id, s, code,
+                                row_number() OVER (
+                                    PARTITION BY vec_id, s
+                                    ORDER BY d ASC, code ASC) AS rn
+                         FROM pqd) WHERE rn = 1),
+                 pq AS (
+                     SELECT vec_id,
+                            sum(code * (1 << (2 * s)))::BIGINT AS pq_code
+                     FROM pqc GROUP BY vec_id)
+            SELECT iv.vec_id, iv.cell, iv.dist, lb.lsh_bucket, pq.pq_code
+            FROM iv JOIN lb USING (vec_id) JOIN pq USING (vec_id)
         """,
         "conv_flatten": f"""
             WITH flat AS (
