@@ -252,6 +252,49 @@ def test_distributed_warc_to_extraction(tmp_path):
             assert r["author_name"] == c["author"], c["name"]
 
 
+def test_warc_archive_to_checkpointed_job(tmp_path):
+    """Archive → splittable read → transcript table → the CHECKPOINTED
+    manifest job (run_extract): the full 100-TB ingest story wired end
+    to end. A second run must resume to {'skipped': True} with
+    unchanged output rows."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from snacktory_spark.pipeline.extract_job import (build_session,
+                                                      run_extract)
+    from snacktory_spark.pipeline.warc_source import warc_html_df
+
+    pages = [(f"http://site{i % 3}.test/p{i}",
+              (f"<html><head><title>Page {i}</title></head><body>"
+               + f"<article><p>{'Body text sentence. ' * 30}"
+               + f"page {i}</p></article></body></html>").encode())
+             for i in range(12)]
+    (tmp_path / "crawl.warc.gz").write_bytes(
+        write_warc(pages, gzip_members=True))
+
+    spark = build_session(app="pytest-warc-job", master="local[4]",
+                          shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    tdir = str(tmp_path / "transcripts")
+    (warc_html_df(spark, str(tmp_path) + "/*.warc.gz", num_partitions=4)
+     .select(F.col("url").alias("conv_id"), F.lit(0).alias("turn_idx"),
+             F.lit("user").alias("role"), F.col("html").alias("text"),
+             F.lit(None).cast("string").alias("tool"),
+             F.lit(dt.datetime(2020, 1, 1)).alias("ts"))
+     .write.mode("overwrite").parquet(tdir))
+
+    out = str(tmp_path / "extracted")
+    m1 = run_extract(spark, tdir, out, n_buckets=4)
+    assert m1["output_rows"] == 12
+    rows = spark.read.parquet(out).select("conv_id", "title").collect()
+    assert len(rows) == 12
+    assert {r["title"] for r in rows} == {f"Page {i}" for i in range(12)}
+    m2 = run_extract(spark, tdir, out, n_buckets=4)
+    assert m2.get("skipped") is True
+    assert spark.read.parquet(out).count() == 12
+
+
 # --- WARC → extraction end-to-end (the Common Crawl ingest story) -----------
 
 def test_warc_to_extraction_end_to_end(tmp_path):
