@@ -144,6 +144,49 @@ def read_warc_ranges(spark: SparkSession, index_df: DataFrame,
     return idx.mapInPandas(fetch, _RANGE_SCHEMA)
 
 
+def stream_warc_pages(spark: SparkSession, index_dir: str,
+                      out_dir: str, checkpoint_dir: str,
+                      num_partitions: int | None = None):
+    """Streaming archive ingest (the drop-zone story): the persisted CDX
+    index directory is the STREAMING source — each newly indexed WARC
+    file contributes new parquet rows there, and Structured Streaming's
+    file tracking makes consumption exactly-once across restarts (the
+    checkpoint remembers which index files were processed; a crashed
+    batch re-runs, an indexed-but-consumed archive is never re-read).
+    Each micro-batch range-reads ONLY its new records (seek+read via
+    the CDX offsets — the splittable path, not whole files) and appends
+    decoded (url, html) pages to out_dir.
+
+    Runs with trigger=availableNow (drain-and-stop, the batch-friendly
+    trigger) — call again after more archives are indexed and only the
+    new ones are processed. Returns the StreamingQuery (caller awaits
+    termination). Binary WARC files themselves are not a Spark
+    streaming source; the index-as-source pattern is what makes archive
+    feeds streamable at all."""
+
+    def handle(batch_df, _batch_id):
+        resp = read_warc_ranges(spark, batch_df, num_partitions)
+        ok = resp.filter(resp["status"] == 200)
+
+        def decode(batches):
+            from snacktory_spark.converter import bytes_to_string
+            for pdf in batches:
+                yield pd.DataFrame({
+                    "url": pdf["target_uri"],
+                    "html": [bytes_to_string(bytes(b))
+                             for b in pdf["body"]],
+                })
+
+        (ok.mapInPandas(decode, "url string, html string")
+         .write.mode("append").parquet(out_dir))
+
+    ensure_py_files(spark)
+    stream = (spark.readStream.schema(_CDX_SCHEMA).parquet(index_dir))
+    return (stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
+
+
 def warc_html_df(spark: SparkSession, path_glob: str,
                  num_partitions: int | None = None) -> DataFrame:
     """The complete distributed ingest hop: CDX index → range-parallel

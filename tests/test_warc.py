@@ -295,6 +295,51 @@ def test_warc_archive_to_checkpointed_job(tmp_path):
     assert spark.read.parquet(out).count() == 12
 
 
+def test_streaming_warc_drop_zone(tmp_path):
+    """Streaming archive ingest: the CDX index dir is the streaming
+    source. Indexing + draining archive A then archive B must process
+    each exactly once (the checkpoint skips A's index files on the
+    second drain), with pages accumulating in the append sink."""
+    from snacktory_spark.pipeline.extract_job import build_session
+    from snacktory_spark.pipeline.warc_source import (stream_warc_pages,
+                                                      warc_index_df)
+
+    spark = build_session(app="pytest-warc-stream", master="local[4]",
+                          shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    idx_dir = str(tmp_path / "cdx")
+    out_dir = str(tmp_path / "pages")
+    ck_dir = str(tmp_path / "ck")
+
+    def land(name, n, tag):
+        pages = [(f"http://{tag}.test/{i}",
+                  f"<html><body>{tag} {i}</body></html>".encode())
+                 for i in range(n)]
+        (drop / name).write_bytes(write_warc(pages, gzip_members=True))
+        (warc_index_df(spark, str(drop / name))
+         .write.mode("append").parquet(idx_dir))
+
+    land("a.warc.gz", 5, "siteA")
+    q = stream_warc_pages(spark, idx_dir, out_dir, ck_dir)
+    q.awaitTermination()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 5
+    land("b.warc.gz", 3, "siteB")
+    q = stream_warc_pages(spark, idx_dir, out_dir, ck_dir)
+    q.awaitTermination()
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == 8                     # A never reprocessed
+    urls = {r["url"] for r in rows}
+    assert {f"http://siteA.test/{i}" for i in range(5)} <= urls
+    assert {f"http://siteB.test/{i}" for i in range(3)} <= urls
+    # a third drain with nothing new appends nothing
+    q = stream_warc_pages(spark, idx_dir, out_dir, ck_dir)
+    q.awaitTermination()
+    assert spark.read.parquet(out_dir).count() == 8
+
+
 # --- WARC → extraction end-to-end (the Common Crawl ingest story) -----------
 
 def test_warc_to_extraction_end_to_end(tmp_path):
