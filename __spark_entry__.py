@@ -1582,28 +1582,49 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection (theirs is a 5-gram KenLM; the plumbing shape — fixed
     reference model joined against the full corpus — is identical).
 
-    Scale shape: the LM is bounded by the REFERENCE corpus size (fixed,
-    not corpus-proportional) so its join side is legitimately small;
-    the join carries no hint — the planner broadcasts it while it fits.
-    Unknown tokens hit the smoothing floor 1/(T+V) via a left join +
-    coalesce. Everything partial+final hash aggs; one explode."""
+    r5 adds DSIR-style importance weights (Xie et al., Data Selection
+    via Importance Resampling — public): per document, the mean
+    log-likelihood RATIO between a target unigram LM (the reference
+    slice's English documents — standing in for the curated target
+    distribution) and the source LM above; positive ratio = looks more
+    like the target than the generic source, the resampling signal
+    DSIR/DoReMi-style pipelines select on. Same bounded-model shape:
+    one more left join against a fixed-size LM.
+
+    Scale shape: both LMs are bounded by the REFERENCE corpus size
+    (fixed, not corpus-proportional) so their join sides are
+    legitimately small; the joins carry no hint — the planner
+    broadcasts them while they fit. Unknown tokens hit the smoothing
+    floor 1/(T+V) via left join + coalesce. Everything partial+final
+    hash aggs; one explode."""
     from pyspark.sql import functions as F
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     pairs = (docs.filter(F.length("text") > 0)
-             .select("doc_id", F.explode(toks).alias("token")))
+             .select("doc_id", "lang", F.explode(toks).alias("token")))
     ref = pairs.filter(F.col("doc_id") < 50)
-    lm = ref.groupBy("token").agg(F.count("*").alias("c"))
+    lm = ref.groupBy("token").agg(F.count("*").alias("c_src"))
+    tgt = ref.filter(F.col("lang") == "en")
+    lm_tgt = tgt.groupBy("token").agg(F.count("*").alias("c_tgt"))
     totals = ref.agg(F.count("*").alias("t"),
                      F.countDistinct("token").alias("v")).first()
     t, v = int(totals["t"]), int(totals["v"])
+    tt = tgt.agg(F.count("*").alias("t"),
+                 F.countDistinct("token").alias("v")).first()
+    t2, v2 = int(tt["t"]), int(tt["v"])
     # add-1: p(tok) = (c+1)/(T+V); unseen -> 1/(T+V)
-    logp = F.log((F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+    logp = F.log((F.coalesce(F.col("c_src"), F.lit(0)) + 1.0)
                  / F.lit(float(t + v)))
+    logp_tgt = F.log((F.coalesce(F.col("c_tgt"), F.lit(0)) + 1.0)
+                     / F.lit(float(t2 + v2)))
     return (pairs.join(lm, "token", "left")
+            .join(lm_tgt, "token", "left")
             .groupBy("doc_id")
             .agg(F.count("*").cast("long").alias("n_tokens"),
-                 F.round(F.exp(-F.avg(logp)), 4).alias("ppl")))
+                 F.round(F.exp(-F.avg(logp)), 4).alias("ppl"),
+                 F.round(F.avg(logp_tgt - logp), 4)
+                 .alias("dsir_logratio"),
+                 (F.avg(logp_tgt - logp) > 0).alias("dsir_keep")))
 
 
 def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2614,22 +2635,38 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 48000 END))::BIGINT AS flac_duration_ms
             FROM documents
         """,
-        # add-1 unigram LM trained on doc_id < 50; ppl = exp(mean -ln p)
+        # add-1 unigram LM trained on doc_id < 50; ppl = exp(mean -ln p);
+        # DSIR logratio vs the target LM (English slice of the same ref)
         "lm_perplexity": """
             WITH pairs AS (
-                SELECT doc_id,
+                SELECT doc_id, lang,
                        unnest(regexp_split_to_array(lower(trim(text)),
                                                     '\\s+')) AS token
                 FROM documents WHERE length(text) > 0),
             lm AS (SELECT token, count(*) AS c FROM pairs
                    WHERE doc_id < 50 GROUP BY 1),
             tot AS (SELECT count(*) AS t, count(DISTINCT token) AS v
-                    FROM pairs WHERE doc_id < 50)
+                    FROM pairs WHERE doc_id < 50),
+            lmt AS (SELECT token, count(*) AS c FROM pairs
+                    WHERE doc_id < 50 AND lang = 'en' GROUP BY 1),
+            tott AS (SELECT count(*) AS t, count(DISTINCT token) AS v
+                     FROM pairs WHERE doc_id < 50 AND lang = 'en')
             SELECT p.doc_id, count(*)::BIGINT AS n_tokens,
                    round(exp(-avg(ln((coalesce(lm.c, 0) + 1.0)
                                      / (SELECT t + v FROM tot)))), 4)
-                       AS ppl
+                       AS ppl,
+                   round(avg(ln((coalesce(lmt.c, 0) + 1.0)
+                                / (SELECT t + v FROM tott))
+                             - ln((coalesce(lm.c, 0) + 1.0)
+                                  / (SELECT t + v FROM tot))), 4)
+                       AS dsir_logratio,
+                   (avg(ln((coalesce(lmt.c, 0) + 1.0)
+                           / (SELECT t + v FROM tott))
+                        - ln((coalesce(lm.c, 0) + 1.0)
+                             / (SELECT t + v FROM tot))) > 0)
+                       AS dsir_keep
             FROM pairs p LEFT JOIN lm USING (token)
+                 LEFT JOIN lmt USING (token)
             GROUP BY p.doc_id
         """,
         # winnowing: same md5-hex gram hashes, lexicographic window min
