@@ -252,24 +252,33 @@ def ogg_info(data: bytes) -> dict:
             from None
 
 
+def _lacing(n: int) -> bytes:
+    """RFC 3533 lacing values for one n-byte packet: 255s then the
+    terminating remainder (a 255-multiple packet ends with a 0 value)."""
+    return bytes([255] * (n // 255) + [n % 255])
+
+
 def build_ogg(n_pages: int, packets_per_page: int, packet_bytes: int,
               serial: int = 0xABCD, samples_per_packet: int = 1024,
               seed: int = 0) -> bytes:
     """Structurally valid single-stream Ogg: BOS page, data pages, EOS
-    flag on the last; correct page CRCs; deterministic filler packets
-    (< 255 bytes each so one lacing value terminates each packet)."""
-    if packet_bytes >= 255:
-        raise ImageError("builder packets must be < 255 bytes")
+    flag on the last; correct page CRCs; deterministic filler packets.
+    Packets of ANY size — ≥255-byte packets produce real multi-value
+    lacing (255,...,remainder), the layout every Vorbis/Opus file
+    ships."""
     out = bytearray()
     for p in range(n_pages):
         htype = 0x02 if p == 0 else (0x04 if p == n_pages - 1 else 0)
         granule = (p + 1) * packets_per_page * samples_per_packet
-        segs = bytes([packet_bytes] * packets_per_page)
+        segs = b"".join(_lacing(packet_bytes)
+                        for _ in range(packets_per_page))
+        if len(segs) > 255:
+            raise ImageError("builder page exceeds 255 lacing values")
         body = bytes(((seed + p + i) * 149) % 251
                      for i in range(packets_per_page * packet_bytes))
         hdr = (b"OggS\x00" + bytes([htype])
                + struct.pack("<qIII", granule, serial, p, 0)
-               + bytes([packets_per_page]) + segs)
+               + bytes([len(segs)]) + segs)
         page = bytearray(hdr + body)
         crc = _ogg_crc(bytes(page))
         page[22:26] = struct.pack("<I", crc)

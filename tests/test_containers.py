@@ -105,6 +105,99 @@ def test_ogg_hostile(mutant):
         ogg_info(mutant)
 
 
+def test_ogg_multi_lacing_large_packets():
+    # a 700-byte packet laces as 255,255,190 — one termination, so it
+    # still counts as ONE packet (the Vorbis/Opus layout)
+    data = build_ogg(n_pages=2, packets_per_page=1, packet_bytes=700)
+    info = ogg_info(data)
+    assert info["n_packets"] == 2
+    assert info["n_pages"] == 2
+    # a 510-byte packet (255-multiple) must end with a 0 lacing value
+    data = build_ogg(n_pages=1, packets_per_page=1, packet_bytes=510)
+    assert ogg_info(data)["n_packets"] == 1
+
+
+def test_ogg_cross_page_continuation():
+    """A packet spanning pages: page 1 ends with lacing 255 (no
+    termination), page 2 carries the continuation flag (0x01) and the
+    terminating remainder — the packet counts ONCE, on page 2."""
+    import struct as st
+
+    from snacktory_spark.containers import _ogg_crc
+
+    def page(htype, granule, seq, segs, body):
+        hdr = (b"OggS\x00" + bytes([htype])
+               + st.pack("<qIII", granule, 0x99, seq, 0)
+               + bytes([len(segs)]) + bytes(segs))
+        pg = bytearray(hdr + body)
+        pg[22:26] = st.pack("<I", _ogg_crc(bytes(pg)))
+        return bytes(pg)
+
+    p1 = page(0x02, -1, 0, [255], b"\xaa" * 255)          # unterminated
+    p2 = page(0x04 | 0x01, 1024, 1, [100], b"\xbb" * 100)  # continuation
+    info = ogg_info(p1 + p2)
+    assert info["n_packets"] == 1
+    assert info["n_pages"] == 2
+    assert info["last_granule"] == 1024    # granule -1 page ignored
+
+
+# --- MP4 box-size edge paths ------------------------------------------------
+
+def test_mp4_largesize_and_to_end_boxes():
+    """64-bit largesize (size==1) and size==0 (to end of file) are real
+    ISO-BMFF framings; rewrite the builder's mdat header both ways and
+    the walk must report identical mdat bytes."""
+    import struct as st
+    base = build_mp4(4, 25, 160)
+    want = mp4_info(base)["mdat_bytes"]
+    mdat_at = base.find(b"mdat") - 4
+    size = st.unpack(">I", base[mdat_at:mdat_at + 4])[0]
+    head, body = base[:mdat_at], base[mdat_at + 8:]
+    large = (head + st.pack(">I", 1) + b"mdat"
+             + st.pack(">Q", size + 8) + body)
+    assert mp4_info(large)["mdat_bytes"] == want
+    to_end = head + st.pack(">I", 0) + b"mdat" + body
+    assert mp4_info(to_end)["mdat_bytes"] == want
+
+
+def test_mp4_multi_track():
+    """The walk handles N traks (the builder emits one; splice two)."""
+    from snacktory_spark.containers import _box
+    a = build_mp4(3, 10, 100, handler=b"vide", codec=b"avc1")
+    b = build_mp4(5, 10, 100, handler=b"soun", codec=b"mp4a")
+
+    def boxes(d):
+        out, pos = {}, 0
+        import struct as st
+        while pos < len(d):
+            size = st.unpack(">I", d[pos:pos + 4])[0]
+            out.setdefault(d[pos + 4:pos + 8], []).append(d[pos:pos + size])
+            pos += size
+        return out
+
+    def trak_of(moov):
+        # first trak box inside moov body
+        body = moov[8:]
+        import struct as st
+        pos = 0
+        while pos < len(body):
+            size = st.unpack(">I", body[pos:pos + 4])[0]
+            if body[pos + 4:pos + 8] == b"trak":
+                return body[pos:pos + size]
+            pos += size
+        raise AssertionError("no trak")
+
+    ba, bb = boxes(a), boxes(b)
+    moov_a = ba[b"moov"][0]
+    two_trak_moov = _box(b"moov", moov_a[8:] + trak_of(bb[b"moov"][0]))
+    spliced = ba[b"ftyp"][0] + two_trak_moov + ba[b"mdat"][0]
+    info = mp4_info(spliced)
+    assert info["n_tracks"] == 2
+    assert [t["handler"] for t in info["tracks"]] == ["vide", "soun"]
+    assert [t["codec"] for t in info["tracks"]] == ["avc1", "mp4a"]
+    assert [t["n_samples"] for t in info["tracks"]] == [3, 5]
+
+
 # --- FLAC -------------------------------------------------------------------
 
 def test_flac_roundtrip():
