@@ -104,16 +104,21 @@ def read_warc_ranges(spark: SparkSession, index_df: DataFrame,
         from snacktory_spark.imaging import ImageError
         from snacktory_spark.warc import read_warc_range, split_http_response
         for pdf in batches:
-            # group consecutive rows by file so one open() serves a run
+            # sort by (path, offset) so ONE handle at a time serves a
+            # sequential run per file — bounded fds regardless of how
+            # many files land in the partition, and forward-only seeks
+            pdf = pdf.sort_values(["path", "offset"])
             rows = []
-            handles: dict[str, object] = {}
+            cur_path, f = None, None
             try:
                 for path, off, length in zip(pdf["path"], pdf["offset"],
                                              pdf["length"]):
                     lp = _local_path(str(path))
-                    f = handles.get(lp)
-                    if f is None:
-                        f = handles[lp] = open(lp, "rb")
+                    if lp != cur_path:
+                        if f is not None:
+                            f.close()
+                        f = open(lp, "rb")
+                        cur_path = lp
                     f.seek(int(off))
                     member = f.read(int(length))
                     try:
@@ -135,7 +140,7 @@ def read_warc_ranges(spark: SparkSession, index_df: DataFrame,
                         # corrupt range: skip the record, never the task
                         continue
             finally:
-                for f in handles.values():
+                if f is not None:
                     f.close()
             yield pd.DataFrame(rows, columns=[
                 "path", "offset", "target_uri", "status", "content_type",

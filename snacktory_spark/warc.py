@@ -50,17 +50,18 @@ def _iter_gzip_members(data: bytes):
     pos = 0
     n = 0
     cap = MAX_RECORD_BYTES + _MEMBER_SLACK
+    mv = memoryview(data)   # no per-member copy of the remaining buffer
     while pos < len(data):
         d = zlib.decompressobj(wbits=31)
         try:
-            out = d.decompress(data[pos:], cap + 1)
+            out = d.decompress(mv[pos:], cap + 1)
         except zlib.error as e:
             raise ImageError(f"bad gzip member: {e}") from None
         if d.unconsumed_tail or len(out) > cap:
             raise ImageError("gzip member exceeds record cap")
         if not d.eof:
             raise ImageError("truncated gzip member")
-        consumed = len(data[pos:]) - len(d.unused_data)
+        consumed = (len(data) - pos) - len(d.unused_data)
         if consumed <= 0:
             raise ImageError("gzip member consumed no bytes")
         yield pos, consumed, out
