@@ -89,13 +89,23 @@ def mp4_info(data: bytes) -> dict:
         tracks: list[dict] = []
         cur: dict | None = None
         mdat_bytes = 0
+        def need(b, e, n, box):
+            # ADVICE r5: fixed-offset field reads must fit the BOX BODY,
+            # not merely the buffer — a short body would silently parse
+            # the following sibling's bytes into garbage inventory
+            if e - b < n:
+                raise ImageError(f"MP4 {box} body too short: "
+                                 f"{e - b} < {n}")
         for fourcc, b, e, depth in _iter_boxes(data, 0, len(data), 0,
                                                count):
             if fourcc == b"mvhd":
+                need(b, e, 1, "mvhd")
                 v = data[b]
                 if v == 1:
+                    need(b, e, 32, "mvhd v1")
                     ts, dur = struct.unpack(">IQ", data[b + 20:b + 32])
                 else:
+                    need(b, e, 20, "mvhd v0")
                     ts, dur = struct.unpack(">II", data[b + 12:b + 20])
                 if ts == 0:
                     raise ImageError("mvhd timescale 0")
@@ -104,12 +114,16 @@ def mp4_info(data: bytes) -> dict:
                 cur = {"handler": "", "codec": "", "n_samples": 0}
                 tracks.append(cur)
             elif fourcc == b"hdlr" and cur is not None:
+                need(b, e, 12, "hdlr")
                 cur["handler"] = data[b + 8:b + 12].decode("latin-1")
             elif fourcc == b"stsd" and cur is not None:
+                need(b, e, 8, "stsd")
                 n = struct.unpack(">I", data[b + 4:b + 8])[0]
                 if n >= 1:
+                    need(b, e, 16, "stsd entry")
                     cur["codec"] = data[b + 12:b + 16].decode("latin-1")
             elif fourcc == b"stsz" and cur is not None:
+                need(b, e, 12, "stsz")
                 cur["n_samples"] = struct.unpack(
                     ">I", data[b + 8:b + 12])[0]
             elif fourcc == b"mdat":

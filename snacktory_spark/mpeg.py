@@ -76,7 +76,12 @@ _FOREIGN_STREAM_MSG = (
     "marker absent): the Layer I/II codec is self-consistent, not "
     "ISO-conformant (substituted Annex B window/requant tables), so a "
     "foreign stream would decode to plausible but DIVERGENT samples. "
-    "Pass allow_nonconformant=True to decode anyway.")
+    "Pass allow_nonconformant=True to decode anyway. KNOWN FALSE-"
+    "NEGATIVE WINDOW: the private bit is legal for any encoder to set "
+    "(ISO 11172-3 calls it 'for private use'), so a conformant third-"
+    "party stream that happens to set it on every frame passes this "
+    "guard and decodes divergently — the marker is a strong heuristic, "
+    "not proof of provenance.")
 
 # --- header tables (ISO 11172-3 / 13818-3, public) -------------------------
 
@@ -488,7 +493,8 @@ def _decode_layer1(data: bytes, allow_nonconformant: bool = False):
     sr = None
     per_ch_sub: list = []
     channels = None
-    for pos, hdr in iter_mpeg_frames(data):
+    decoded_cols = 0            # running subband-column count (ADVICE r5:
+    for pos, hdr in iter_mpeg_frames(data):  # re-summing was O(frames^2))
         if hdr.layer != 1 or hdr.version != _V_MPEG1:
             raise ImageError("not an MPEG-1 Layer I stream")
         if not hdr.private and not allow_nonconformant:
@@ -504,8 +510,7 @@ def _decode_layer1(data: bytes, allow_nonconformant: bool = False):
         # samples/ch = 12*frames*_M; mirror the Layer II formula (count
         # subband COLUMNS, not frames) so the cap fires before the next
         # frame's allocation, not 12x late
-        if (sum(s.shape[1] for s in per_ch_sub[0]) + 12) * _M * channels \
-                > MAX_DECODE_SAMPLES:
+        if (decoded_cols + 12) * _M * channels > MAX_DECODE_SAMPLES:
             raise ImageError("Layer I output exceeds sample cap")
         br = _BitReader(data, (pos + 4 + (2 if hdr.crc else 0)) * 8)
         nch = channels
@@ -534,6 +539,7 @@ def _decode_layer1(data: bytes, allow_nonconformant: bool = False):
                     frame[c, sb, m] = _SCALEFACTORS[sf[c][sb]] * frac
         for c in range(nch):
             per_ch_sub[c].append(frame[c])
+        decoded_cols += 12
     if sr is None:
         raise ImageError("no Layer I frames")
     chans = []
@@ -717,6 +723,7 @@ def _decode_layer2(data: bytes, allow_nonconformant: bool = False):
     sr = None
     channels = None
     per_ch_sub: list = []
+    decoded_cols = 0            # running count, not a per-frame re-sum
     for pos, hdr in iter_mpeg_frames(data):
         if hdr.layer != 2 or hdr.version != _V_MPEG1:
             raise ImageError("not an MPEG-1 Layer II stream")
@@ -730,8 +737,7 @@ def _decode_layer2(data: bytes, allow_nonconformant: bool = False):
             per_ch_sub = [[] for _ in range(channels)]
         elif hdr.sample_rate != sr or hdr.channels != channels:
             raise ImageError("mid-stream format change")
-        if (sum(s.shape[1] for s in per_ch_sub[0]) + 36) * _M * channels \
-                > MAX_DECODE_SAMPLES:
+        if (decoded_cols + 36) * _M * channels > MAX_DECODE_SAMPLES:
             raise ImageError("Layer II output exceeds sample cap")
         br = _BitReader(data, (pos + 4 + (2 if hdr.crc else 0)) * 8)
         nch = channels
@@ -786,6 +792,7 @@ def _decode_layer2(data: bytes, allow_nonconformant: bool = False):
                         q.astype(np.float64), sfv, steps)
         for c in range(nch):
             per_ch_sub[c].append(frame[c])
+        decoded_cols += 36
     if sr is None:
         raise ImageError("no Layer II frames")
     chans = []
