@@ -3,11 +3,20 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Headline metric: total seconds over the query set. The flagship number for
-the north-star target (turns-extracted/sec) is reported as
-"turns_per_sec". SNACKTORY_BENCH_REPLICATE=N replicates the transcript
-input N× JVM-side (cheap explode; used by scripts/scaling_bench.py to get a
-CPU-bound workload for the N-vs-4N-core scaling-efficiency evidence).
+Headline metric: total seconds over the query set, reported as the
+MEDIAN over SNACKTORY_BENCH_NREPL in-process replicates (default 3;
+VERDICT r5 #2: this box drifts ±20-25%, and a single-shot record let
+drift write a phantom −29% regression into BENCH_r05 — the median is
+drift-robust, and the per-replicate raw times are persisted in the same
+JSON under "replicate_totals"/"replicate_times"). The flagship
+north-star number (turns-extracted/sec) is "turns_per_sec"
+(median-based); "turns_per_sec_oneshot" is the cold first replicate and
+"turns_per_sec_steady" the median of warmed replicates.
+SNACKTORY_BENCH_REPLICATE=N replicates the transcript input N× JVM-side
+(cheap explode; used by scripts/scaling_bench.py to get a CPU-bound
+workload for the N-vs-4N-core scaling-efficiency evidence; that mode
+defaults to 1 in-process replicate since its long runs replicate
+externally).
 """
 
 from __future__ import annotations
@@ -22,6 +31,9 @@ sys.path.insert(0, "/root/repo")
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("SNACKTORY_BENCH_REPLICATE", "1"))
+N_REPL = int(os.environ.get(
+    "SNACKTORY_BENCH_NREPL",
+    "1" if os.environ.get("SNACKTORY_BENCH_EXTRACT_ONLY") else "3"))
 
 
 def bench_extracted(spark, path: str, factor: int, cpus: int):
@@ -63,7 +75,8 @@ def main():
                           shuffle_partitions=max(CPUS, 8))
     spark.sparkContext.setLogLevel("ERROR")
 
-    timings: dict[str, float] = {}
+    from statistics import median
+
     extras: dict[str, float] = {}
 
     # warm the Python worker pool (first python stage pays worker+import
@@ -77,28 +90,6 @@ def main():
             yield pdf[["conv_id"]]
     tdf.repartition(CPUS * 2).mapInPandas(_noop, "conv_id string").count()
 
-    t0 = time.time()
-    extracted = bench_extracted(spark, f"{sdir}/transcripts.parquet",
-                                REPLICATE, CPUS)
-    n_extracted = extracted.count()
-    dt = time.time() - t0
-    timings["extract_turns"] = round(dt, 3)
-    extras["turns_per_sec"] = round(n_extracted / dt, 1)
-    extras["n_turns"] = n_turns
-    extras["n_extracted"] = n_extracted
-
-    # steady-state: same job again on warmed workers/JIT. Reported alongside
-    # the one-shot number so the headline and the driver's measurement are
-    # the same quantity (VERDICT r1 perf note: one-shot vs steady-state
-    # looked like a 2x discrepancy). Skipped in extract-only (scaling-bench)
-    # mode, whose long replicated runs are already steady-state.
-    if not os.environ.get("SNACKTORY_BENCH_EXTRACT_ONLY"):
-        t0 = time.time()
-        n2 = bench_extracted(spark, f"{sdir}/transcripts.parquet",
-                             REPLICATE, CPUS).count()
-        dt2 = time.time() - t0
-        extras["turns_per_sec_steady"] = round(n2 / dt2, 1)
-
     # relational/window/dedup/ANN headliners from the driver query set
     qs = entrymod.queries()
     rel_queries = ["turn_ordering", "conv_stats", "pricing_summary",
@@ -109,28 +100,62 @@ def main():
                    "doc_repetition"]
     if os.environ.get("SNACKTORY_BENCH_EXTRACT_ONLY"):
         rel_queries = []
-    for name in rel_queries:
-        t0 = time.time()
-        try:
-            # prefer the constituent query fn (r5 registry composites
-            # merged some entries; benching constituents keeps the
-            # series comparable round-over-round)
-            fn = getattr(entrymod, f"q_{name}", None) or qs[name]
-            fn(spark, SF_DIR).count()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as e:  # pragma: no cover
-            timings[name] = -1.0
-            extras[f"{name}_error"] = str(e)[:120]
 
-    total = round(sum(v for v in timings.values() if v > 0), 3)
+    n_extracted = 0
+    rep_timings: list[dict[str, float]] = []
+    for _rep in range(max(1, N_REPL)):
+        timings: dict[str, float] = {}
+        t0 = time.time()
+        n_extracted = bench_extracted(spark, f"{sdir}/transcripts.parquet",
+                                      REPLICATE, CPUS).count()
+        timings["extract_turns"] = round(time.time() - t0, 3)
+        for name in rel_queries:
+            t0 = time.time()
+            try:
+                # prefer the constituent query fn (r5 registry composites
+                # merged some entries; benching constituents keeps the
+                # series comparable round-over-round)
+                fn = getattr(entrymod, f"q_{name}", None) or qs[name]
+                fn(spark, SF_DIR).count()
+                timings[name] = round(time.time() - t0, 3)
+            except Exception as e:  # pragma: no cover
+                timings[name] = -1.0
+                extras[f"{name}_error"] = str(e)[:120]
+        rep_timings.append(timings)
+
+    # median-of-replicates per query (drift-robust record); raw
+    # per-replicate times persisted alongside
+    names = list(rep_timings[0])
+    med = {}
+    for name in names:
+        ok = [t[name] for t in rep_timings if t.get(name, -1) > 0]
+        med[name] = round(median(ok), 3) if ok else -1.0
+    rep_totals = [round(sum(v for v in t.values() if v > 0), 3)
+                  for t in rep_timings]
+    extract_times = [t["extract_turns"] for t in rep_timings
+                     if t["extract_turns"] > 0]
+    extras["n_turns"] = n_turns
+    extras["n_extracted"] = n_extracted
+    if extract_times:
+        extras["turns_per_sec"] = round(
+            n_extracted / median(extract_times), 1)
+        extras["turns_per_sec_oneshot"] = round(
+            n_extracted / extract_times[0], 1)
+        warmed = extract_times[1:] or extract_times
+        extras["turns_per_sec_steady"] = round(
+            n_extracted / median(warmed), 1)
+
     out = {
         "metric": "headline-queries-total",
-        "value": total,
+        "value": round(median(rep_totals), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": med,
         "sf": SF_DIR,
         "cpus": CPUS,
         "replicate": REPLICATE,
+        "n_replicates": len(rep_timings),
+        "replicate_totals": rep_totals,
+        "replicate_times": {n: [t[n] for t in rep_timings] for n in names},
         **extras,
     }
     print(json.dumps(out))
