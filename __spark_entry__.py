@@ -2011,53 +2011,69 @@ def q_mpeg_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan.join(q_mpeg_roundtrip(spark, sf_dir), "doc_id")
 
 
-def q_pq_code(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization codes (the IVF-PQ storage layout every
-    billion-vector ANN store uses: FAISS/SCANN-style — each vector
-    compressed to one byte-ish code per subspace, searched via
-    per-subspace lookup tables): split the 64-dim embedding into 4
-    subspaces of 16 dims; per subspace the codebook is the matching
-    slice of the 4 fixed seed vectors (embeddings 1..4 — deterministic,
-    same seeds as the IVF coarse quantizer); code = argmin L2 (ties to
-    the lowest code), packed base-4 into one int. All JVM-side
-    expressions (slice + zip_with/aggregate unrolled over the 16
-    code distances) — one narrow map, no shuffle, no Python."""
+def _pq_trained(spark: SparkSession, sf_dir: str):
+    """Shared PQ state: TRAIN per-subspace codebooks (k-means per
+    subspace from the 4 fixed seed vectors, 1 Lloyd iteration — VERDICT
+    r5 #3: real IVF-PQ trains its codebooks, the seed slices were only
+    a layout demo), then assign codes in one narrow map. Returns
+    (codes_df with per-subspace code_<j> columns + packed pq_code,
+    books, query vector) — books and query are bounded driver-side."""
     import sys
     sys.path.insert(0, "/root/repo")
     from pyspark.sql import functions as F
+    from snacktory_spark.textops import pq_codes, pq_train
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    seeds = [r["embedding"] for r in
-             emb.filter(F.col("vec_id").isin(1, 2, 3, 4))
-                .orderBy("vec_id").collect()]
-    n_sub, sub_dim = 4, 16
+    rows = {r["vec_id"]: list(r["embedding"]) for r in
+            emb.filter(F.col("vec_id").isin(0, 1, 2, 3, 4)).collect()}
+    seeds = [rows[i] for i in (1, 2, 3, 4)]
+    books = pq_train(emb, seeds, n_sub=4, sub_dim=16, n_iter=1)
+    return pq_codes(emb, books, sub_dim=16), books, rows[0]
 
-    def dist2(sub_idx, code_vec):
-        seg = F.slice(F.col("embedding"), sub_idx * sub_dim + 1, sub_dim)
-        lit = F.array(*[F.lit(float(x)) for x in code_vec])
-        return F.aggregate(F.zip_with(seg, lit, lambda a, b: (a - b) * (a - b)),
-                           F.lit(0.0), lambda acc, x: acc + x)
 
-    packed = F.lit(0)
-    for s in range(n_sub):
-        best_c, best_d = F.lit(0), dist2(s, seeds[0][s * sub_dim:(s + 1) * sub_dim])
-        for c in range(1, 4):
-            d = dist2(s, seeds[c][s * sub_dim:(s + 1) * sub_dim])
-            cond = d < best_d
-            best_c = F.when(cond, F.lit(c)).otherwise(best_c)
-            best_d = F.when(cond, d).otherwise(best_d)
-        packed = packed + best_c * F.lit(4 ** s)
-    return emb.select("vec_id", packed.cast("long").alias("pq_code"))
+def q_pq_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained product-quantization codes (the IVF-PQ storage layout
+    every billion-vector ANN store uses, FAISS/SCANN-style): 64-dim
+    embedding split into 4 subspaces of 16 dims; per subspace a k-means
+    codebook TRAINED from the 4 seed slices (1 Lloyd iteration,
+    fixed-precision means — textops.pq_train); code = argmin L2 (ties
+    to the lowest code), packed base-4. Training is one shuffle for all
+    subspaces; coding is one narrow map — no Python in either."""
+    codes, _books, _q = _pq_trained(spark, sf_dir)
+    return codes.select("vec_id", "pq_code")
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search over the trained PQ codes (the query path a
+    billion-vector store actually exercises): per-query (n_sub x k)
+    squared-distance lookup table built driver-side (bounded), each
+    stored vector scored as a sum of element_at lookups over its codes,
+    global top-10 via TakeOrderedAndProject — one corpus scan, no
+    window, no single-partition exchange."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from snacktory_spark.textops import pq_adc_topk
+    codes, books, qvec = _pq_trained(spark, sf_dir)
+    return pq_adc_topk(codes, books, qvec, k_top=10)
 
 
 def q_ann_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite: IVF coarse-quantization cell + random-hyperplane LSH
-    bucket + product-quantization code per vector — the three
-    partitioning/compression schemes the ANN scale paths (ivf_topk,
-    embedding_neardup, int8_knn) are built on; together they form the
-    IVF-PQ layout a billion-vector store ships."""
+    bucket + TRAINED product-quantization code per vector, plus the
+    ADC-search result (adc_dist2 set on the top-10 vectors for the
+    fixed query, null elsewhere — left join of the bounded top-k) —
+    the partitioning/compression/search schemes the ANN scale paths
+    (ivf_topk, embedding_neardup, int8_knn) are built on; together
+    they form the IVF-PQ layout + query path a billion-vector store
+    ships."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from snacktory_spark.textops import pq_adc_topk
+    codes, books, qvec = _pq_trained(spark, sf_dir)
+    adc = pq_adc_topk(codes, books, qvec, k_top=10)
     return (q_ivf_assign(spark, sf_dir)
             .join(q_embedding_lsh_buckets(spark, sf_dir), "vec_id")
-            .join(q_pq_code(spark, sf_dir), "vec_id"))
+            .join(codes.select("vec_id", "pq_code"), "vec_id")
+            .join(adc, "vec_id", "left"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2853,29 +2869,60 @@ def oracle_sql() -> dict[str, str]:
                                      THEN 1 << b ELSE 0 END)::INT AS lsh_bucket
                      FROM embeddings e, planes p
                      GROUP BY e.vec_id),
-                 pqd AS (
-                     SELECT e.vec_id, s.s, cb.vec_id - 1 AS code,
-                            list_distance(
-                                list_slice(e.embedding, s.s * 16 + 1,
-                                           s.s * 16 + 16),
-                                list_slice(cb.embedding, s.s * 16 + 1,
-                                           s.s * 16 + 16)) AS d
-                     FROM embeddings e, range(4) s(s),
-                          (SELECT vec_id, embedding FROM embeddings
-                           WHERE vec_id BETWEEN 1 AND 4) cb),
-                 pqc AS (
-                     SELECT vec_id, s, code FROM (
-                         SELECT vec_id, s, code,
+                 seg AS (
+                     SELECT e.vec_id, s.s AS sub,
+                            list_slice(e.embedding, s.s * 16 + 1,
+                                       s.s * 16 + 16) AS seg
+                     FROM embeddings e, range(4) s(s)),
+                 b0 AS (SELECT sub, vec_id - 1 AS code, seg AS ce
+                        FROM seg WHERE vec_id BETWEEN 1 AND 4),
+                 pa1 AS (
+                     SELECT vec_id, sub, seg, code FROM (
+                         SELECT g.vec_id, g.sub, g.seg, b.code,
                                 row_number() OVER (
-                                    PARTITION BY vec_id, s
-                                    ORDER BY d ASC, code ASC) AS rn
-                         FROM pqd) WHERE rn = 1),
+                                    PARTITION BY g.vec_id, g.sub
+                                    ORDER BY list_distance(g.seg, b.ce) ASC,
+                                             b.code ASC) AS rn
+                         FROM seg g JOIN b0 b USING (sub)) WHERE rn = 1),
+                 pm1 AS (SELECT sub, code, p, round(avg(seg[p + 1]), 6) AS m
+                         FROM pa1, range(16) t(p) GROUP BY sub, code, p),
+                 b1m AS (SELECT sub, code, list(m ORDER BY p) AS ce
+                         FROM pm1 GROUP BY sub, code),
+                 b1 AS (SELECT b0.sub, b0.code,
+                               coalesce(b1m.ce, b0.ce) AS ce
+                        FROM b0 LEFT JOIN b1m
+                            ON b0.sub = b1m.sub AND b0.code = b1m.code),
+                 pqc AS (
+                     SELECT vec_id, sub, code FROM (
+                         SELECT g.vec_id, g.sub, b.code,
+                                row_number() OVER (
+                                    PARTITION BY g.vec_id, g.sub
+                                    ORDER BY list_distance(g.seg, b.ce) ASC,
+                                             b.code ASC) AS rn
+                         FROM seg g JOIN b1 b USING (sub)) WHERE rn = 1),
                  pq AS (
                      SELECT vec_id,
-                            sum(code * (1 << (2 * s)))::BIGINT AS pq_code
-                     FROM pqc GROUP BY vec_id)
-            SELECT iv.vec_id, iv.cell, iv.dist, lb.lsh_bucket, pq.pq_code
+                            sum(code * (1 << (2 * sub)))::BIGINT AS pq_code
+                     FROM pqc GROUP BY vec_id),
+                 qseg AS (SELECT sub, seg FROM seg WHERE vec_id = 0),
+                 lut AS (
+                     SELECT b1.sub, b1.code,
+                            round(sum(pow(q.seg[p + 1]::DOUBLE
+                                          - b1.ce[p + 1]::DOUBLE, 2)),
+                                  6) AS d2
+                     FROM b1 JOIN qseg q USING (sub), range(16) t(p)
+                     GROUP BY b1.sub, b1.code),
+                 adc AS (
+                     SELECT c.vec_id, round(sum(l.d2), 6) AS adc_dist2
+                     FROM pqc c JOIN lut l
+                         ON c.sub = l.sub AND c.code = l.code
+                     GROUP BY c.vec_id),
+                 adck AS (SELECT vec_id, adc_dist2 FROM adc
+                          ORDER BY adc_dist2 ASC, vec_id ASC LIMIT 10)
+            SELECT iv.vec_id, iv.cell, iv.dist, lb.lsh_bucket,
+                   pq.pq_code, adck.adc_dist2
             FROM iv JOIN lb USING (vec_id) JOIN pq USING (vec_id)
+            LEFT JOIN adck USING (vec_id)
         """,
         "conv_flatten": f"""
             WITH flat AS (

@@ -464,3 +464,118 @@ def kmeans_fit(emb: DataFrame, init_centroids: list[list[float]],
         cents = [got.get(i, cents[i]) for i in range(len(cents))]
     assigned = kmeans_assign(emb, cents, id_col, emb_col)
     return assigned.select(id_col, "cell"), cents
+
+
+# --- product quantization (trained codebooks + ADC search) ------------------
+#
+# The IVF-PQ layout every billion-vector ANN store ships (FAISS/SCANN
+# style, public: Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011): split the vector into n_sub subspaces,
+# k-means a small codebook PER subspace, store one code per subspace,
+# and search by Asymmetric Distance Computation — per query, precompute
+# a (n_sub x k) lookup table of subspace distances and score each
+# stored vector as a sum of table lookups over its codes. At 100 TB the
+# codebooks and LUT are bounded driver-side literals; coding and search
+# are single narrow scans (no shuffle, no Python).
+
+
+def _pq_dist2(seg_col, cvec: list[float]):
+    arr = F.array(*[F.lit(float(x)) for x in cvec])
+    return F.aggregate(F.zip_with(seg_col, arr,
+                                  lambda a, b: (a - b) * (a - b)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _pq_argmin(seg_col, book: list[list[float]]):
+    """Nearest codebook entry for one subspace segment (ties to the
+    lowest code — same convention as kmeans_assign)."""
+    best_i, best_d = F.lit(0), _pq_dist2(seg_col, book[0])
+    for i, c in enumerate(book[1:], start=1):
+        d = _pq_dist2(seg_col, c)
+        cond = d < best_d
+        best_i = F.when(cond, F.lit(i)).otherwise(best_i)
+        best_d = F.when(cond, d).otherwise(best_d)
+    return best_i
+
+
+def pq_train(emb: DataFrame, seeds: list[list[float]], n_sub: int = 4,
+             sub_dim: int = 16, n_iter: int = 1,
+             emb_col: str = "embedding") -> list[list[list[float]]]:
+    """Train per-subspace PQ codebooks: Lloyd's k-means in EACH subspace,
+    run for ALL subspaces together in one shuffle per iteration
+    (posexplode of the sliced segments -> per-(sub, code, dim) means).
+    Seeds are sliced from the given seed vectors; means are rounded to 6
+    decimals (fixed-precision centroids keep assignments deterministic
+    across engines — same convention as kmeans_update); empty cells keep
+    their previous entry. Returns books[n_sub][k][sub_dim] — a bounded
+    driver-side object (n_sub*k*sub_dim floats), never a shuffled table.
+    """
+    k = len(seeds)
+    books = [[list(map(float, s[j * sub_dim:(j + 1) * sub_dim]))
+              for s in seeds] for j in range(n_sub)]
+    for _ in range(n_iter):
+        seg = emb.select(F.posexplode(F.array(
+            *[F.slice(F.col(emb_col), j * sub_dim + 1, sub_dim)
+              for j in range(n_sub)])).alias("sub", "seg"))
+        code = F.lit(-1)
+        for j in range(n_sub):
+            code = F.when(F.col("sub") == j,
+                          _pq_argmin(F.col("seg"), books[j])) \
+                    .otherwise(code)
+        assigned = seg.select("sub", "seg", code.alias("code"))
+        means = (assigned
+                 .select("sub", "code",
+                         F.posexplode("seg").alias("pos", "val"))
+                 .groupBy("sub", "code", "pos")
+                 .agg(F.round(F.avg("val"), 6).alias("m"))
+                 .groupBy("sub", "code")
+                 .agg(F.array_sort(
+                     F.collect_list(F.struct("pos", "m"))).alias("pm"))
+                 .select("sub", "code",
+                         F.transform("pm", lambda x: x["m"])
+                          .alias("centroid")))
+        got = {(r["sub"], r["code"]): list(r["centroid"])
+               for r in means.collect()}
+        books = [[got.get((j, c), books[j][c]) for c in range(k)]
+                 for j in range(n_sub)]
+    return books
+
+
+def pq_codes(emb: DataFrame, books: list[list[list[float]]],
+             sub_dim: int = 16, id_col: str = "vec_id",
+             emb_col: str = "embedding") -> DataFrame:
+    """Assign trained PQ codes: per subspace the argmin codebook entry
+    (code_<j> columns) plus the base-k packed composite code (pq_code).
+    One narrow map over the corpus — no shuffle, no Python."""
+    k = len(books[0])
+    cols, packed = [], F.lit(0)
+    for j, book in enumerate(books):
+        seg = F.slice(F.col(emb_col), j * sub_dim + 1, sub_dim)
+        code = _pq_argmin(seg, book)
+        cols.append(code.alias(f"code_{j}"))
+        packed = packed + code * F.lit(k ** j)
+    return emb.select(F.col(id_col), *cols,
+                      packed.cast("long").alias("pq_code"))
+
+
+def pq_adc_topk(codes: DataFrame, books: list[list[list[float]]],
+                qvec: list[float], k_top: int = 10, sub_dim: int = 16,
+                id_col: str = "vec_id") -> DataFrame:
+    """ADC search: precompute the (n_sub x k) lookup table of squared
+    subspace distances from the query DRIVER-SIDE (bounded — this is
+    the whole point of PQ), then score every stored vector as a sum of
+    element_at lookups over its code_<j> columns and take the global
+    top-k (TakeOrderedAndProject — no window, no single-partition
+    exchange). LUT entries and the final score are rounded to 6
+    decimals (cross-engine determinism)."""
+    lut = [[round(sum((float(qvec[j * sub_dim + p]) - book[c][p]) ** 2
+                      for p in range(sub_dim)), 6)
+            for c in range(len(book))]
+           for j, book in enumerate(books)]
+    adc = F.lit(0.0)
+    for j, row in enumerate(lut):
+        adc = adc + F.element_at(F.array(*[F.lit(v) for v in row]),
+                                 F.col(f"code_{j}") + 1)
+    return (codes.select(F.col(id_col),
+                         F.round(adc, 6).alias("adc_dist2"))
+            .orderBy("adc_dist2", id_col).limit(k_top))

@@ -462,6 +462,67 @@ def test_kmeans_fit_separates_planted_clusters(spark):
     assert abs(cents[0][0] - 1.0) < 0.1 and abs(cents[1][0] + 1.0) < 0.1
 
 
+def test_pq_train_codes_and_adc(spark):
+    """Trained product quantization end to end on planted structure:
+    codebooks trained per subspace move to the planted segment means,
+    codes quantize every vector to its planted pattern, and ADC top-k
+    equals the exact reconstruction-distance ranking (brute-force over
+    the quantized vectors, computed in numpy)."""
+    import random
+
+    import numpy as np
+
+    from snacktory_spark.textops import pq_adc_topk, pq_codes, pq_train
+
+    # 2 subspaces x 4 dims; vectors alternate (+1|-1) patterns PER
+    # subspace independently, so each subspace has 2 planted clusters
+    rng = random.Random(11)
+    rows = []
+    for i in range(40):
+        v = []
+        for j in range(2):
+            base = 1.0 if (i >> j) % 2 == 0 else -1.0
+            v += [base + rng.uniform(-0.05, 0.05) for _ in range(4)]
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # 4 seeds (k=4): two off-center usable entries per side, two junk
+    seeds = [[0.3] * 8, [-0.2] * 8, [5.0] * 8, [-5.0] * 8]
+
+    books = pq_train(emb, seeds, n_sub=2, sub_dim=4, n_iter=1)
+    assert len(books) == 2 and all(len(b) == 4 for b in books)
+    # trained entries 0/1 moved onto the planted +-1 segment means;
+    # empty cells (2/3) kept their seed entries
+    for j in range(2):
+        assert abs(books[j][0][0] - 1.0) < 0.1
+        assert abs(books[j][1][0] + 1.0) < 0.1
+        assert books[j][2] == [5.0] * 4 and books[j][3] == [-5.0] * 4
+
+    codes = pq_codes(emb, books, sub_dim=4)
+    got = {r["vec_id"]: (r["code_0"], r["code_1"], r["pq_code"])
+           for r in codes.collect()}
+    for i in range(40):
+        want = (i % 2, (i >> 1) % 2)
+        assert got[i][:2] == want, i
+        assert got[i][2] == want[0] + 4 * want[1]
+
+    # ADC vs exact: distance to each vector's QUANTIZED form, with the
+    # same per-subspace round-6-then-sum convention as the LUT
+    qvec = rows[0][1]
+    top = pq_adc_topk(codes, books, qvec, k_top=10, sub_dim=4).collect()
+
+    def exact_adc(i):
+        d = 0.0
+        for j in range(2):
+            seg = np.array(qvec[j * 4:(j + 1) * 4])
+            d += round(float(np.sum((seg - np.array(
+                books[j][got[i][j]])) ** 2)), 6)
+        return round(d, 6)
+
+    exact = sorted((exact_adc(i), i) for i in range(40))[:10]
+    assert [(r["vec_id"], r["adc_dist2"]) for r in top] == \
+        [(i, d) for d, i in exact]
+
+
 def test_minhash_production_params_recall(spark):
     """Production-parameter LSH (128 hashes / 32 bands, r=4) must recover
     essentially all true near-dup pairs at j>=0.7 on a seeded corpus —
