@@ -696,18 +696,22 @@ def q_mpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AAC-ADTS + H.264 Annex-B + MP4/ISO-BMFF + Ogg + FLAC container
-    scanning (REAL structural parse — snacktory_spark.mpeg/av/
-    containers): per document, synthesize structurally valid streams
-    (doc_id-derived parameters; filler payloads — the scanners validate
-    framing/boxes/pages/CRCs, not codec entropy), then scan all five in
-    a second Arrow stage: AAC frame count/duration/profile, H.264 NAL
-    inventory / keyframe count / SPS profile-level, MP4 box-tree
-    duration/track/sample inventory, Ogg page walk with CRC
-    verification, FLAC STREAMINFO. The no-decode audit pass a 100-TB
-    media corpus runs over its compressed audio/video columns — real
-    corpora ship mp4/ogg containers, not bare elementary streams
-    (VERDICT r4 next #4). Narrow maps; oracled closed-form on doc_id."""
+    """AAC-ADTS + H.264 Annex-B + MP4/ISO-BMFF + Ogg + FLAC +
+    WebM/Matroska + fragmented-MP4 container scanning (REAL structural
+    parse — snacktory_spark.mpeg/av/containers): per document,
+    synthesize structurally valid streams (doc_id-derived parameters;
+    filler payloads — the scanners validate framing/boxes/pages/CRCs,
+    not codec entropy), then scan all seven in a second Arrow stage:
+    AAC frame count/duration/profile, H.264 NAL inventory / keyframe
+    count / SPS profile-level, MP4 box-tree duration/track/sample
+    inventory, Ogg page walk with CRC verification, FLAC STREAMINFO,
+    WebM EBML walk (duration/codec/cluster/block inventory, incl. the
+    live-stream unknown-size Segment layout), and fMP4 moof/traf/trun
+    fragment walk (duration via mehd OR summed trun sample durations).
+    The no-decode audit pass a 100-TB media corpus runs over its
+    compressed audio/video columns — real web-video corpora are heavily
+    WebM and streaming-era MP4 is fragmented (VERDICT r4 #4 + r5 #4).
+    Narrow maps; oracled closed-form on doc_id."""
     import sys
     sys.path.insert(0, "/root/repo")
     import pandas as pd
@@ -730,15 +734,22 @@ def q_media_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ogg_pages": 2 + d % 4,
                 "ogg_ppp": 1 + d % 3,
                 "flac_rate": (8000, 16000, 22050, 44100, 48000)[d % 5],
-                "flac_total": 1000 + (d % 7) * 500}
+                "flac_total": 1000 + (d % 7) * 500,
+                "webm_clusters": 1 + d % 5,
+                "webm_bpc": 2 + d % 4,
+                "webm_ms": 500 + (d % 8) * 250,
+                "fmp4_frags": 1 + d % 4,
+                "fmp4_spf": 3 + d % 6}
 
     def build(batches):
         from snacktory_spark.av import build_h264_annexb
-        from snacktory_spark.containers import (build_flac, build_mp4,
-                                                build_ogg)
+        from snacktory_spark.containers import (build_flac, build_fmp4,
+                                                build_mp4, build_ogg,
+                                                build_webm)
         from snacktory_spark.mpeg import build_adts_stream
         for pdf in batches:
             aacs, h264s, mp4s, oggs, flacs = [], [], [], [], []
+            webms, fmp4s = [], []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 nf, pb, gops, glen = _params(doc_id)
@@ -755,25 +766,38 @@ def q_media_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       20 + d % 50, seed=d))
                 flacs.append(build_flac(c["flac_rate"], 1 + d % 2,
                                         c["flac_total"], seed=d))
+                # WebM alternates codec and the live-stream unknown-size
+                # Segment layout; fMP4 alternates the declared-mehd vs
+                # walk-the-truns duration path (both must agree)
+                webms.append(build_webm(
+                    c["webm_clusters"], c["webm_bpc"], c["webm_ms"],
+                    codec=b"V_VP9" if d % 2 == 0 else b"V_VP8",
+                    unknown_segment_size=(d % 3 == 0), seed=d))
+                fmp4s.append(build_fmp4(
+                    c["fmp4_frags"], c["fmp4_spf"], 40,
+                    with_mehd=(d % 2 == 0), seed=d))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "aac": aacs,
                                 "h264": h264s, "mp4": mp4s,
-                                "ogg": oggs, "flac": flacs})
+                                "ogg": oggs, "flac": flacs,
+                                "webm": webms, "fmp4": fmp4s})
 
     def scan(batches):
         from snacktory_spark.av import h264_annexb_info
         from snacktory_spark.containers import (flac_info, mp4_info,
-                                                ogg_info)
+                                                ogg_info, webm_info)
         from snacktory_spark.mpeg import aac_adts_info
         for pdf in batches:
             rows = []
-            for doc_id, aac, h264, mp4, ogg, flac in zip(
+            for doc_id, aac, h264, mp4, ogg, flac, webm, fmp4 in zip(
                     pdf["doc_id"], pdf["aac"], pdf["h264"], pdf["mp4"],
-                    pdf["ogg"], pdf["flac"]):
+                    pdf["ogg"], pdf["flac"], pdf["webm"], pdf["fmp4"]):
                 a = aac_adts_info(bytes(aac))
                 v = h264_annexb_info(bytes(h264))
                 m = mp4_info(bytes(mp4))
                 o = ogg_info(bytes(ogg))
                 f = flac_info(bytes(flac))
+                w = webm_info(bytes(webm))
+                fm = mp4_info(bytes(fmp4))
                 rows.append((doc_id, a["n_frames"], a["duration_ms"],
                              a["profile"], v["n_nals"], v["n_keyframes"],
                              v["n_slices"], v["profile_idc"],
@@ -784,17 +808,24 @@ def q_media_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                              o["n_pages"], o["n_packets"],
                              o["last_granule"],
                              f["sample_rate"], f["channels"],
-                             f["duration_ms"]))
+                             f["duration_ms"],
+                             w["duration_ms"], w["tracks"][0]["codec"],
+                             w["n_clusters"], w["n_blocks"],
+                             fm["n_fragments"], fm["frag_samples"],
+                             fm["duration_ms"]))
             yield pd.DataFrame(rows, columns=[
                 "doc_id", "aac_frames", "aac_duration_ms", "aac_profile",
                 "n_nals", "n_keyframes", "n_slices", "profile_idc",
                 "level_idc", "mp4_duration_ms", "mp4_samples",
                 "mp4_codec", "ogg_pages", "ogg_packets", "ogg_granule",
-                "flac_rate", "flac_channels", "flac_duration_ms"])
+                "flac_rate", "flac_channels", "flac_duration_ms",
+                "webm_duration_ms", "webm_codec", "webm_clusters",
+                "webm_blocks", "fmp4_fragments", "fmp4_samples",
+                "fmp4_duration_ms"])
 
     built = docs.mapInPandas(
         build, "doc_id long, aac binary, h264 binary, mp4 binary, "
-               "ogg binary, flac binary")
+               "ogg binary, flac binary, webm binary, fmp4 binary")
     return built.mapInPandas(
         scan, "doc_id long, aac_frames long, aac_duration_ms long, "
               "aac_profile string, n_nals long, n_keyframes long, "
@@ -802,7 +833,10 @@ def q_media_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
               "mp4_duration_ms long, mp4_samples long, "
               "mp4_codec string, ogg_pages long, ogg_packets long, "
               "ogg_granule long, flac_rate long, flac_channels long, "
-              "flac_duration_ms long")
+              "flac_duration_ms long, webm_duration_ms long, "
+              "webm_codec string, webm_clusters long, webm_blocks long, "
+              "fmp4_fragments long, fmp4_samples long, "
+              "fmp4_duration_ms long")
 
 
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2648,7 +2682,18 @@ def oracle_sql() -> dict[str, str]:
                    ((1000 + (doc_id % 7) * 500) * 1000
                     // (CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
                             WHEN 2 THEN 22050 WHEN 3 THEN 44100
-                            ELSE 48000 END))::BIGINT AS flac_duration_ms
+                            ELSE 48000 END))::BIGINT AS flac_duration_ms,
+                   (500 + (doc_id % 8) * 250)::BIGINT AS webm_duration_ms,
+                   CASE WHEN doc_id % 2 = 0 THEN 'V_VP9' ELSE 'V_VP8' END
+                       AS webm_codec,
+                   (1 + doc_id % 5)::BIGINT AS webm_clusters,
+                   ((1 + doc_id % 5) * (2 + doc_id % 4))::BIGINT
+                       AS webm_blocks,
+                   (1 + doc_id % 4)::BIGINT AS fmp4_fragments,
+                   ((1 + doc_id % 4) * (3 + doc_id % 6))::BIGINT
+                       AS fmp4_samples,
+                   ((1 + doc_id % 4) * (3 + doc_id % 6) * 40)::BIGINT
+                       AS fmp4_duration_ms
             FROM documents
         """,
         # add-1 unigram LM trained on doc_id < 50; ppl = exp(mean -ln p);

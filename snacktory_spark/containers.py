@@ -42,7 +42,8 @@ MAX_META_BLOCKS = 1 << 10    # FLAC metadata blocks
 # MP4 / ISO-BMFF (ISO 14496-12 box structure)
 # ---------------------------------------------------------------------------
 
-_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl",
+                   b"mvex", b"moof", b"traf"}
 
 
 def _iter_boxes(data: bytes, start: int, end: int, depth: int,
@@ -77,9 +78,13 @@ def _iter_boxes(data: bytes, start: int, end: int, depth: int,
 
 
 def mp4_info(data: bytes) -> dict:
-    """Structural MP4 inventory: brand, movie duration (mvhd), per-track
-    handler type + sample count (stsz) + codec fourcc (stsd), mdat
-    payload bytes. No sample decode."""
+    """Structural MP4 inventory: brand, movie duration (mvhd; for
+    FRAGMENTED files with mvhd duration 0, mehd fragment_duration or
+    the sum of per-fragment trun/tfhd/trex sample durations — the
+    streaming-era moof layout has no top-level duration without walking
+    the fragments), per-track handler type + sample count (stsz) +
+    codec fourcc (stsd), fragment count + fragment-run sample totals,
+    mdat payload bytes. No sample decode."""
     try:
         if len(data) < 12 or data[4:8] != b"ftyp":
             raise ImageError("not an MP4 (no ftyp)")
@@ -89,6 +94,13 @@ def mp4_info(data: bytes) -> dict:
         tracks: list[dict] = []
         cur: dict | None = None
         mdat_bytes = 0
+        timescale = None
+        mehd_dur = None
+        trex_default_dur = 0
+        tfhd_default_dur = 0          # per-traf, reset at each tfhd
+        n_fragments = 0
+        frag_samples = 0
+        frag_dur_units = 0
         def need(b, e, n, box):
             # ADVICE r5: fixed-offset field reads must fit the BOX BODY,
             # not merely the buffer — a short body would silently parse
@@ -109,6 +121,7 @@ def mp4_info(data: bytes) -> dict:
                     ts, dur = struct.unpack(">II", data[b + 12:b + 20])
                 if ts == 0:
                     raise ImageError("mvhd timescale 0")
+                timescale = ts
                 duration_ms = dur * 1000 // ts
             elif fourcc == b"trak":
                 cur = {"handler": "", "codec": "", "n_samples": 0}
@@ -126,12 +139,76 @@ def mp4_info(data: bytes) -> dict:
                 need(b, e, 12, "stsz")
                 cur["n_samples"] = struct.unpack(
                     ">I", data[b + 8:b + 12])[0]
+            elif fourcc == b"mehd":
+                # movie extends header: total duration of the
+                # fragmented movie (v1: u64, v0: u32 after ver/flags)
+                need(b, e, 1, "mehd")
+                if data[b] == 1:
+                    need(b, e, 12, "mehd v1")
+                    mehd_dur = struct.unpack(">Q", data[b + 4:b + 12])[0]
+                else:
+                    need(b, e, 8, "mehd v0")
+                    mehd_dur = struct.unpack(">I", data[b + 4:b + 8])[0]
+            elif fourcc == b"trex":
+                # ver/flags, track_ID, default_sample_description_index,
+                # default_sample_duration, default_sample_size, flags
+                need(b, e, 24, "trex")
+                trex_default_dur = struct.unpack(
+                    ">I", data[b + 12:b + 16])[0]
+            elif fourcc == b"moof":
+                n_fragments += 1
+            elif fourcc == b"tfhd":
+                need(b, e, 8, "tfhd")
+                flags = int.from_bytes(data[b + 1:b + 4], "big")
+                off = b + 8
+                if flags & 0x1:          # base_data_offset
+                    off += 8
+                if flags & 0x2:          # sample_description_index
+                    off += 4
+                if flags & 0x8:          # default_sample_duration
+                    need(b, e, off - b + 4, "tfhd default duration")
+                    tfhd_default_dur = struct.unpack(
+                        ">I", data[off:off + 4])[0]
+                else:
+                    tfhd_default_dur = 0
+            elif fourcc == b"trun":
+                need(b, e, 8, "trun")
+                flags = int.from_bytes(data[b + 1:b + 4], "big")
+                n = struct.unpack(">I", data[b + 4:b + 8])[0]
+                frag_samples += n
+                off = b + 8
+                if flags & 0x1:          # data_offset
+                    off += 4
+                if flags & 0x4:          # first_sample_flags
+                    off += 4
+                per = ((4 if flags & 0x100 else 0)
+                       + (4 if flags & 0x200 else 0)
+                       + (4 if flags & 0x400 else 0)
+                       + (4 if flags & 0x800 else 0))
+                if per and n > (e - off) // per:
+                    raise ImageError("trun sample table out of range")
+                if flags & 0x100:        # per-sample durations present
+                    for i in range(n):
+                        frag_dur_units += struct.unpack(
+                            ">I", data[off + i * per:
+                                       off + i * per + 4])[0]
+                else:
+                    frag_dur_units += n * (tfhd_default_dur
+                                           or trex_default_dur)
             elif fourcc == b"mdat":
                 mdat_bytes += e - b
         if duration_ms is None:
             raise ImageError("MP4 without mvhd")
+        if duration_ms == 0 and n_fragments:
+            # fragmented movie: mvhd carries 0; prefer the declared
+            # mehd total, else the walked per-fragment sample durations
+            dur_units = mehd_dur if mehd_dur is not None else \
+                frag_dur_units
+            duration_ms = dur_units * 1000 // timescale
         return {"brand": brand, "duration_ms": duration_ms,
                 "n_tracks": len(tracks), "tracks": tracks,
+                "n_fragments": n_fragments,
+                "frag_samples": frag_samples,
                 "mdat_bytes": mdat_bytes}
     except ImageError:
         raise
@@ -190,6 +267,64 @@ def build_mp4(n_samples: int, sample_size: int, duration_ms: int,
     trak = _box(b"tkhd", tkhd) + _box(b"mdia", mdia)
     moov = _box(b"moov", _box(b"mvhd", mvhd) + _box(b"trak", trak))
     return ftyp + moov + _box(b"mdat", payload)
+
+
+def build_fmp4(n_fragments: int, samples_per_frag: int,
+               sample_dur: int, timescale: int = 1000,
+               handler: bytes = b"vide", codec: bytes = b"avc1",
+               with_mehd: bool = False, seed: int = 0) -> bytes:
+    """Structurally valid FRAGMENTED MP4 (streaming-era layout): ftyp +
+    moov(mvhd with duration 0, trak with an EMPTY stbl, mvex(trex [+
+    mehd])) + per fragment moof(mfhd, traf(tfhd, trun with per-sample
+    durations)) + mdat filler. With with_mehd the movie duration is
+    declared up front; without it a scanner must walk the trun sample
+    durations — both public layouts (ISO 14496-12 §8.8)."""
+    mvhd = (b"\x00\x00\x00\x00" + b"\x00" * 8
+            + struct.pack(">II", timescale, 0) + b"\x00" * 80)
+    tkhd = b"\x00\x00\x00\x07" + b"\x00" * 80
+    mdhd = (b"\x00\x00\x00\x00" + b"\x00" * 8
+            + struct.pack(">II", timescale, 0) + b"\x00" * 4)
+    hdlr = b"\x00\x00\x00\x00" + b"\x00" * 4 + handler + b"\x00" * 13
+    stsd = (b"\x00\x00\x00\x00" + struct.pack(">I", 1)
+            + _box(codec, b"\x00" * 16))
+    empty = b"\x00\x00\x00\x00" + struct.pack(">I", 0)
+    stbl = (_box(b"stsd", stsd) + _box(b"stts", empty)
+            + _box(b"stsc", empty)
+            + _box(b"stsz", b"\x00\x00\x00\x00"
+                   + struct.pack(">II", 0, 0))
+            + _box(b"stco", empty))
+    minf = _box(b"stbl", stbl)
+    mdia = _box(b"mdhd", mdhd) + _box(b"hdlr", hdlr) \
+        + _box(b"minf", minf)
+    trak = _box(b"tkhd", tkhd) + _box(b"mdia", mdia)
+    trex = (b"\x00\x00\x00\x00" + struct.pack(">I", 1)   # track_ID
+            + struct.pack(">I", 1)                       # default sdi
+            + struct.pack(">I", 0)                       # default dur
+            + struct.pack(">II", 0, 0))
+    mvex = _box(b"trex", trex)
+    total_units = n_fragments * samples_per_frag * sample_dur
+    if with_mehd:
+        mvex = _box(b"mehd", b"\x00\x00\x00\x00"
+                    + struct.pack(">I", total_units)) + mvex
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + _box(b"trak", trak)
+                + _box(b"mvex", mvex))
+    out = bytearray(_box(b"ftyp", b"iso5\x00\x00\x02\x00iso5dash")
+                    + moov)
+    sample_size = 16
+    for fi in range(n_fragments):
+        mfhd = b"\x00\x00\x00\x00" + struct.pack(">I", fi + 1)
+        tfhd = (b"\x00\x00\x00\x00" + struct.pack(">I", 1))
+        # trun flags: 0x100 per-sample durations + 0x200 sizes
+        trun = (b"\x00" + (0x300).to_bytes(3, "big")
+                + struct.pack(">I", samples_per_frag)
+                + b"".join(struct.pack(">II", sample_dur, sample_size)
+                           for _ in range(samples_per_frag)))
+        traf = _box(b"tfhd", tfhd) + _box(b"trun", trun)
+        out += _box(b"moof", _box(b"mfhd", mfhd) + _box(b"traf", traf))
+        payload = bytes(((seed + fi + i) * 131) % 251
+                        for i in range(samples_per_frag * sample_size))
+        out += _box(b"mdat", payload)
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------
@@ -380,3 +515,227 @@ def build_flac(sample_rate: int, channels: int, total_samples: int,
             + bytes([0x80 | 0x04]) + len(comment).to_bytes(3, "big")
             + comment
             + frames)
+
+
+# ---------------------------------------------------------------------------
+# WebM / Matroska (EBML element structure — RFC 8794 framing, Matroska
+# element IDs; web video corpora are heavily WebM, VERDICT r5 #4)
+# ---------------------------------------------------------------------------
+
+MAX_EBML_ELEMENTS = 1 << 16
+
+_EBML_HEADER = 0x1A45DFA3
+_EBML_DOCTYPE = 0x4282
+_MKV_SEGMENT = 0x18538067
+_MKV_INFO = 0x1549A966
+_MKV_TS_SCALE = 0x2AD7B1
+_MKV_DURATION = 0x4489
+_MKV_TRACKS = 0x1654AE6B
+_MKV_TRACK_ENTRY = 0xAE
+_MKV_TRACK_TYPE = 0x83
+_MKV_CODEC_ID = 0x86
+_MKV_CLUSTER = 0x1F43B675
+_MKV_SIMPLE_BLOCK = 0xA3
+_MKV_BLOCK_GROUP = 0xA0
+# containers we descend into (everything else is skipped wholesale)
+_EBML_CONTAINERS = {_EBML_HEADER, _MKV_SEGMENT, _MKV_INFO, _MKV_TRACKS,
+                    _MKV_TRACK_ENTRY, _MKV_CLUSTER}
+
+
+def _ebml_read_id(data: bytes, pos: int, end: int) -> tuple[int, int]:
+    """EBML element ID: 1-4 bytes, length from the leading-1 position,
+    marker bits KEPT (IDs are compared with the marker, per spec)."""
+    if pos >= end:
+        raise ImageError("truncated EBML id")
+    first = data[pos]
+    if first == 0:
+        raise ImageError("invalid EBML id lead byte")
+    n = 1
+    mask = 0x80
+    while not (first & mask):
+        mask >>= 1
+        n += 1
+        if n > 4:
+            raise ImageError("EBML id longer than 4 bytes")
+    if pos + n > end:
+        raise ImageError("truncated EBML id")
+    return int.from_bytes(data[pos:pos + n], "big"), pos + n
+
+
+def _ebml_read_size(data: bytes, pos: int, end: int
+                    ) -> tuple[int | None, int]:
+    """EBML data size: 1-8 bytes, marker bit STRIPPED; the all-ones
+    pattern means 'unknown size' (None — extends to the parent's
+    end, legal for Segment/Cluster in live streams)."""
+    if pos >= end:
+        raise ImageError("truncated EBML size")
+    first = data[pos]
+    if first == 0:
+        raise ImageError("invalid EBML size lead byte")
+    n = 1
+    mask = 0x80
+    while not (first & mask):
+        mask >>= 1
+        n += 1
+        if n > 8:
+            raise ImageError("EBML size longer than 8 bytes")
+    if pos + n > end:
+        raise ImageError("truncated EBML size")
+    raw = int.from_bytes(data[pos:pos + n], "big")
+    val = raw & ~(mask << (8 * (n - 1)))
+    if val == (1 << (7 * n)) - 1:
+        return None, pos + n
+    return val, pos + n
+
+
+def _ebml_uint(body: bytes) -> int:
+    if not 1 <= len(body) <= 8:
+        raise ImageError("EBML uint length out of range")
+    return int.from_bytes(body, "big")
+
+
+def _ebml_float(body: bytes) -> float:
+    if len(body) == 4:
+        return struct.unpack(">f", body)[0]
+    if len(body) == 8:
+        return struct.unpack(">d", body)[0]
+    raise ImageError("EBML float must be 4 or 8 bytes")
+
+
+def _iter_ebml(data: bytes, start: int, end: int, depth: int,
+               count: list):
+    """Yield (element_id, body_start, body_end, depth) walking the EBML
+    tree; descends only into the known container IDs. Unknown-size
+    elements run to the enclosing range's end (and are descended, so
+    their children still bound them in practice)."""
+    pos = start
+    while pos < end:
+        eid, pos = _ebml_read_id(data, pos, end)
+        size, pos = _ebml_read_size(data, pos, end)
+        body_end = end if size is None else pos + size
+        if body_end > end:
+            raise ImageError("EBML element size out of range")
+        count[0] += 1
+        if count[0] > MAX_EBML_ELEMENTS:
+            raise ImageError("EBML element count exceeds cap")
+        yield eid, pos, body_end, depth
+        if eid in _EBML_CONTAINERS and depth < 8:
+            yield from _iter_ebml(data, pos, body_end, depth + 1, count)
+        pos = body_end
+
+
+def webm_info(data: bytes) -> dict:
+    """Structural WebM/Matroska inventory: doctype, duration (Info
+    Duration x TimestampScale), track inventory (type + codec id),
+    cluster and block counts. No frame decode — the honest scan tier
+    (same contract as mp4_info/ogg_info)."""
+    try:
+        if len(data) < 4 or int.from_bytes(data[:4], "big") != \
+                _EBML_HEADER:
+            raise ImageError("not an EBML stream")
+        count = [0]
+        doctype = ""
+        ts_scale = 1_000_000           # Matroska default: 1 ms
+        duration_units = None
+        tracks: list[dict] = []
+        cur: dict | None = None
+        n_clusters = 0
+        n_blocks = 0
+        for eid, b, e, depth in _iter_ebml(data, 0, len(data), 0,
+                                           count):
+            if eid == _EBML_DOCTYPE:
+                doctype = data[b:e].rstrip(b"\x00").decode("latin-1")
+            elif eid == _MKV_TS_SCALE:
+                ts_scale = _ebml_uint(data[b:e])
+                if ts_scale == 0:
+                    raise ImageError("TimestampScale 0")
+            elif eid == _MKV_DURATION:
+                duration_units = _ebml_float(data[b:e])
+            elif eid == _MKV_TRACK_ENTRY:
+                cur = {"type": 0, "codec": ""}
+                tracks.append(cur)
+            elif eid == _MKV_TRACK_TYPE and cur is not None:
+                cur["type"] = _ebml_uint(data[b:e])
+            elif eid == _MKV_CODEC_ID and cur is not None:
+                cur["codec"] = data[b:e].rstrip(b"\x00").decode("latin-1")
+            elif eid == _MKV_CLUSTER:
+                n_clusters += 1
+            elif eid in (_MKV_SIMPLE_BLOCK, _MKV_BLOCK_GROUP):
+                n_blocks += 1
+        if not doctype:
+            raise ImageError("EBML without DocType")
+        duration_ms = None
+        if duration_units is not None:
+            if not (0 <= duration_units < 1e18):
+                raise ImageError("Matroska duration out of range")
+            duration_ms = int(duration_units * ts_scale // 1_000_000)
+        return {"doctype": doctype, "duration_ms": duration_ms,
+                "n_tracks": len(tracks), "tracks": tracks,
+                "n_clusters": n_clusters, "n_blocks": n_blocks}
+    except ImageError:
+        raise
+    except (ValueError, IndexError, struct.error, OverflowError,
+            RecursionError) as e:
+        raise ImageError(f"malformed WebM: {type(e).__name__}: {e}") \
+            from None
+
+
+def _ebml_encode_size(n: int) -> bytes:
+    for ln in range(1, 9):
+        if n < (1 << (7 * ln)) - 1:      # all-ones is reserved (unknown)
+            return (n | (1 << (7 * ln))).to_bytes(ln, "big")
+    raise ImageError("EBML size too large to encode")
+
+
+def _ebml_el(eid: int, body: bytes) -> bytes:
+    id_len = (eid.bit_length() + 7) // 8
+    return eid.to_bytes(id_len, "big") + _ebml_encode_size(len(body)) \
+        + body
+
+
+def _ebml_uint_el(eid: int, val: int) -> bytes:
+    ln = max(1, (val.bit_length() + 7) // 8)
+    return _ebml_el(eid, val.to_bytes(ln, "big"))
+
+
+def build_webm(n_clusters: int, blocks_per_cluster: int,
+               duration_ms: int, codec: bytes = b"V_VP9",
+               track_type: int = 1, block_bytes: int = 24,
+               unknown_segment_size: bool = False,
+               seed: int = 0) -> bytes:
+    """Structurally valid single-track WebM: EBML header (DocType
+    'webm') + Segment(Info(TimestampScale, Duration), Tracks(
+    TrackEntry(TrackType, CodecID)), Clusters with SimpleBlocks
+    carrying deterministic filler). unknown_segment_size writes the
+    live-streaming layout (Segment size all-ones, children bound it)."""
+    header = _ebml_el(_EBML_HEADER,
+                      _ebml_uint_el(0x4286, 1)            # EBMLVersion
+                      + _ebml_el(_EBML_DOCTYPE, b"webm")
+                      + _ebml_uint_el(0x4287, 4)          # DocTypeVersion
+                      + _ebml_uint_el(0x4285, 2))         # ReadVersion
+    info = _ebml_el(_MKV_INFO,
+                    _ebml_uint_el(_MKV_TS_SCALE, 1_000_000)
+                    + _ebml_el(_MKV_DURATION,
+                               struct.pack(">d", float(duration_ms))))
+    entry = (_ebml_uint_el(0xD7, 1)                       # TrackNumber
+             + _ebml_uint_el(_MKV_TRACK_TYPE, track_type)
+             + _ebml_el(_MKV_CODEC_ID, codec))
+    tracks = _ebml_el(_MKV_TRACKS, _ebml_el(_MKV_TRACK_ENTRY, entry))
+    clusters = b""
+    for ci in range(n_clusters):
+        body = _ebml_uint_el(0xE7, ci * 1000)             # Timestamp
+        for bi in range(blocks_per_cluster):
+            # SimpleBlock: track vint(0x81) + s16 rel ts + flags + data
+            payload = bytes(((seed + ci + bi + i) * 157) % 251
+                            for i in range(block_bytes))
+            blk = (b"\x81" + struct.pack(">hB", bi * 10,
+                                         0x80 if bi == 0 else 0)
+                   + payload)
+            body += _ebml_el(_MKV_SIMPLE_BLOCK, blk)
+        clusters += _ebml_el(_MKV_CLUSTER, body)
+    seg_body = info + tracks + clusters
+    if unknown_segment_size:
+        seg = _MKV_SEGMENT.to_bytes(4, "big") + b"\xFF" + seg_body
+    else:
+        seg = _ebml_el(_MKV_SEGMENT, seg_body)
+    return header + seg

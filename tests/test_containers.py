@@ -264,3 +264,188 @@ def test_fuzz_bitflip_of_valid():
                 fn(bytes(b))
             except ImageError:
                 pass
+
+
+# --- fragmented MP4 ---------------------------------------------------------
+
+from snacktory_spark.containers import build_fmp4, build_webm, webm_info
+
+
+def test_fmp4_roundtrip_trun_durations():
+    """mvhd duration 0 + no mehd: the scanner must walk the moof/traf/
+    trun fragments and sum per-sample durations."""
+    data = build_fmp4(n_fragments=3, samples_per_frag=5, sample_dur=40)
+    info = mp4_info(data)
+    assert info["brand"] == "iso5"
+    assert info["n_fragments"] == 3
+    assert info["frag_samples"] == 15
+    assert info["duration_ms"] == 3 * 5 * 40
+    assert info["tracks"][0]["codec"] == "avc1"
+    assert info["mdat_bytes"] == 3 * 5 * 16
+
+
+def test_fmp4_mehd_declared_duration():
+    """With mehd the declared fragment_duration wins (and must agree
+    with the walked value for a consistent file)."""
+    a = build_fmp4(2, 4, 40, with_mehd=True)
+    b = build_fmp4(2, 4, 40, with_mehd=False)
+    assert mp4_info(a)["duration_ms"] == mp4_info(b)["duration_ms"] == 320
+
+
+def test_fmp4_trex_default_duration():
+    """trun without per-sample durations falls back to the trex default:
+    strip the per-sample fields and set trex default_sample_duration."""
+    data = bytearray(build_fmp4(1, 4, 40))
+    # set trex default_sample_duration (=0 in builder) to 25
+    trex_at = data.find(b"trex")
+    data[trex_at + 16:trex_at + 20] = struct.pack(">I", 25)
+    # rewrite the trun: clear flags 0x300, drop the 4*8 sample bytes
+    trun_at = data.find(b"trun")
+    trun_size = struct.unpack(">I", data[trun_at - 4:trun_at])[0]
+    new_trun = (struct.pack(">I", 16) + b"trun"
+                + b"\x00\x00\x00\x00" + struct.pack(">I", 4))
+    shrink = trun_size - 16
+    # fix enclosing traf and moof sizes
+    traf_at = data.find(b"traf")
+    moof_at = data.find(b"moof")
+    for at in (traf_at, moof_at):
+        sz = struct.unpack(">I", data[at - 4:at])[0]
+        data[at - 4:at] = struct.pack(">I", sz - shrink)
+    data[trun_at - 4:trun_at - 4 + trun_size] = new_trun
+    info = mp4_info(bytes(data))
+    assert info["frag_samples"] == 4
+    assert info["duration_ms"] == 4 * 25
+    assert info["n_fragments"] == 1
+
+
+def test_fmp4_hostile_short_trun():
+    """A trun declaring more samples than its body holds must raise,
+    not read into the next box."""
+    data = bytearray(build_fmp4(1, 4, 40))
+    trun_at = data.find(b"trun")
+    data[trun_at + 8:trun_at + 12] = struct.pack(">I", 1 << 20)
+    with pytest.raises(ImageError):
+        mp4_info(bytes(data))
+
+
+def test_mp4_short_box_bodies_raise():
+    """ADVICE r5: short box bodies must raise ImageError, never parse
+    the following sibling's bytes (mvhd/hdlr/stsd/stsz/mehd/trex)."""
+    from snacktory_spark.containers import _box
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00")
+    for fourcc, body in ((b"mvhd", b"\x00" * 8), (b"mvhd", b"\x01"),
+                         (b"mehd", b""), (b"trex", b"\x00" * 8)):
+        with pytest.raises(ImageError):
+            mp4_info(ftyp + _box(b"moov", _box(fourcc, body)))
+    mvhd = (b"\x00\x00\x00\x00" + b"\x00" * 8
+            + struct.pack(">II", 1000, 1000) + b"\x00" * 80)
+    for fourcc, body in ((b"hdlr", b"\x00" * 4), (b"stsd", b"\x00" * 2),
+                         (b"stsd", b"\x00\x00\x00\x00\x00\x00\x00\x01"),
+                         (b"stsz", b"\x00" * 4)):
+        with pytest.raises(ImageError):
+            mp4_info(ftyp + _box(b"moov", _box(b"mvhd", mvhd)
+                                 + _box(b"trak", _box(fourcc, body))))
+
+
+# --- WebM / Matroska --------------------------------------------------------
+
+def test_webm_roundtrip():
+    data = build_webm(n_clusters=3, blocks_per_cluster=2,
+                      duration_ms=1500, codec=b"V_VP9", seed=4)
+    info = webm_info(data)
+    assert info["doctype"] == "webm"
+    assert info["duration_ms"] == 1500
+    assert info["n_tracks"] == 1
+    assert info["tracks"][0] == {"type": 1, "codec": "V_VP9"}
+    assert info["n_clusters"] == 3
+    assert info["n_blocks"] == 6
+
+
+def test_webm_unknown_segment_size():
+    """The live-streaming layout: Segment size is the all-ones unknown
+    marker and children bound it — must parse identically."""
+    a = build_webm(2, 3, 900, unknown_segment_size=False)
+    b = build_webm(2, 3, 900, unknown_segment_size=True)
+    assert webm_info(a) == webm_info(b)
+
+
+def test_webm_timestamp_scale_applied():
+    """Duration is in TimestampScale units: rewrite the scale to 2ms
+    and the reported ms must double."""
+    data = bytearray(build_webm(1, 1, 1000))
+    at = data.find((0x2AD7B1).to_bytes(3, "big"))
+    # body = 3 bytes uint 1_000_000 (0x0F4240); double it
+    body_at = at + 3 + 1          # id + 1-byte size vint
+    assert data[body_at:body_at + 3] == (1_000_000).to_bytes(3, "big")
+    data[body_at:body_at + 3] = (2_000_000).to_bytes(3, "big")
+    assert webm_info(bytes(data))["duration_ms"] == 2000
+
+
+def test_webm_audio_track_codec():
+    info = webm_info(build_webm(1, 1, 100, codec=b"A_OPUS",
+                                track_type=2))
+    assert info["tracks"][0] == {"type": 2, "codec": "A_OPUS"}
+
+
+@pytest.mark.parametrize("mutant", [
+    b"",
+    b"\x1aE\xdf",                              # truncated EBML id
+    b"\x18\x53\x80\x67\x81\x00",               # Segment first, no header
+    b"\x1aE\xdf\xa3\x84\x00\x00\x00\x00",      # header, no DocType
+])
+def test_webm_hostile(mutant):
+    with pytest.raises(ImageError):
+        webm_info(mutant)
+
+
+def test_webm_hostile_bad_sizes():
+    data = bytearray(build_webm(1, 1, 100))
+    # corrupt the Tracks element size to overflow its parent
+    at = data.find((0x1654AE6B).to_bytes(4, "big"))
+    data[at + 4] = 0xFE           # huge 1-byte size (126)
+    with pytest.raises(ImageError):
+        webm_info(bytes(data))
+    with pytest.raises(ImageError):
+        webm_info(b"\x1aE\xdf\xa3\x00junk")    # zero size lead byte
+
+
+def test_webm_ebml_vint_edges():
+    from snacktory_spark.containers import (_ebml_read_id,
+                                            _ebml_read_size)
+    # 2-byte id keeps its marker; 2-byte size strips it
+    eid, p = _ebml_read_id(b"\x42\x82", 0, 2)
+    assert (eid, p) == (0x4282, 2)
+    val, p = _ebml_read_size(b"\x42\x82", 0, 2)
+    assert (val, p) == (0x282, 2)
+    # all-ones size = unknown
+    val, _p = _ebml_read_size(b"\xFF", 0, 1)
+    assert val is None
+    # 8-byte size
+    val, _p = _ebml_read_size(b"\x01" + b"\x00" * 6 + b"\x05", 0, 8)
+    assert val == 5
+
+
+def test_new_container_fuzz_never_leaks():
+    import random
+    rng = random.Random(9)
+    corpora = [(mp4_info, build_fmp4(2, 3, 40, with_mehd=True)),
+               (webm_info, build_webm(2, 2, 700))]
+    for fn, valid in corpora:
+        for _ in range(400):
+            b = bytearray(valid)
+            for _ in range(rng.randint(1, 4)):
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            try:
+                fn(bytes(b))
+            except ImageError:
+                pass
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_webm_random_fuzz(data):
+    for payload in (data, b"\x1aE\xdf\xa3" + data):
+        try:
+            webm_info(payload)
+        except ImageError:
+            pass
