@@ -41,30 +41,46 @@ _MEMBER_SLACK = 1 << 16         # header allowance beyond the payload cap
 _CRLF = b"\r\n"
 
 
+_GZ_CHUNK = 1 << 18
+
+
 def _iter_gzip_members(data: bytes):
     """Yield (offset, compressed_length, decompressed_bytes) per gzip
     member, LAZILY — at most one member is resident, and each member's
     decompressed output is capped at one record (payload cap + header
-    slack) BEFORE further allocation. A ~4 MB per-record gzip bomb now
-    errors at ~64 MB resident instead of buffering a multi-GB stream."""
+    slack) BEFORE further allocation. A ~4 MB per-record gzip bomb
+    errors at ~64 MB resident instead of buffering a multi-GB stream.
+
+    Input is fed in _GZ_CHUNK slices, NOT as one tail slice per member:
+    zlib materializes ``unused_data`` as a fresh bytes copy of
+    everything after the member's end, so feeding ``data[pos:]`` makes
+    the walk O(members x remaining_bytes) — ~1.2 TB of memcpy on a
+    300 MB 4000-record mega-WARC (r6 finding; the r5 memoryview fix
+    removed the INPUT copy but not this one). Chunked feeding bounds
+    unused_data at one chunk."""
     pos = 0
     n = 0
     cap = MAX_RECORD_BYTES + _MEMBER_SLACK
     mv = memoryview(data)   # no per-member copy of the remaining buffer
     while pos < len(data):
         d = zlib.decompressobj(wbits=31)
+        out = bytearray()
+        p = pos
         try:
-            out = d.decompress(mv[pos:], cap + 1)
+            while not d.eof:
+                chunk = mv[p:p + _GZ_CHUNK]
+                if not len(chunk):
+                    raise ImageError("truncated gzip member")
+                out += d.decompress(chunk, cap + 1 - len(out))
+                if len(out) > cap:
+                    raise ImageError("gzip member exceeds record cap")
+                p += len(chunk)
         except zlib.error as e:
             raise ImageError(f"bad gzip member: {e}") from None
-        if d.unconsumed_tail or len(out) > cap:
-            raise ImageError("gzip member exceeds record cap")
-        if not d.eof:
-            raise ImageError("truncated gzip member")
-        consumed = (len(data) - pos) - len(d.unused_data)
+        consumed = (p - pos) - len(d.unused_data)
         if consumed <= 0:
             raise ImageError("gzip member consumed no bytes")
-        yield pos, consumed, out
+        yield pos, consumed, bytes(out)
         pos += consumed
         n += 1
         if n > MAX_RECORDS:
