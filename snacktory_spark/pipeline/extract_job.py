@@ -55,20 +55,34 @@ def ensure_py_files(spark: SparkSession) -> None:
         return
     if getattr(sc, "_snacktory_pyfiles_added", False):
         return
-    import snacktory_spark
+    import hashlib
     import tempfile
     import zipfile
+
+    import snacktory_spark
     pkg_dir = os.path.dirname(os.path.abspath(snacktory_spark.__file__))
+    # content-address the zip: a pid-keyed name collides when pids
+    # recycle across runs and silently ships a STALE module set to the
+    # executors (ModuleNotFoundError for any module added since)
+    entries = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for name in sorted(files):
+            if name.endswith(".py"):
+                full = os.path.join(root, name)
+                st = os.stat(full)
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                entries.append((full, rel, st.st_size, st.st_mtime_ns))
+    entries.sort(key=lambda x: x[1])
+    digest = hashlib.sha1(repr([(r, s, m) for _f, r, s, m
+                                in entries]).encode()).hexdigest()[:16]
     zpath = os.path.join(tempfile.gettempdir(),
-                         f"snacktory_spark-{os.getpid()}.zip")
+                         f"snacktory_spark-{digest}.zip")
     if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for name in files:
-                    if name.endswith(".py"):
-                        full = os.path.join(root, name)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                        zf.write(full, rel)
+        tmp = zpath + f".{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for full, rel, _s, _m in entries:
+                zf.write(full, rel)
+        os.replace(tmp, zpath)      # atomic: concurrent builders race safely
     sc.addPyFile(zpath)
     sc._snacktory_pyfiles_added = True
 
