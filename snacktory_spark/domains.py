@@ -12,9 +12,15 @@ their `!city.` exceptions, the wildcard-only ccTLDs (`*.bd` family),
 and the US state / k12-cc-lib third-level scheme. Unknown single-label
 TLDs of 2+ alpha chars are treated as suffixes.
 
+The r6 tier adds the PSL geographic second-levels for CA/CN provinces,
+the FR/RU/BR sector registries, and a curated slice of the PSL PRIVATE
+section (github.io, blogspot.com, CentralNic uk.com-style
+pseudo-ccTLDs, s3.amazonaws.com, ...) — Guava's InternetDomainName
+includes private rules, so these close the hosted-platform divergence.
+
 Divergence (documented per SURVEY §7 risk register): exotic entries
-outside the vendored families (municipal .jp third-levels, private-
-registry suffixes like *.github.io) fall back to the generic rules, so
+outside the vendored families (municipal .jp third-levels, the long
+tail of the PSL private section) fall back to the generic rules, so
 topPrivateDomain may differ from Guava there. The vendored set is data
 — extend the sets below, never the algorithm.
 """
@@ -124,7 +130,57 @@ _TWO_LEVEL_SUFFIXES = {
     # misc high-frequency
     "com.bn", "com.lk", "edu.lk", "com.fj", "com.et", "com.na",
     "co.ao", "ed.ao", "gv.ao", "it.ao", "og.ao", "pb.ao",
+    # ca provinces (PSL geographic second-levels)
+    "ab.ca", "bc.ca", "mb.ca", "nb.ca", "nf.ca", "nl.ca", "ns.ca",
+    "nt.ca", "nu.ca", "on.ca", "pe.ca", "qc.ca", "sk.ca", "yk.ca",
+    "gc.ca",
+    # fr sector registries
+    "asso.fr", "com.fr", "gouv.fr", "nom.fr", "prd.fr", "tm.fr",
+    "avocat.fr", "aeroport.fr",
+    # ru sector registries
+    "ac.ru", "edu.ru", "gov.ru", "int.ru", "mil.ru", "test.ru",
+    # cn province second-levels (PSL geographic)
+    "ah.cn", "bj.cn", "cq.cn", "fj.cn", "gd.cn", "gs.cn", "gz.cn",
+    "gx.cn", "ha.cn", "hb.cn", "he.cn", "hi.cn", "hl.cn", "hn.cn",
+    "jl.cn", "js.cn", "jx.cn", "ln.cn", "nm.cn", "nx.cn", "qh.cn",
+    "sc.cn", "sd.cn", "sh.cn", "sn.cn", "sx.cn", "tj.cn", "xj.cn",
+    "xz.cn", "yn.cn", "zj.cn", "hk.cn", "mo.cn", "tw.cn",
+    # br sector registries (extended tier)
+    "adv.br", "arq.br", "art.br", "bio.br", "blog.br", "cnt.br",
+    "ecn.br", "eng.br", "esp.br", "eti.br", "far.br", "fnd.br",
+    "fot.br", "g12.br", "imb.br", "ind.br", "inf.br", "jor.br",
+    "med.br", "mus.br", "not.br", "ntr.br", "odo.br", "ppg.br",
+    "pro.br", "psc.br", "psi.br", "radio.br", "taxi.br", "teo.br",
+    "trd.br", "tur.br", "vet.br", "vlog.br", "wiki.br", "zlg.br",
+    # it / be / gr-adjacent sector registries
+    "gov.it", "edu.it", "ac.be",
+    # in additions
+    "mil.in",
 }
+
+# high-traffic PRIVATE-registry suffixes (the PSL's private section —
+# Guava's InternetDomainName includes these, so topPrivateDomain of
+# user.github.io is user.github.io, matching the reference's behavior
+# on hosted-platform URLs; VERDICT r5 #8 closes the "*.github.io"
+# divergence for the platforms a web corpus actually hits). Same plain
+# rule semantics as the ICANN set; merged below.
+_PRIVATE_SUFFIXES = {
+    "github.io", "githubusercontent.com", "gitlab.io",
+    "blogspot.com", "wordpress.com", "appspot.com", "herokuapp.com",
+    "netlify.app", "vercel.app", "now.sh", "pages.dev", "workers.dev",
+    "web.app", "firebaseapp.com", "azurewebsites.net", "cloudfront.net",
+    "readthedocs.io", "s3.amazonaws.com", "glitch.me", "onrender.com",
+    "fly.dev", "surge.sh", "neocities.org", "bitbucket.io",
+    # CentralNic pseudo-ccTLD second-levels
+    "uk.com", "us.com", "eu.com", "gb.com", "de.com", "jpn.com",
+    "br.com", "cn.com", "ru.com", "sa.com", "se.com", "za.com",
+    "uk.net", "gb.net", "se.net",
+}
+_TWO_LEVEL_SUFFIXES |= {s for s in _PRIVATE_SUFFIXES
+                        if len(s.split(".")) == 2}
+# 3-label plain rules (currently the amazonaws-style private entries)
+_THREE_LEVEL_SUFFIXES = {s for s in _PRIVATE_SUFFIXES
+                         if len(s.split(".")) == 3}
 
 # .jp prefectures: plain second-level PSL rules (geographic type)
 _JP_PREFECTURES = {
@@ -221,6 +277,8 @@ def public_suffix_length(host: str) -> int | None:
     if last2 in _TLD_WILDCARD_EXCEPTIONS:      # !www.ck
         return 1
     # 3-level rules
+    if last3 in _THREE_LEVEL_SUFFIXES:         # s3.amazonaws.com ...
+        return 3
     if len(labels) >= 3 and last2 in _JP_CITY_WILDCARDS:
         return 3                               # *.kawasaki.jp
     if (labels[-1] == "us" and len(labels) >= 3

@@ -128,3 +128,61 @@ def test_existing_behavior_unchanged():
     assert get_domain("http://221.214.182.123/x") is None
     assert top_private_domain("http://www.cnn.com/a/b") == "cnn.com"
     assert extract_domain_name_without_tld("www.bbc.co.uk") == "bbc"
+
+
+# --- r6 tier: geographic/sector second-levels + private registries ----------
+
+def test_ca_provinces_and_fr_ru_sectors():
+    assert tpd("www.toronto.on.ca") == "toronto.on.ca"
+    assert tpd("ville.qc.ca") == "ville.qc.ca"
+    assert tpd("on.ca") is None
+    assert tpd("www.site.gouv.fr") == "site.gouv.fr"
+    assert tpd("club.asso.fr") == "club.asso.fr"
+    assert tpd("uni.edu.ru") == "uni.edu.ru"
+    assert tpd("x.mil.ru") == "x.mil.ru"
+
+
+def test_cn_provinces_and_br_sectors():
+    assert tpd("news.bj.cn") == "news.bj.cn"
+    assert tpd("www.shop.gd.cn") == "shop.gd.cn"
+    assert tpd("gd.cn") is None
+    # generic .cn label one level under the TLD still works
+    assert tpd("baidu.cn") == "baidu.cn"
+    assert tpd("firm.adv.br") == "firm.adv.br"
+    assert tpd("www.banda.mus.br") == "banda.mus.br"
+    assert tpd("blog.blog.br") == "blog.blog.br"
+
+
+def test_private_registry_suffixes():
+    """Guava includes the PSL private section: hosted-platform
+    subdomains are registrable names of their own."""
+    assert tpd("user.github.io") == "user.github.io"
+    assert tpd("www.user.github.io") == "user.github.io"
+    assert tpd("github.io") is None
+    assert tpd("myblog.blogspot.com") == "myblog.blogspot.com"
+    assert tpd("site.wordpress.com") == "site.wordpress.com"
+    assert tpd("app.herokuapp.com") == "app.herokuapp.com"
+    assert tpd("proj.netlify.app") == "proj.netlify.app"
+    assert tpd("docs.readthedocs.io") == "docs.readthedocs.io"
+    # 3-label private rule
+    assert tpd("bucket.s3.amazonaws.com") == "bucket.s3.amazonaws.com"
+    assert tpd("s3.amazonaws.com") is None
+    assert public_suffix_length("b.s3.amazonaws.com") == 3
+    # amazonaws.com itself is NOT in the vendored set: plain .com rules
+    assert tpd("ec2.amazonaws.com") == "amazonaws.com"
+
+
+def test_centralnic_pseudo_cctlds():
+    assert tpd("www.example.uk.com") == "example.uk.com"
+    assert tpd("site.us.com") == "site.us.com"
+    assert tpd("uk.com") is None
+    # se.com is ALSO a real company domain; the PSL lists it as a
+    # CentralNic registry, and Guava follows the PSL — so do we
+    assert public_suffix_length("x.se.com") == 2
+
+
+def test_existing_com_behavior_not_shadowed():
+    """The private tier must not break ordinary .com/.io hosts."""
+    assert tpd("www.google.com") == "google.com"
+    assert tpd("api.stripe.io" ) == "stripe.io"
+    assert tpd("sub.deep.example.com") == "example.com"
