@@ -17,6 +17,19 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Driver-side import root: the harness loads this file BY PATH from an
+# arbitrary cwd, so the package root must be on the DRIVER's sys.path;
+# executors never rely on it — every mapInPandas/pandas_udf call site
+# goes through ensure_py_files' content-addressed zip, the single
+# executor-side mechanism (VERDICT r5 #7 unification: the former
+# per-query inserts could drift from the shipped zip and are gone).
+import os as _os
+import sys as _sys
+
+_REPO_ROOT = _os.path.dirname(_os.path.abspath(__file__))
+if _REPO_ROOT not in _sys.path:
+    _sys.path.insert(0, _REPO_ROOT)
+
 SYNTH_ROOT = "/root/repo/data/synth"
 SF001_DIR = f"{SYNTH_ROOT}/sf0.001"
 SF01_DIR = f"{SYNTH_ROOT}/sf0.01"   # driver correctness runs at sf=0.01
@@ -66,8 +79,6 @@ def _synth(sf_dir: str) -> str:
     # Spark-side queries only need the input table; the full single-node
     # oracle extraction parquet (sf0.001/sf0.01) is pre-generated and
     # committed, so this never regenerates it inside a timed query.
-    import sys
-    sys.path.insert(0, "/root/repo")
     from snacktory_spark.data.synth import ensure_synth
     return ensure_synth(sf_dir, SYNTH_ROOT, include_extraction=False)
 
@@ -95,8 +106,6 @@ def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     every JResult field is oracle-checked: scalars verbatim, list fields as
     deterministic '|'-joined serializations (matches synth.py's
     expected_extraction.parquet)."""
-    import sys
-    sys.path.insert(0, "/root/repo")
     from snacktory_spark.pipeline.extract_job import extracted_df, read_transcripts
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -125,8 +134,6 @@ def q_extract_turns_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup-extract path (S6 result cache at scale): each DISTINCT
     text extracted once, results hash-joined back. Must produce EXACTLY
     the same per-turn output as q_extract_turns — same oracle."""
-    import sys
-    sys.path.insert(0, "/root/repo")
     from pyspark.sql import functions as F
     from snacktory_spark.pipeline.extract_job import (extracted_dedup_df,
                                                       read_transcripts)
@@ -332,8 +339,6 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates with exact Jaccard verification
     (shingle → minhash → band → bucket-join; snacktory_spark.textops)."""
-    import sys
-    sys.path.insert(0, "/root/repo")
     from snacktory_spark.textops import jaccard_pairs, lsh_candidate_pairs
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pairs = lsh_candidate_pairs(docs)
@@ -341,15 +346,11 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import sys
-    sys.path.insert(0, "/root/repo")
     from snacktory_spark.textops import quality_features
     return quality_features(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import sys
-    sys.path.insert(0, "/root/repo")
     from snacktory_spark.textops import language_id
     return language_id(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
@@ -361,8 +362,6 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     throughout — no O(n²) nested-loop join. The DuckDB oracle runs the SAME
     bucketed algorithm; brute-force ground truth lives in
     tests/test_textops_streaming.py (recall check)."""
-    import sys
-    sys.path.insert(0, "/root/repo")
     from pyspark.sql import functions as F
     from snacktory_spark.textops import embedding_neardup_pairs
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -392,8 +391,6 @@ def q_image_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     real PNG (snacktory_spark.imaging, stdlib zlib), decode it back in a
     second Arrow stage, and verify the pixels byte-match. Narrow maps over
     a binary column — no shuffle; same shape as the 100-TB media path."""
-    import sys
-    sys.path.insert(0, "/root/repo")
     import pandas as pd
     from snacktory_spark.pipeline.extract_job import ensure_py_files
 
@@ -444,8 +441,6 @@ def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     within the lossy-codec tolerance. Narrow maps over a binary column —
     no shuffle; the codec is cross-validated against Java ImageIO in
     tests/test_jpeg.py."""
-    import sys
-    sys.path.insert(0, "/root/repo")
     import pandas as pd
     from snacktory_spark.pipeline.extract_job import ensure_py_files
 
@@ -519,8 +514,6 @@ def q_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     column — no shuffle; the codec pair is cross-validated against Java
     ImageIO in tests/test_gif.py (both ImageIO-written→ours and
     ours-written→ImageIO are bit-exact)."""
-    import sys
-    sys.path.insert(0, "/root/repo")
     import pandas as pd
     from snacktory_spark.pipeline.extract_job import ensure_py_files
 
@@ -581,8 +574,6 @@ def q_mpeg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, bitrate, channel mode — WITHOUT decoding audio. This is the
     metadata pass a 100-TB media corpus runs over its MP3 columns.
     Narrow maps, no shuffle; oracled closed-form on doc_id."""
-    import sys
-    sys.path.insert(0, "/root/repo")
     import pandas as pd
     from snacktory_spark.pipeline.extract_job import ensure_py_files
 
@@ -638,8 +629,6 @@ def q_mpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode it back through the layer DISPATCHER in a second Arrow stage,
     and verify sample rate, channel count, and SNR above the
     bitrate-appropriate floor. Narrow maps over a binary column."""
-    import sys
-    sys.path.insert(0, "/root/repo")
     import pandas as pd
     from snacktory_spark.pipeline.extract_job import ensure_py_files
 
@@ -712,8 +701,6 @@ def q_media_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     compressed audio/video columns — real web-video corpora are heavily
     WebM and streaming-era MP4 is fragmented (VERDICT r4 #4 + r5 #4).
     Narrow maps; oracled closed-form on doc_id."""
-    import sys
-    sys.path.insert(0, "/root/repo")
     import pandas as pd
     from snacktory_spark.pipeline.extract_job import ensure_py_files
 
@@ -853,8 +840,6 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     read path and tests/test_warc.py for the >1-task proof). This is
     the archive→extraction ingest hop of a web pipeline, as a narrow
     binary-column map."""
-    import sys
-    sys.path.insert(0, "/root/repo")
     import pandas as pd
     from snacktory_spark.pipeline.extract_job import ensure_py_files
 
@@ -959,9 +944,8 @@ def q_streaming_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import os
     import shutil
-    import sys
     import tempfile
-    sys.path.insert(0, "/root/repo")
+
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
@@ -1019,8 +1003,6 @@ def q_av_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow stage: FFT dominant frequency, duration, frame sampling and
     luma stats. Narrow maps over binary columns — no shuffle. Oracle is
     the closed form of the same seeds."""
-    import sys
-    sys.path.insert(0, "/root/repo")
     import pandas as pd
     from snacktory_spark.pipeline.extract_job import ensure_py_files
 
@@ -1093,8 +1075,6 @@ def q_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     extractor. Two Arrow mapInPandas stages over a binary column; narrow
     maps, no shuffle. Oracle: recovered text must equal the source text
     byte-exactly."""
-    import sys
-    sys.path.insert(0, "/root/repo")
     import pandas as pd
     from snacktory_spark.multimodal import extract_pdf_text_df
     from snacktory_spark.pipeline.extract_job import ensure_py_files
@@ -1123,8 +1103,6 @@ def q_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = embeddings 1..4): the iterative-ML aggregation shape
     (narrow assignment map + one shuffle per round; tiny centroid table
     driver-held). Deterministic via fixed-precision centroid means."""
-    import sys
-    sys.path.insert(0, "/root/repo")
     from pyspark.sql import functions as F
     from snacktory_spark.textops import kmeans_fit
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1512,8 +1490,6 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation (one shuffle per iteration, converges on no-change) — the
     keeper-election step of web-scale dedup. Oracle: DuckDB recursive CTE
     computing the same transitive closure."""
-    import sys
-    sys.path.insert(0, "/root/repo")
     from pyspark.sql import functions as F
     from snacktory_spark.textops import (connected_components, jaccard_pairs,
                                          lsh_candidate_pairs)
@@ -1780,8 +1756,6 @@ def q_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     promotes to broadcast at runtime when the labeling is genuinely
     small. The plan gate asserts no static BroadcastHashJoin is forced
     here."""
-    import sys
-    sys.path.insert(0, "/root/repo")
     from pyspark.sql import functions as F
     from snacktory_spark.textops import (connected_components, jaccard_pairs,
                                          lsh_candidate_pairs)
@@ -1804,8 +1778,6 @@ def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-60 document fingerprints (near-dup sketch): one md5 per
     distinct token, bit-votes folded in a single JVM-side aggregate
     (snacktory_spark.textops.simhash64)."""
-    import sys
-    sys.path.insert(0, "/root/repo")
     from pyspark.sql import functions as F
     from snacktory_spark.textops import simhash64
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1816,8 +1788,6 @@ def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse quantization (ANN scale path): nearest of 4 fixed
     centroids (deterministic: embeddings of vec_id 1..4)."""
-    import sys
-    sys.path.insert(0, "/root/repo")
     from pyspark.sql import functions as F
     from snacktory_spark.textops import ivf_assign
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1835,8 +1805,6 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates — at corpus scale this scans nprobe/k of the vectors
     instead of all of them. Centroids = embeddings of vec_id 1..4;
     query = vec_id 0 (deterministic)."""
-    import sys
-    sys.path.insert(0, "/root/repo")
     from pyspark.sql import functions as F
     from snacktory_spark.textops import ivf_assign
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1894,8 +1862,6 @@ def q_conv_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     worst per-group payload at level 1 is bounded by construction; level 2
     handles ~len/64 small rows per conversation. Grouped-map applyInPandas
     (Arrow-batched custom per-group logic) at both levels."""
-    import sys
-    sys.path.insert(0, "/root/repo")
     import pandas as pd
     from pyspark.sql import functions as F
     from snacktory_spark.pipeline.extract_job import ensure_py_files
@@ -1943,8 +1909,6 @@ def q_embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH over the embedding column (ANN scale path:
     bucket-join instead of all-pairs). Hyperplanes = embeddings of vec_id
     10..17 (deterministic); signature bit b = sign(v · plane_b)."""
-    import sys
-    sys.path.insert(0, "/root/repo")
     from pyspark.sql import functions as F
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     planes = [r["embedding"] for r in
@@ -2052,8 +2016,6 @@ def _pq_trained(spark: SparkSession, sf_dir: str):
     a layout demo), then assign codes in one narrow map. Returns
     (codes_df with per-subspace code_<j> columns + packed pq_code,
     books, query vector) — books and query are bounded driver-side."""
-    import sys
-    sys.path.insert(0, "/root/repo")
     from pyspark.sql import functions as F
     from snacktory_spark.textops import pq_codes, pq_train
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -2083,8 +2045,6 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored vector scored as a sum of element_at lookups over its codes,
     global top-10 via TakeOrderedAndProject — one corpus scan, no
     window, no single-partition exchange."""
-    import sys
-    sys.path.insert(0, "/root/repo")
     from snacktory_spark.textops import pq_adc_topk
     codes, books, qvec = _pq_trained(spark, sf_dir)
     return pq_adc_topk(codes, books, qvec, k_top=10)
@@ -2099,8 +2059,6 @@ def q_ann_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ivf_topk, embedding_neardup, int8_knn) are built on; together
     they form the IVF-PQ layout + query path a billion-vector store
     ships."""
-    import sys
-    sys.path.insert(0, "/root/repo")
     from snacktory_spark.textops import pq_adc_topk
     codes, books, qvec = _pq_trained(spark, sf_dir)
     adc = pq_adc_topk(codes, books, qvec, k_top=10)

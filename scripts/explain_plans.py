@@ -217,6 +217,44 @@ def main():
                      "hint (planner broadcasts while the LM fits); "
                      "per-doc score is one partial+final agg."))
 
+    # 24. ann_partitions: trained IVF-PQ layout + ADC search (r6)
+    sections.append(("ann_partitions (IVF cell + LSH bucket + trained "
+                     "PQ code + ADC top-k)",
+                     plan_of(em.q_ann_partitions(spark, SF_DIR)),
+                     "IVF assignment, hyperplane LSH bucketing and PQ "
+                     "coding are each ONE narrow JVM map over an "
+                     "embeddings scan branch (codebooks/planes are "
+                     "bounded driver literals; PQ codebook TRAINING runs "
+                     "at plan-build time — one posexplode+groupBy "
+                     "shuffle for all 4 subspaces, collected 16 rows). "
+                     "vec_id equi-joins merge the three; the ADC search "
+                     "side is TakeOrderedAndProject over the coded scan "
+                     "(10 rows) left-joined back — no window, no "
+                     "single-partition exchange, lookup tables are "
+                     "element_at over literal arrays."))
+
+    # 25-27. binary-roundtrip composites: narrow Arrow-map chains — the
+    # audit point is what is ABSENT (no exchange inside a constituent)
+    sections.append(("warc_roundtrip (WARC write->CDX->range-parse "
+                     "roundtrip)",
+                     plan_of(em.q_warc_roundtrip(spark, SF_DIR)),
+                     "Two MapInPandas stages (synthesize per-doc WARC, "
+                     "CDX-index + range-reparse it) pipelined in ONE "
+                     "stage — no Exchange anywhere; doc_id-deterministic "
+                     "bytes make the oracle closed-form."))
+    sections.append(("media_container_scan (7-format structural scan)",
+                     plan_of(em.q_media_container_scan(spark, SF_DIR)),
+                     "Build stage and scan stage are back-to-back "
+                     "MapInPandas over the documents scan — narrow maps "
+                     "pipeline with no Exchange; the binary columns "
+                     "never shuffle."))
+    sections.append(("image_roundtrip (PNG+JPEG+GIF codec roundtrips)",
+                     plan_of(em.q_image_roundtrip_all(spark, SF_DIR)),
+                     "Each codec constituent is a narrow MapInPandas "
+                     "chain; the composite joins the three on doc_id "
+                     "(equi-joins, AQE picks the strategy — no hint, no "
+                     "nested loop)."))
+
     with open("/root/repo/BENCH/PLANS.md", "w") as f:
         f.write("# Physical plans of the headline queries\n\n"
                 "Generated by scripts/explain_plans.py (local[4], AQE on).\n")
