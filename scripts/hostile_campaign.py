@@ -1,0 +1,139 @@
+"""Full-repertoire hostile-input campaign over every binary parser.
+
+The media/archive modules share one contract (CLAUDE.md): public
+decoders raise ImageError ONLY (never ValueError/IndexError/
+struct.error/MemoryError/...), and size caps fire BEFORE large
+allocations. The per-module test files assert the contract on targeted
+mutants; this script is the committed, reproducible version of the
+round-5 ad-hoc campaign: every parser family x every mutation class,
+with a leak = any non-ImageError exception (or a >5 GB RSS spike).
+
+Mutation classes per family seed:
+  random      pure random blobs
+  magic       family magic + random tail
+  bitflip     1-8 random bitflips of a valid file
+  truncate    valid file cut at a random offset
+  splice      head of one family's valid file + tail of another's
+
+Usage: python scripts/hostile_campaign.py [n_per_class]  (default 500)
+Prints a per-family table and exits nonzero on any leak.
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+from snacktory_spark.imaging import ImageError  # noqa: E402
+
+
+def families():
+    """(name, parse_fn, valid_seed_bytes, magic_prefix) per family."""
+    from snacktory_spark import av, containers, imaging, jpeg, mpeg, pdf, warc
+    from snacktory_spark.gif import decode_gif, encode_gif
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=16 * 16 * 3, dtype=np.uint8).tobytes()
+    gray = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+
+    fams = []
+
+    def add(name, fn, seed, magic):
+        fams.append((name, fn, bytes(seed), bytes(magic)))
+
+    add("png", imaging.sniff_decode, imaging.encode_png(px, 16, 16),
+        b"\x89PNG\r\n\x1a\n")
+    add("bmp", imaging.sniff_decode, imaging.encode_bmp24(px, 16, 16),
+        b"BM")
+    add("ppm", imaging.sniff_decode, imaging.encode_ppm(px, 16, 16),
+        b"P6")
+    add("jpeg", jpeg.decode_jpeg, jpeg.encode_jpeg(px, 16, 16, 3),
+        b"\xff\xd8\xff")
+    add("gif", decode_gif, encode_gif(px, 16, 16), b"GIF89a")
+    add("pdf", pdf.extract_pdf_text,
+        pdf.make_simple_pdf("hostile campaign page"), b"%PDF-")
+    add("wav", av.decode_wav,
+        av.encode_wav(np.zeros((256, 1), dtype=np.int16), 8000), b"RIFF")
+    add("y4m", av.video_features, av.encode_y4m([gray, gray], fps=10),
+        b"YUV4MPEG2")
+    add("h264", av.h264_annexb_info,
+        av.build_h264_annexb(2, 4, 100, 41, seed=1), b"\x00\x00\x00\x01")
+    add("mpeg_scan", mpeg.mpeg_audio_info,
+        mpeg.encode_layer2(np.zeros((2304, 1)), 32000), b"\xff\xfd")
+    add("mpeg_decode",
+        lambda d: mpeg.decode_mpeg(d, allow_nonconformant=True),
+        mpeg.encode_layer1(np.zeros((1152, 1)), 32000), b"\xff\xff")
+    add("adts", mpeg.aac_adts_info,
+        mpeg.build_adts_stream(4, 64, 48000, 2, 1, seed=2), b"\xff\xf1")
+    add("mp4", containers.mp4_info,
+        containers.build_mp4(5, 20, 500, seed=3), b"\x00\x00\x00\x14ftyp")
+    add("fmp4", containers.mp4_info,
+        containers.build_fmp4(2, 4, 40, with_mehd=True, seed=4),
+        b"\x00\x00\x00\x14ftyp")
+    add("ogg", containers.ogg_info,
+        containers.build_ogg(3, 2, 40, seed=5), b"OggS")
+    add("flac", containers.flac_info,
+        containers.build_flac(44100, 2, 44100, seed=6), b"fLaC")
+    add("webm", containers.webm_info,
+        containers.build_webm(3, 2, 900, seed=7), b"\x1aE\xdf\xa3")
+    add("warc", warc.warc_info,
+        warc.write_warc([("http://x.test/1", b"<html>a</html>")],
+                        gzip_members=True), b"\x1f\x8b")
+    add("cdx", warc.build_cdx,
+        warc.write_warc([("http://x.test/1", b"<html>a</html>")],
+                        gzip_members=True), b"\x1f\x8b")
+    return fams
+
+
+def main():
+    n_per = int(sys.argv[1]) if len(sys.argv) > 1 else 500
+    fams = families()
+    rng = random.Random(99)
+    leaks = []
+    total = 0
+    print(f"{'family':<12} {'decodes':>8} {'errors':>8} {'ok':>6}")
+    for name, fn, valid, magic in fams:
+        n_err = n_ok = 0
+        others = [v for nm, _f, v, _m in fams if nm != name]
+
+        def mutants():
+            for _ in range(n_per):          # random
+                yield rng.randbytes(rng.randrange(1, 600))
+            for _ in range(n_per):          # magic + random tail
+                yield magic + rng.randbytes(rng.randrange(0, 600))
+            for _ in range(n_per):          # bitflip of valid
+                b = bytearray(valid)
+                for _ in range(rng.randint(1, 8)):
+                    b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+                yield bytes(b)
+            for _ in range(n_per):          # truncate
+                yield valid[:rng.randrange(len(valid))]
+            for _ in range(n_per):          # cross-format splice
+                other = rng.choice(others)
+                cut = rng.randrange(1, len(valid))
+                yield valid[:cut] + other[rng.randrange(len(other)):]
+
+        for payload in mutants():
+            total += 1
+            try:
+                fn(payload)
+                n_ok += 1
+            except ImageError:
+                n_err += 1
+            except Exception:
+                leaks.append((name, traceback.format_exc(limit=3)))
+                if len(leaks) > 5:
+                    break
+        print(f"{name:<12} {5 * n_per:>8} {n_err:>8} {n_ok:>6}")
+    print(f"\ntotal decodes: {total}, leaks: {len(leaks)}")
+    for name, tb in leaks[:5]:
+        print(f"\nLEAK in {name}:\n{tb}")
+    sys.exit(1 if leaks else 0)
+
+
+if __name__ == "__main__":
+    main()
