@@ -308,13 +308,34 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language distribution + mean length (text-analysis aggregate)."""
+    """Language distribution + mean length + TEMPERATURE-SAMPLING
+    weights — the multilingual data-balancing pass every multilingual
+    training mix runs (public: XLM-R / mC4 exponentiated-share
+    sampling, alpha=0.3: w_l proportional to p_l^alpha, normalized;
+    upweights tail languages). The per-language share table is bounded
+    (one row per language), so the normalization constants are
+    driver-held and re-attached as literal map lookups — the
+    centroid/seed pattern; no single-partition exchange, no window."""
     from pyspark.sql import functions as F
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return (docs.groupBy("lang")
-            .agg(F.count("*").alias("n_docs"),
-                 F.sum("n_chars").alias("sum_chars"),
-                 F.round(F.avg("n_chars"), 4).alias("avg_chars")))
+    agg = (docs.groupBy("lang")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+                F.round(F.avg("n_chars"), 4).alias("avg_chars")))
+    counts = {r["lang"]: r["n_docs"]
+              for r in agg.select("lang", "n_docs").collect()}
+    total = sum(counts.values())
+    alpha = 0.3
+    pw = {k: (v / total) ** alpha for k in sorted(counts)
+          for v in (counts[k],)}
+    z = sum(pw.values())
+    wmap = F.create_map(*[F.lit(x) for k in sorted(pw)
+                          for x in (k, round(pw[k] / z, 6))])
+    pmap = F.create_map(*[F.lit(x) for k in sorted(counts)
+                          for x in (k, round(counts[k] / total, 6))])
+    return agg.select("lang", "n_docs", "sum_chars", "avg_chars",
+                      pmap[F.col("lang")].alias("p_lang"),
+                      wmap[F.col("lang")].alias("sample_weight"))
 
 
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2056,16 +2077,29 @@ def q_ann_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ADC-search result (adc_dist2 set on the top-10 vectors for the
     fixed query, null elsewhere — left join of the bounded top-k) —
     the partitioning/compression/search schemes the ANN scale paths
-    (ivf_topk, embedding_neardup, int8_knn) are built on; together
-    they form the IVF-PQ layout + query path a billion-vector store
-    ships."""
-    from snacktory_spark.textops import pq_adc_topk
+    (ivf_topk, embedding_neardup, int8_knn) are built on — plus the
+    SemDeDup verdict (semdedup_keep: lowest-id survivor per in-cluster
+    cosine epsilon-ball, textops.semdedup_flags — the embedding-cluster
+    semantic dedup pass a training pipeline runs over the same IVF
+    partitioning). Everything is equi-joins and narrow maps; together
+    they form the IVF-PQ layout + query + dedup passes a billion-vector
+    store ships."""
+    from pyspark.sql import functions as F
+
+    from snacktory_spark.textops import pq_adc_topk, semdedup_flags
     codes, books, qvec = _pq_trained(spark, sf_dir)
     adc = pq_adc_topk(codes, books, qvec, k_top=10)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [r["embedding"] for r in
+             emb.filter(F.col("vec_id").isin(1, 2, 3, 4))
+                .orderBy("vec_id").collect()]
+    sem = semdedup_flags(emb, cents, threshold=0.45) \
+        .select("vec_id", "semdedup_keep")
     return (q_ivf_assign(spark, sf_dir)
             .join(q_embedding_lsh_buckets(spark, sf_dir), "vec_id")
             .join(codes.select("vec_id", "pq_code"), "vec_id")
-            .join(adc, "vec_id", "left"))
+            .join(adc, "vec_id", "left")
+            .join(sem, "vec_id"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2291,9 +2325,20 @@ def oracle_sql() -> dict[str, str]:
             FROM s LEFT JOIN rep USING (doc_id)
         """,
         "doc_lang_profile": """
-            SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
-                   round(avg(n_chars), 4) AS avg_chars
-            FROM documents GROUP BY lang
+            WITH g AS (
+                SELECT lang, count(*) AS n_docs,
+                       sum(n_chars)::BIGINT AS sum_chars,
+                       round(avg(n_chars), 4) AS avg_chars
+                FROM documents GROUP BY lang),
+            t AS (SELECT sum(n_docs)::DOUBLE AS n FROM g),
+            w AS (SELECT lang, n_docs / t.n AS p,
+                         pow(n_docs / t.n, 0.3) AS pw
+                  FROM g, t),
+            z AS (SELECT sum(pw) AS s FROM w)
+            SELECT g.lang, g.n_docs, g.sum_chars, g.avg_chars,
+                   round(w.p, 6) AS p_lang,
+                   round(w.pw / z.s, 6) AS sample_weight
+            FROM g JOIN w USING (lang), z
         """,
         "minhash_lsh_pairs": _MINHASH_SQL,
         "train_split": """
@@ -2921,11 +2966,23 @@ def oracle_sql() -> dict[str, str]:
                          ON c.sub = l.sub AND c.code = l.code
                      GROUP BY c.vec_id),
                  adck AS (SELECT vec_id, adc_dist2 FROM adc
-                          ORDER BY adc_dist2 ASC, vec_id ASC LIMIT 10)
+                          ORDER BY adc_dist2 ASC, vec_id ASC LIMIT 10),
+                 semdup AS (
+                     SELECT DISTINCT ib.vec_id
+                     FROM iv ia JOIN iv ib
+                       ON ia.cell = ib.cell AND ia.vec_id < ib.vec_id
+                     JOIN embeddings ea ON ea.vec_id = ia.vec_id
+                     JOIN embeddings eb ON eb.vec_id = ib.vec_id
+                     WHERE round(list_dot_product(ea.embedding, eb.embedding)
+                           / (sqrt(list_dot_product(ea.embedding, ea.embedding))
+                              * sqrt(list_dot_product(eb.embedding, eb.embedding))),
+                           4) >= 0.45)
             SELECT iv.vec_id, iv.cell, iv.dist, lb.lsh_bucket,
-                   pq.pq_code, adck.adc_dist2
+                   pq.pq_code, adck.adc_dist2,
+                   (semdup.vec_id IS NULL) AS semdedup_keep
             FROM iv JOIN lb USING (vec_id) JOIN pq USING (vec_id)
             LEFT JOIN adck USING (vec_id)
+            LEFT JOIN semdup USING (vec_id)
         """,
         "conv_flatten": f"""
             WITH flat AS (

@@ -579,3 +579,33 @@ def pq_adc_topk(codes: DataFrame, books: list[list[list[float]]],
     return (codes.select(F.col(id_col),
                          F.round(adc, 6).alias("adc_dist2"))
             .orderBy("adc_dist2", id_col).limit(k_top))
+
+
+def semdedup_flags(emb: DataFrame, centroids: list[list[float]],
+                   threshold: float = 0.45) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public): cluster
+    the embeddings with the coarse IVF assignment, then WITHIN each
+    cluster drop every vector that has a lower-id cluster-mate with
+    cosine >= threshold (one deterministic survivor per epsilon-ball,
+    keeper = lowest id — the paper keeps an arbitrary point; lowest-id
+    makes it engine-reproducible). The pairwise cosine work is bounded
+    by cluster size (the published algorithm's scaling property): every
+    join is an equi-join on the cluster id or vec_id — never an
+    all-pairs corpus join. Returns (vec_id, cell, semdedup_keep)."""
+    assigned = ivf_assign(emb, centroids).select("vec_id", "cell")
+    base = assigned.join(emb.select("vec_id", "embedding"), "vec_id")
+    a = base.select(F.col("vec_id").alias("id_a"), "cell",
+                    F.col("embedding").alias("e_a"))
+    b = base.select(F.col("vec_id").alias("id_b"),
+                    F.col("cell").alias("cell_b"),
+                    F.col("embedding").alias("e_b"))
+    cos = _vec_dot(F.col("e_a"), F.col("e_b")) / (
+        _vec_norm(F.col("e_a")) * _vec_norm(F.col("e_b")))
+    dups = (a.join(b, (F.col("cell") == F.col("cell_b"))
+                   & (F.col("id_a") < F.col("id_b")))
+            .filter(F.round(cos, 4) >= threshold)
+            .select(F.col("id_b").alias("vec_id")).distinct()
+            .withColumn("_dup", F.lit(True)))
+    return (assigned.join(dups, "vec_id", "left")
+            .select("vec_id", "cell",
+                    F.col("_dup").isNull().alias("semdedup_keep")))

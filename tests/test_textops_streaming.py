@@ -523,6 +523,42 @@ def test_pq_train_codes_and_adc(spark):
         [(i, d) for d, i in exact]
 
 
+def test_semdedup_flags_planted_balls(spark):
+    """SemDeDup on planted structure: two well-separated clusters, each
+    containing an epsilon-ball of near-identical vectors plus isolated
+    points — exactly one survivor (the lowest id) per ball, isolated
+    points all kept, and cross-cluster near-parallel vectors NOT
+    compared (the algorithm only dedups within a cluster)."""
+    import random
+
+    from snacktory_spark.textops import semdedup_flags
+
+    rng = random.Random(3)
+    rows = []
+    # cluster 0 around +1: ids 0,1,2 near-identical (ball), 3,4 isolated
+    for i, scale in [(0, 1.0), (1, 1.0), (2, 1.0)]:
+        rows.append((i, [scale + rng.uniform(-0.01, 0.01)
+                         for _ in range(8)]))
+    rows.append((3, [1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0]))
+    rows.append((4, [1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0]))
+    # cluster 1 around -1: ids 10,11 a ball, 12 isolated
+    for i in (10, 11):
+        rows.append((i, [-1.0 + rng.uniform(-0.01, 0.01)
+                         for _ in range(8)]))
+    rows.append((12, [-1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0]))
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    cents = [[1.0] * 8, [-1.0] * 8]
+    got = {r["vec_id"]: (r["cell"], r["semdedup_keep"])
+           for r in semdedup_flags(emb, cents, threshold=0.9).collect()}
+    assert got[0] == (0, True)         # lowest id of ball 0 survives
+    assert got[1][1] is False and got[2][1] is False
+    assert got[3][1] is True and got[4][1] is True   # isolated kept
+    assert got[10] == (1, True)        # lowest id of ball 1 survives
+    assert got[11][1] is False
+    assert got[12][1] is True
+
+
 def test_minhash_production_params_recall(spark):
     """Production-parameter LSH (128 hashes / 32 bands, r=4) must recover
     essentially all true near-dup pairs at j>=0.7 on a seeded corpus —
