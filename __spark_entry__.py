@@ -1192,6 +1192,42 @@ def _gram_at(k):
     return g
 
 
+def q_doc_cross_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-text coverage — the corpus-overlap
+    signal behind exact-substring dedup (Lee et al. 2022,
+    arXiv:2107.06499, public): per document, how many of its DISTINCT
+    word 5-grams occur in at least one OTHER document, and the
+    fraction. Distinct from doc_repetition (WITHIN-doc gram reuse);
+    this measures ACROSS-doc text sharing. Shape: JVM gram enumeration
+    (narrow map) -> explode -> distinct (doc, gram) -> gram
+    document-frequency (partial+final hash agg) -> equi-join back ->
+    per-doc agg. The standard two-aggregation overlap pass; nothing
+    broadcast, no window — survives 100x scale as-is."""
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    tok_docs = docs.select("doc_id", toks.alias("toks"))
+    grams = F.when(
+        F.size("toks") >= 5,
+        F.transform(F.sequence(F.lit(1), F.size("toks") - 4),
+                    _gram_at(5))
+    ).otherwise(F.array().cast("array<string>"))
+    dg = (tok_docs.select("doc_id", F.explode_outer(grams).alias("gram"))
+          .distinct())
+    dfreq = (dg.filter(F.col("gram").isNotNull())
+             .groupBy("gram").agg(F.count("*").alias("df")))
+    return (dg.join(dfreq, "gram", "left")
+            .groupBy("doc_id")
+            .agg(F.count("gram").alias("n_distinct_grams"),
+                 F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+                  .cast("long").alias("n_cross_dup"))
+            .select("doc_id", "n_distinct_grams", "n_cross_dup",
+                    F.when(F.col("n_distinct_grams") > 0,
+                           F.round(F.col("n_cross_dup")
+                                   / F.col("n_distinct_grams"), 4))
+                     .alias("cross_dup_frac")))
+
+
 def _conf_true(spark, key):
     """True unless the session explicitly set `key` to false (both
     exchange-reuse knobs are default-on)."""
@@ -1987,9 +2023,12 @@ def q_doc_fingerprint_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_token_stats_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite: token/stopword stats + Gopher repetition metrics
-    (dup-2-gram and top-2-gram fractions; null for <2-token docs)."""
-    return q_doc_token_stats(spark, sf_dir).join(
-        q_doc_repetition(spark, sf_dir), "doc_id", "left")
+    (dup-2-gram and top-2-gram fractions; null for <2-token docs) +
+    cross-document duplicate-gram coverage (n_cross_dup /
+    cross_dup_frac — the ACROSS-doc overlap signal, q_doc_cross_dup)."""
+    return (q_doc_token_stats(spark, sf_dir)
+            .join(q_doc_repetition(spark, sf_dir), "doc_id", "left")
+            .join(q_doc_cross_dup(spark, sf_dir), "doc_id"))
 
 
 def q_doc_quality_full(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2318,11 +2357,34 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, sum(c)::BIGINT AS n_grams,
                        round(1.0 - count(*) / sum(c), 4) AS dup_gram_frac,
                        round(max(c) / sum(c), 4) AS top_gram_frac
-                FROM counts GROUP BY doc_id)
+                FROM counts GROUP BY doc_id),
+            g5 AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(
+                           range(1, len(t) - 3),
+                           i -> array_to_string(list_slice(t, i, i + 4),
+                                                ' '))) AS gram
+                FROM toks WHERE len(t) >= 5),
+            gdf AS (
+                SELECT gram, count(*) AS df FROM g5 GROUP BY gram),
+            xd AS (
+                SELECT g5.doc_id,
+                       count(*)::BIGINT AS n_distinct_grams,
+                       sum(CASE WHEN gdf.df >= 2 THEN 1 ELSE 0
+                           END)::BIGINT AS n_cross_dup
+                FROM g5 JOIN gdf USING (gram) GROUP BY g5.doc_id)
             SELECT s.doc_id, s.lang, s.n_tokens, s.n_stopwords,
                    s.stopword_ratio, rep.n_grams, rep.dup_gram_frac,
-                   rep.top_gram_frac
+                   rep.top_gram_frac,
+                   coalesce(xd.n_distinct_grams, 0)::BIGINT
+                       AS n_distinct_grams,
+                   coalesce(xd.n_cross_dup, 0)::BIGINT AS n_cross_dup,
+                   CASE WHEN coalesce(xd.n_distinct_grams, 0) > 0
+                        THEN round(xd.n_cross_dup
+                                   / xd.n_distinct_grams, 4)
+                   END AS cross_dup_frac
             FROM s LEFT JOIN rep USING (doc_id)
+            LEFT JOIN xd USING (doc_id)
         """,
         "doc_lang_profile": """
             WITH g AS (
