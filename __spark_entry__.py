@@ -183,15 +183,28 @@ def q_turn_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-conversation partial+final hash aggregation (lineage metrics)."""
+    """Per-conversation partial+final hash aggregation (lineage
+    metrics) + turn-structure audit: role of the first/last turn and
+    the count of ROLE REPEATS (consecutive turns with the same role
+    under stable turn ordering — the alternation-break signal a
+    transcript-hygiene pass flags before training). The repeat count
+    rides a lag window PARTITIONED by conv_id (the event_sessions
+    shape — no global sort)."""
     from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
     sdir = _synth(sf_dir)
     df = spark.read.parquet(f"{sdir}/transcripts.parquet")
-    return (df.groupBy("conv_id")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    turns = df.withColumn("prev_role", F.lag("role").over(w))
+    return (turns.groupBy("conv_id")
             .agg(F.count("*").alias("n_turns"),
                  F.sum(F.length("text")).alias("total_chars"),
                  F.max("turn_idx").alias("max_turn_idx"),
-                 F.count(F.when(F.col("role") == "tool", 1)).alias("tool_turns")))
+                 F.count(F.when(F.col("role") == "tool", 1)).alias("tool_turns"),
+                 F.min_by("role", "turn_idx").alias("first_role"),
+                 F.max_by("role", "turn_idx").alias("last_role"),
+                 F.count(F.when(F.col("role") == F.col("prev_role"), 1))
+                  .cast("long").alias("n_role_repeats")))
 
 
 def q_html_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,6 +382,35 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from snacktory_spark.textops import quality_features
     return quality_features(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_doc_c4_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style LINE-level quality filters (Raffel et al. 2020,
+    arXiv:1910.10683 §2.2 — public): per document over its non-empty
+    lines — line count, fraction ending in terminal punctuation,
+    fraction with <3 words, plus the page-level drop signals (curly
+    brace, 'lorem ipsum', 'javascript'). All JVM higher-order
+    expressions over one narrow scan — no explode, no shuffle, no
+    Python."""
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lines = F.filter(F.split(F.col("text"), "\n"),
+                     lambda x: F.length(F.trim(x)) > 0)
+    n_lines = F.size(lines)
+    end_punct = F.size(F.filter(
+        lines, lambda x: F.trim(x).rlike('[.!?"]$')))
+    short = F.size(F.filter(
+        lines, lambda x: F.size(F.split(F.trim(x), r"\s+")) < 3))
+    frac = (lambda c: F.when(n_lines > 0, F.round(c / n_lines, 4)))
+    low = F.lower(F.col("text"))
+    return (docs.filter(F.length("text") > 0)
+            .select("doc_id",
+                    n_lines.alias("n_lines"),
+                    frac(end_punct).alias("frac_lines_end_punct"),
+                    frac(short).alias("frac_lines_short"),
+                    F.col("text").contains("{").alias("has_curly"),
+                    low.contains("lorem ipsum").alias("has_lorem"),
+                    low.contains("javascript").alias("has_javascript")))
 
 
 def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2033,9 +2075,11 @@ def q_doc_token_stats_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_quality_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite: quality features (length/letter/punct/stopword ratios)
-    + n-gram-heuristic language ID votes per document."""
-    return q_doc_quality(spark, sf_dir).join(
-        q_doc_langid(spark, sf_dir), "doc_id")
+    + n-gram-heuristic language ID votes + C4 line-level filters
+    (q_doc_c4_lines) per document."""
+    return (q_doc_quality(spark, sf_dir)
+            .join(q_doc_langid(spark, sf_dir), "doc_id")
+            .join(q_doc_c4_lines(spark, sf_dir), "doc_id"))
 
 
 def q_image_roundtrip_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2244,11 +2288,20 @@ def oracle_sql() -> dict[str, str]:
             FROM {tr}
         """,
         "conv_stats": f"""
+            WITH t AS (
+                SELECT conv_id, turn_idx, role, text,
+                       lag(role) OVER (PARTITION BY conv_id
+                                       ORDER BY turn_idx) AS prev_role
+                FROM {tr})
             SELECT conv_id, count(*) AS n_turns,
                    sum(length(text))::BIGINT AS total_chars,
                    max(turn_idx) AS max_turn_idx,
-                   count(CASE WHEN role = 'tool' THEN 1 END) AS tool_turns
-            FROM {tr} GROUP BY conv_id
+                   count(CASE WHEN role = 'tool' THEN 1 END) AS tool_turns,
+                   min_by(role, turn_idx) AS first_role,
+                   max_by(role, turn_idx) AS last_role,
+                   count(CASE WHEN role = prev_role THEN 1
+                         END)::BIGINT AS n_role_repeats
+            FROM t GROUP BY conv_id
         """,
         "html_gate": f"""
             SELECT role, regexp_matches(text, '<[a-zA-Z!]') AS is_htmlish,
@@ -3090,12 +3143,36 @@ def oracle_sql() -> dict[str, str]:
                             WHEN hits_de = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'de'
                             ELSE 'fr' END AS lang_guess,
                        hits_en, hits_es, hits_de, hits_fr
-                FROM h)
+                FROM h),
+            c4 AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, chr(10)),
+                                   x -> length(trim(x)) > 0) AS ls,
+                       contains(text, '{') AS has_curly,
+                       contains(lower(text), 'lorem ipsum') AS has_lorem,
+                       contains(lower(text), 'javascript')
+                           AS has_javascript
+                FROM documents WHERE length(text) > 0),
+            c4m AS (
+                SELECT doc_id, len(ls)::BIGINT AS n_lines,
+                       CASE WHEN len(ls) > 0 THEN round(
+                           len(list_filter(ls, x -> regexp_matches(
+                               trim(x), '[.!?"]$')))::DOUBLE / len(ls), 4)
+                       END AS frac_lines_end_punct,
+                       CASE WHEN len(ls) > 0 THEN round(
+                           len(list_filter(ls, x -> len(
+                               regexp_split_to_array(trim(x), '\s+'))
+                               < 3))::DOUBLE / len(ls), 4)
+                       END AS frac_lines_short,
+                       has_curly, has_lorem, has_javascript
+                FROM c4)
             SELECT q.doc_id, q.n_chars, q.n_tokens, q.letter_ratio,
                    q.punct_ratio, q.stopword_ratio, q.chars_per_token,
                    lid.lang_guess, lid.hits_en, lid.hits_es, lid.hits_de,
-                   lid.hits_fr
-            FROM q JOIN lid USING (doc_id)
+                   lid.hits_fr, c4m.n_lines, c4m.frac_lines_end_punct,
+                   c4m.frac_lines_short, c4m.has_curly, c4m.has_lorem,
+                   c4m.has_javascript
+            FROM q JOIN lid USING (doc_id) JOIN c4m USING (doc_id)
         """,
         # same bucketed-LSH algorithm as the Spark side: 4 tables x 4 bits
         # (planes = embeddings 10..25), candidates share a (table, bucket),
