@@ -6,7 +6,10 @@ struct.error/MemoryError/...), and size caps fire BEFORE large
 allocations. The per-module test files assert the contract on targeted
 mutants; this script is the committed, reproducible version of the
 round-5 ad-hoc campaign: every parser family x every mutation class,
-with a leak = any non-ImageError exception (or a >5 GB RSS spike).
+with a leak = any non-ImageError exception, or growth of the process
+peak-RSS high-water mark past RSS_BUDGET (checked after every decode
+via getrusage ru_maxrss — catches a cap that fires only AFTER a huge
+allocation).
 
 Mutation classes per family seed:
   random      pure random blobs
@@ -89,12 +92,21 @@ def families():
     return fams
 
 
+RSS_BUDGET = 5 * 1024 * 1024 * 1024      # 5 GB above the baseline
+
+
+def _peak_rss() -> int:
+    import resource
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+
+
 def main():
     n_per = int(sys.argv[1]) if len(sys.argv) > 1 else 500
     fams = families()
     rng = random.Random(99)
     leaks = []
     total = 0
+    rss_base = _peak_rss()
     print(f"{'family':<12} {'decodes':>8} {'errors':>8} {'ok':>6}")
     for name, fn, valid, magic in fams:
         n_err = n_ok = 0
@@ -128,8 +140,15 @@ def main():
                 leaks.append((name, traceback.format_exc(limit=3)))
                 if len(leaks) > 5:
                     break
+            if _peak_rss() - rss_base > RSS_BUDGET:
+                leaks.append((name, "peak-RSS budget exceeded: "
+                              f"{(_peak_rss() - rss_base) / 1e9:.1f} GB "
+                              "above baseline (a size cap fired AFTER "
+                              "a huge allocation)"))
+                break
         print(f"{name:<12} {5 * n_per:>8} {n_err:>8} {n_ok:>6}")
-    print(f"\ntotal decodes: {total}, leaks: {len(leaks)}")
+    print(f"\ntotal decodes: {total}, leaks: {len(leaks)}, "
+          f"peak-RSS delta: {(_peak_rss() - rss_base) / 1e6:.0f} MB")
     for name, tb in leaks[:5]:
         print(f"\nLEAK in {name}:\n{tb}")
     sys.exit(1 if leaks else 0)

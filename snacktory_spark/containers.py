@@ -97,10 +97,14 @@ def mp4_info(data: bytes) -> dict:
         timescale = None
         mehd_dur = None
         trex_default_dur = 0
-        tfhd_default_dur = 0          # per-traf, reset at each tfhd
+        tfhd_default_dur = 0          # per-traf (reset at each traf)
+        cur_traf_track = None         # tfhd track_ID of the open traf
         n_fragments = 0
         frag_samples = 0
-        frag_dur_units = 0
+        # trun durations are in each TRACK's mdhd media timescale (not
+        # the mvhd movie timescale) and must not be summed across
+        # tracks: accumulate per tfhd track_ID
+        frag_dur_units: dict = {}
         def need(b, e, n, box):
             # ADVICE r5: fixed-offset field reads must fit the BOX BODY,
             # not merely the buffer — a short body would silently parse
@@ -124,8 +128,28 @@ def mp4_info(data: bytes) -> dict:
                 timescale = ts
                 duration_ms = dur * 1000 // ts
             elif fourcc == b"trak":
-                cur = {"handler": "", "codec": "", "n_samples": 0}
+                cur = {"handler": "", "codec": "", "n_samples": 0,
+                       "track_id": None, "media_timescale": None}
                 tracks.append(cur)
+            elif fourcc == b"tkhd" and cur is not None:
+                need(b, e, 1, "tkhd")
+                if data[b] == 1:
+                    need(b, e, 24, "tkhd v1")
+                    cur["track_id"] = struct.unpack(
+                        ">I", data[b + 20:b + 24])[0]
+                else:
+                    need(b, e, 16, "tkhd v0")
+                    cur["track_id"] = struct.unpack(
+                        ">I", data[b + 12:b + 16])[0]
+            elif fourcc == b"mdhd" and cur is not None:
+                need(b, e, 1, "mdhd")
+                if data[b] == 1:
+                    need(b, e, 24, "mdhd v1")
+                    mts = struct.unpack(">I", data[b + 20:b + 24])[0]
+                else:
+                    need(b, e, 16, "mdhd v0")
+                    mts = struct.unpack(">I", data[b + 12:b + 16])[0]
+                cur["media_timescale"] = mts or None
             elif fourcc == b"hdlr" and cur is not None:
                 need(b, e, 12, "hdlr")
                 cur["handler"] = data[b + 8:b + 12].decode("latin-1")
@@ -157,9 +181,15 @@ def mp4_info(data: bytes) -> dict:
                     ">I", data[b + 12:b + 16])[0]
             elif fourcc == b"moof":
                 n_fragments += 1
+            elif fourcc == b"traf":
+                # per-traf state: a traf without its own tfhd must NOT
+                # inherit the previous fragment's default duration
+                tfhd_default_dur = 0
+                cur_traf_track = None
             elif fourcc == b"tfhd":
                 need(b, e, 8, "tfhd")
                 flags = int.from_bytes(data[b + 1:b + 4], "big")
+                cur_traf_track = struct.unpack(">I", data[b + 4:b + 8])[0]
                 off = b + 8
                 if flags & 0x1:          # base_data_offset
                     off += 8
@@ -169,8 +199,6 @@ def mp4_info(data: bytes) -> dict:
                     need(b, e, off - b + 4, "tfhd default duration")
                     tfhd_default_dur = struct.unpack(
                         ">I", data[off:off + 4])[0]
-                else:
-                    tfhd_default_dur = 0
             elif fourcc == b"trun":
                 need(b, e, 8, "trun")
                 flags = int.from_bytes(data[b + 1:b + 4], "big")
@@ -188,23 +216,37 @@ def mp4_info(data: bytes) -> dict:
                 if per and n > (e - off) // per:
                     raise ImageError("trun sample table out of range")
                 if flags & 0x100:        # per-sample durations present
+                    units = 0
                     for i in range(n):
-                        frag_dur_units += struct.unpack(
+                        units += struct.unpack(
                             ">I", data[off + i * per:
                                        off + i * per + 4])[0]
                 else:
-                    frag_dur_units += n * (tfhd_default_dur
-                                           or trex_default_dur)
+                    units = n * (tfhd_default_dur or trex_default_dur)
+                frag_dur_units[cur_traf_track] = \
+                    frag_dur_units.get(cur_traf_track, 0) + units
             elif fourcc == b"mdat":
                 mdat_bytes += e - b
         if duration_ms is None:
             raise ImageError("MP4 without mvhd")
         if duration_ms == 0 and n_fragments:
             # fragmented movie: mvhd carries 0; prefer the declared
-            # mehd total, else the walked per-fragment sample durations
-            dur_units = mehd_dur if mehd_dur is not None else \
-                frag_dur_units
-            duration_ms = dur_units * 1000 // timescale
+            # mehd total (MOVIE timescale), else the walked per-track
+            # trun durations — each converted with ITS track's mdhd
+            # media timescale, movie duration = longest track (never a
+            # cross-track sum, and never mdhd units over the mvhd
+            # timescale: a 90 kHz video track divided by a 1000-unit
+            # movie timescale would read 90x long)
+            if mehd_dur is not None:
+                duration_ms = mehd_dur * 1000 // timescale
+            else:
+                by_id = {t["track_id"]: t["media_timescale"]
+                         for t in tracks}
+                best = 0
+                for tid, units in frag_dur_units.items():
+                    mts = by_id.get(tid) or timescale
+                    best = max(best, units * 1000 // mts)
+                duration_ms = best
         return {"brand": brand, "duration_ms": duration_ms,
                 "n_tracks": len(tracks), "tracks": tracks,
                 "n_fragments": n_fragments,
@@ -231,7 +273,8 @@ def build_mp4(n_samples: int, sample_size: int, duration_ms: int,
             + struct.pack(">II", timescale,
                           duration_ms * timescale // 1000)
             + b"\x00" * 80)
-    tkhd = b"\x00\x00\x00\x07" + b"\x00" * 80
+    tkhd = (b"\x00\x00\x00\x07" + b"\x00" * 8
+            + struct.pack(">I", 1) + b"\x00" * 68)
     mdhd = (b"\x00\x00\x00\x00" + b"\x00" * 8
             + struct.pack(">II", timescale,
                           duration_ms * timescale // 1000)
@@ -271,19 +314,26 @@ def build_mp4(n_samples: int, sample_size: int, duration_ms: int,
 
 def build_fmp4(n_fragments: int, samples_per_frag: int,
                sample_dur: int, timescale: int = 1000,
+               media_timescale: int | None = None,
                handler: bytes = b"vide", codec: bytes = b"avc1",
                with_mehd: bool = False, seed: int = 0) -> bytes:
     """Structurally valid FRAGMENTED MP4 (streaming-era layout): ftyp +
     moov(mvhd with duration 0, trak with an EMPTY stbl, mvex(trex [+
     mehd])) + per fragment moof(mfhd, traf(tfhd, trun with per-sample
     durations)) + mdat filler. With with_mehd the movie duration is
-    declared up front; without it a scanner must walk the trun sample
-    durations — both public layouts (ISO 14496-12 §8.8)."""
+    declared up front (MOVIE timescale); without it a scanner must walk
+    the trun sample durations, which are in the track's MDHD MEDIA
+    timescale (media_timescale, default = timescale; a real DASH video
+    track runs at 90 kHz against a 1000-unit movie) — both public
+    layouts (ISO 14496-12 §8.8)."""
+    if media_timescale is None:
+        media_timescale = timescale
     mvhd = (b"\x00\x00\x00\x00" + b"\x00" * 8
             + struct.pack(">II", timescale, 0) + b"\x00" * 80)
-    tkhd = b"\x00\x00\x00\x07" + b"\x00" * 80
+    tkhd = (b"\x00\x00\x00\x07" + b"\x00" * 8
+            + struct.pack(">I", 1) + b"\x00" * 68)
     mdhd = (b"\x00\x00\x00\x00" + b"\x00" * 8
-            + struct.pack(">II", timescale, 0) + b"\x00" * 4)
+            + struct.pack(">II", media_timescale, 0) + b"\x00" * 4)
     hdlr = b"\x00\x00\x00\x00" + b"\x00" * 4 + handler + b"\x00" * 13
     stsd = (b"\x00\x00\x00\x00" + struct.pack(">I", 1)
             + _box(codec, b"\x00" * 16))
@@ -302,10 +352,12 @@ def build_fmp4(n_fragments: int, samples_per_frag: int,
             + struct.pack(">I", 0)                       # default dur
             + struct.pack(">II", 0, 0))
     mvex = _box(b"trex", trex)
-    total_units = n_fragments * samples_per_frag * sample_dur
     if with_mehd:
+        # mehd carries the total in the MOVIE timescale
+        movie_units = (n_fragments * samples_per_frag * sample_dur
+                       * timescale // media_timescale)
         mvex = _box(b"mehd", b"\x00\x00\x00\x00"
-                    + struct.pack(">I", total_units)) + mvex
+                    + struct.pack(">I", movie_units)) + mvex
     moov = _box(b"moov", _box(b"mvhd", mvhd) + _box(b"trak", trak)
                 + _box(b"mvex", mvex))
     out = bytearray(_box(b"ftyp", b"iso5\x00\x00\x02\x00iso5dash")
@@ -602,17 +654,43 @@ def _ebml_float(body: bytes) -> float:
     raise ImageError("EBML float must be 4 or 8 bytes")
 
 
+def _scan_unknown_cluster_end(data: bytes, start: int, end: int) -> int:
+    """End position of an unknown-size Cluster: the next sibling
+    Cluster id at this level, else the enclosing range's end (RFC 8794:
+    an unknown-size element ends where an element that is not a valid
+    child begins). Walks element HEADERS only; position strictly
+    advances, so the scan is bounded by the range."""
+    p = start
+    while p < end:
+        eid, q = _ebml_read_id(data, p, end)
+        if eid == _MKV_CLUSTER:
+            return p
+        size, q = _ebml_read_size(data, q, end)
+        if size is None:
+            return end          # nested unknown-size child: to the end
+        if q + size > end:
+            raise ImageError("EBML element size out of range")
+        p = q + size
+    return end
+
+
 def _iter_ebml(data: bytes, start: int, end: int, depth: int,
                count: list):
     """Yield (element_id, body_start, body_end, depth) walking the EBML
-    tree; descends only into the known container IDs. Unknown-size
-    elements run to the enclosing range's end (and are descended, so
-    their children still bound them in practice)."""
+    tree; descends only into the known container IDs. An unknown-size
+    Segment runs to the enclosing range's end; an unknown-size CLUSTER
+    (live-muxed WebM writes one per cluster) ends at the next Cluster
+    id — without that bound each cluster would nest inside the
+    previous one and the depth cap would silently drop everything past
+    cluster ~8."""
     pos = start
     while pos < end:
         eid, pos = _ebml_read_id(data, pos, end)
         size, pos = _ebml_read_size(data, pos, end)
-        body_end = end if size is None else pos + size
+        if size is None and eid == _MKV_CLUSTER:
+            body_end = _scan_unknown_cluster_end(data, pos, end)
+        else:
+            body_end = end if size is None else pos + size
         if body_end > end:
             raise ImageError("EBML element size out of range")
         count[0] += 1
@@ -702,12 +780,16 @@ def build_webm(n_clusters: int, blocks_per_cluster: int,
                duration_ms: int, codec: bytes = b"V_VP9",
                track_type: int = 1, block_bytes: int = 24,
                unknown_segment_size: bool = False,
+               unknown_cluster_sizes: bool = False,
                seed: int = 0) -> bytes:
     """Structurally valid single-track WebM: EBML header (DocType
     'webm') + Segment(Info(TimestampScale, Duration), Tracks(
     TrackEntry(TrackType, CodecID)), Clusters with SimpleBlocks
     carrying deterministic filler). unknown_segment_size writes the
-    live-streaming layout (Segment size all-ones, children bound it)."""
+    live-streaming Segment layout (size all-ones, children bound it);
+    unknown_cluster_sizes additionally writes EVERY Cluster with the
+    unknown-size marker (what live muxers emit — each cluster ends
+    where the next begins)."""
     header = _ebml_el(_EBML_HEADER,
                       _ebml_uint_el(0x4286, 1)            # EBMLVersion
                       + _ebml_el(_EBML_DOCTYPE, b"webm")
@@ -732,7 +814,11 @@ def build_webm(n_clusters: int, blocks_per_cluster: int,
                                          0x80 if bi == 0 else 0)
                    + payload)
             body += _ebml_el(_MKV_SIMPLE_BLOCK, blk)
-        clusters += _ebml_el(_MKV_CLUSTER, body)
+        if unknown_cluster_sizes:
+            clusters += (_MKV_CLUSTER.to_bytes(4, "big") + b"\xFF"
+                         + body)
+        else:
+            clusters += _ebml_el(_MKV_CLUSTER, body)
     seg_body = info + tracks + clusters
     if unknown_segment_size:
         seg = _MKV_SEGMENT.to_bytes(4, "big") + b"\xFF" + seg_body

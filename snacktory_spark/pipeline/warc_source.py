@@ -115,7 +115,15 @@ def read_warc_ranges(spark: SparkSession, index_df: DataFrame,
     tasks — the anti-straggler property the whole-file path lacks), then
     seek+read+parse each compressed member independently. Response
     records are split into (status, content_type, body); other requested
-    types pass through with status=0 and the raw payload."""
+    types pass through with status=0 and the raw payload.
+
+    Error contract: a corrupt RANGE skips that record; a PERMANENTLY
+    unreadable FILE (missing, moved, permission-denied, unsupported
+    scheme) skips all of that file's records — neither fails the task.
+    Transient I/O errors (connection resets, timeouts) are NOT
+    swallowed: they fail the task so Spark's retry machinery re-runs
+    it — swallowing them would convert recoverable faults into silent
+    permanent record loss."""
     from pyspark.sql import functions as F
 
     ensure_py_files(spark)
@@ -148,17 +156,23 @@ def read_warc_ranges(spark: SparkSession, index_df: DataFrame,
                         cur_path, f = sp, None
                         try:
                             f = _open_range_source(sp)
-                        except OSError:
-                            # missing/moved/unreachable file: skip ALL
-                            # of its records, never the task (ADVICE r5)
+                        except (FileNotFoundError, NotADirectoryError,
+                                IsADirectoryError, PermissionError,
+                                ValueError):
+                            # PERMANENTLY unreadable file — missing/
+                            # moved/denied, or a scheme pyarrow rejects
+                            # (ArrowInvalid is a ValueError, NOT an
+                            # OSError): skip ALL of its records, never
+                            # the task (ADVICE r5). Transient I/O
+                            # faults (connection reset, timeout —
+                            # generic OSError) deliberately PROPAGATE
+                            # so Spark's task retry gets a chance
+                            # instead of silently losing the archive.
                             f = None
                     if f is None:
                         continue
-                    try:
-                        f.seek(int(off))
-                        member = f.read(int(length))
-                    except OSError:
-                        continue
+                    f.seek(int(off))
+                    member = f.read(int(length))
                     try:
                         headers, payload = read_warc_range(member)
                         if headers.get("warc-type") == "response":

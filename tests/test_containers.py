@@ -23,7 +23,8 @@ def test_mp4_roundtrip():
     assert info["duration_ms"] == 480
     assert info["n_tracks"] == 1
     assert info["tracks"][0] == {"handler": "vide", "codec": "avc1",
-                                 "n_samples": 12}
+                                 "n_samples": 12, "track_id": 1,
+                                 "media_timescale": 1000}
     assert info["mdat_bytes"] == 12 * 50
 
 
@@ -281,7 +282,104 @@ def test_fmp4_roundtrip_trun_durations():
     assert info["frag_samples"] == 15
     assert info["duration_ms"] == 3 * 5 * 40
     assert info["tracks"][0]["codec"] == "avc1"
+    assert info["tracks"][0]["track_id"] == 1
     assert info["mdat_bytes"] == 3 * 5 * 16
+
+
+def test_fmp4_media_timescale_conversion():
+    """trun durations are in the track's MDHD media timescale, not the
+    mvhd movie timescale (the r6 review finding: a real DASH video
+    track runs at 90 kHz against a 1000-unit movie — dividing media
+    units by the movie timescale reads 90x long)."""
+    # 2 frags x 25 samples x 3600 units @ 90 kHz = 2 s
+    data = build_fmp4(2, 25, 3600, timescale=1000,
+                      media_timescale=90000)
+    info = mp4_info(data)
+    assert info["tracks"][0]["media_timescale"] == 90000
+    assert info["duration_ms"] == 2000
+    # declared-mehd variant converts to movie units and must agree
+    data2 = build_fmp4(2, 25, 3600, timescale=1000,
+                       media_timescale=90000, with_mehd=True)
+    assert mp4_info(data2)["duration_ms"] == 2000
+
+
+def _fmp4_boxes(d):
+    out, pos = [], 0
+    while pos < len(d):
+        size = struct.unpack(">I", d[pos:pos + 4])[0]
+        out.append((d[pos + 4:pos + 8], bytes(d[pos:pos + size])))
+        pos += size
+    return out
+
+
+def test_fmp4_multi_track_durations_not_summed():
+    """A muxed audio+video fMP4: movie duration = the LONGEST track's
+    trun total converted with ITS media timescale, never the
+    cross-track sum (the r6 review finding). Splice a second track
+    (id 2, 48 kHz media timescale) and its fragments into one movie."""
+    from snacktory_spark.containers import _box
+    a = build_fmp4(2, 4, 40, timescale=1000)          # track 1: 320 ms
+    b = build_fmp4(2, 24, 1024, timescale=1000,
+                   media_timescale=48000)             # track 2: 1024 ms
+    bb = bytearray(b)
+    # retag track 2: tkhd track_id and every tfhd track_ID 1 -> 2
+    tk = bb.find(b"tkhd")
+    bb[tk + 4 + 12:tk + 4 + 16] = struct.pack(">I", 2)
+    pos = 0
+    while True:
+        pos = bb.find(b"tfhd", pos + 1)
+        if pos < 0:
+            break
+        bb[pos + 4 + 4:pos + 4 + 8] = struct.pack(">I", 2)
+    A, B = _fmp4_boxes(a), _fmp4_boxes(bytes(bb))
+    moov_a = next(r for f, r in A if f == b"moov")
+    moov_b = next(r for f, r in B if f == b"moov")
+    trak_b = next(r for f, r in _fmp4_boxes(moov_b[8:])
+                  if f == b"trak")
+    moov = _box(b"moov", moov_a[8:] + trak_b)
+    out = next(r for f, r in A if f == b"ftyp") + moov
+    out += b"".join(r for f, r in A if f in (b"moof", b"mdat"))
+    out += b"".join(r for f, r in B if f in (b"moof", b"mdat"))
+    info = mp4_info(out)
+    assert info["n_tracks"] == 2
+    assert [t["track_id"] for t in info["tracks"]] == [1, 2]
+    assert [t["media_timescale"] for t in info["tracks"]] == \
+        [1000, 48000]
+    assert info["n_fragments"] == 4
+    # longest track wins (track 2: 2*24*1024/48000 s = 1024 ms), and
+    # NOT 320 + 1024
+    assert info["duration_ms"] == 1024
+
+
+def test_fmp4_traf_without_tfhd_uses_trex_not_stale_default():
+    """A traf with no tfhd must fall back to the trex default sample
+    duration — not inherit the previous fragment's tfhd default (the
+    stale-state analog of the short-body reads; r6 review finding)."""
+    from snacktory_spark.containers import _box
+    base = bytearray(build_fmp4(1, 4, 40))
+    trex_at = base.find(b"trex")
+    base[trex_at + 16:trex_at + 20] = struct.pack(">I", 7)
+    moof_at = base.find(b"moof") - 4
+    head = bytes(base[:moof_at])
+    trun = b"\x00\x00\x00\x00" + struct.pack(">I", 4)  # no per-sample
+    # frag A: tfhd DECLARES default_sample_duration 5 (flag 0x8)
+    tfhd_a = (b"\x00" + (0x8).to_bytes(3, "big")
+              + struct.pack(">II", 1, 5))
+    moof_a = _box(b"moof", _box(b"mfhd", b"\x00" * 4
+                                + struct.pack(">I", 1))
+                  + _box(b"traf", _box(b"tfhd", tfhd_a)
+                         + _box(b"trun", trun)))
+    # frag B: NO tfhd at all — must use trex's 7, not frag A's 5
+    moof_b = _box(b"moof", _box(b"mfhd", b"\x00" * 4
+                                + struct.pack(">I", 2))
+                  + _box(b"traf", _box(b"trun", trun)))
+    info = mp4_info(head + moof_a + moof_b)
+    assert info["n_fragments"] == 2
+    assert info["frag_samples"] == 8
+    # track 1 (frag A): 4x5 = 20 ms; the tfhd-less traf buckets
+    # separately at 4x7 = 28 ms; stale inheritance would read 4x5
+    # there and report 20
+    assert info["duration_ms"] == 28
 
 
 def test_fmp4_mehd_declared_duration():
@@ -367,6 +465,21 @@ def test_webm_unknown_segment_size():
     a = build_webm(2, 3, 900, unknown_segment_size=False)
     b = build_webm(2, 3, 900, unknown_segment_size=True)
     assert webm_info(a) == webm_info(b)
+
+
+def test_webm_unknown_cluster_sizes():
+    """Live muxers write EVERY Cluster with the unknown-size marker
+    (each cluster ends where the next begins). The r6 review finding:
+    without an explicit sibling-Cluster bound, each cluster nests
+    inside the previous one and the depth cap silently drops
+    everything past cluster ~8 — so use well past 8 clusters and
+    require exact counts, identical to the sized layout."""
+    sized = build_webm(12, 3, 6000, unknown_segment_size=True)
+    live = build_webm(12, 3, 6000, unknown_segment_size=True,
+                      unknown_cluster_sizes=True)
+    want = webm_info(sized)
+    assert want["n_clusters"] == 12 and want["n_blocks"] == 36
+    assert webm_info(live) == want
 
 
 def test_webm_timestamp_scale_applied():
