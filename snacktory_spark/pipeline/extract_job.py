@@ -55,15 +55,25 @@ def ensure_py_files(spark: SparkSession) -> None:
         return
     if getattr(sc, "_snacktory_pyfiles_added", False):
         return
+    sc.addPyFile(build_pyfiles_zip())
+    sc._snacktory_pyfiles_added = True
+
+
+def build_pyfiles_zip() -> str:
+    """Build (or reuse) the snacktory_spark executor zip; returns its
+    path. The name is CONTENT-ADDRESSED — a hash of the package's file
+    list, sizes and mtimes: a pid-keyed name collides when pids recycle
+    across runs and silently ships a STALE module set to the executors
+    (observed as ModuleNotFoundError for any module added since).
+    Identical sources reuse the cached zip; any change produces a new
+    name; the build is atomic (tmp + rename), so concurrent builders
+    race safely."""
     import hashlib
     import tempfile
     import zipfile
 
     import snacktory_spark
     pkg_dir = os.path.dirname(os.path.abspath(snacktory_spark.__file__))
-    # content-address the zip: a pid-keyed name collides when pids
-    # recycle across runs and silently ships a STALE module set to the
-    # executors (ModuleNotFoundError for any module added since)
     entries = []
     for root, _dirs, files in os.walk(pkg_dir):
         for name in sorted(files):
@@ -82,9 +92,8 @@ def ensure_py_files(spark: SparkSession) -> None:
         with zipfile.ZipFile(tmp, "w") as zf:
             for full, rel, _s, _m in entries:
                 zf.write(full, rel)
-        os.replace(tmp, zpath)      # atomic: concurrent builders race safely
-    sc.addPyFile(zpath)
-    sc._snacktory_pyfiles_added = True
+        os.replace(tmp, zpath)
+    return zpath
 
 
 def build_session(app: str = "snacktory-extract", master: str | None = None,

@@ -467,3 +467,38 @@ def test_dedup_and_compaction_compose(spark, synth_dir, tmp_path):
     assert m["output_rows"] > 0
     assert all(len(glob.glob(f"{out}/bucket={b}/*.parquet")) <= 1
                for b in range(4))
+
+
+def test_pyfiles_zip_is_content_addressed(tmp_path, monkeypatch):
+    """The executor zip must change NAME when any package source
+    changes (the r6 stale-zip bug: a pid-keyed name + skip-if-exists
+    shipped outdated module sets when pids recycled), reuse the cached
+    file for identical sources, and contain every package module."""
+    import os
+    import zipfile
+
+    import snacktory_spark
+    from snacktory_spark.pipeline.extract_job import build_pyfiles_zip
+
+    z1 = build_pyfiles_zip()
+    assert build_pyfiles_zip() == z1           # unchanged -> same path
+    names = set(zipfile.ZipFile(z1).namelist())
+    pkg_dir = os.path.dirname(os.path.abspath(snacktory_spark.__file__))
+    want = set()
+    for root, _dirs, files in os.walk(pkg_dir):
+        for name in files:
+            if name.endswith(".py"):
+                full = os.path.join(root, name)
+                want.add(os.path.relpath(full, os.path.dirname(pkg_dir)))
+    assert names == want                       # nothing missing/stale
+    assert "snacktory_spark/warc.py" in names  # the r6 missing module
+    # bump one module's mtime -> different zip path, then restore
+    target = os.path.join(pkg_dir, "warc.py")
+    st = os.stat(target)
+    try:
+        os.utime(target, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+        z2 = build_pyfiles_zip()
+        assert z2 != z1
+    finally:
+        os.utime(target, ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert build_pyfiles_zip() == z1
