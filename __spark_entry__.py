@@ -902,7 +902,14 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see snacktory_spark/pipeline/warc_source.py for the range-parallel
     read path and tests/test_warc.py for the >1-task proof). This is
     the archive→extraction ingest hop of a web pipeline, as a narrow
-    binary-column map."""
+    binary-column map.
+
+    r6 adds the SOURCE-ARCHIVE scan tier alongside (snacktory_spark.
+    archives — code/document corpora ship as .zip/.tar): per document a
+    stored-method ZIP and a ustar TAR are built from the doc text plus
+    doc_id-derived filler entries, then structurally scanned (central-
+    directory inventory with stored-CRC verification; ustar header
+    walk with checksum verification) — payloads never extracted."""
     import pandas as pd
     from snacktory_spark.pipeline.extract_job import ensure_py_files
 
@@ -914,25 +921,37 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + "</p></body></html>").encode("utf-8")
 
     def build(batches):
+        from snacktory_spark.archives import build_tar, build_zip
         from snacktory_spark.warc import write_warc
         for pdf in batches:
-            payloads = []
+            payloads, zips, tars = [], [], []
             for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
                 payloads.append(write_warc(
-                    [(f"http://corpus.test/{int(doc_id)}", _html(t))],
+                    [(f"http://corpus.test/{d}", _html(t))],
                     gzip_members=True))
+                entries = ([("doc.txt", (t or "").encode("utf-8")),
+                            ("meta.json", b'{"id": %12d, "v": 1}' % d)]
+                           + [(f"extra/{i}.bin",
+                               bytes(((d + i + j) * 167) % 251
+                                     for j in range(10)))
+                              for i in range(d % 3)])
+                zips.append(build_zip(entries))
+                tars.append(build_tar([("extra/", None)] + entries))
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
-                                "payload": payloads,
-                                "text": pdf["text"]})
+                                "payload": payloads, "zip": zips,
+                                "tar": tars, "text": pdf["text"]})
 
     def parse(batches):
+        from snacktory_spark.archives import tar_info, zip_info
         from snacktory_spark.warc import (build_cdx, iter_warc_records,
                                           iter_warc_responses,
                                           read_warc_range, warc_info)
         for pdf in batches:
             rows = []
-            for doc_id, payload, t in zip(pdf["doc_id"], pdf["payload"],
-                                          pdf["text"]):
+            for doc_id, payload, zdata, tdata, t in zip(
+                    pdf["doc_id"], pdf["payload"], pdf["zip"],
+                    pdf["tar"], pdf["text"]):
                 data = bytes(payload)
                 info = warc_info(data)
                 resp = list(iter_warc_responses(data))
@@ -952,18 +971,28 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       data[r["offset"]:r["offset"]
                                            + r["length"]]) == rec
                                   for r, rec in zip(cdx, full)))
+                zi = zip_info(bytes(zdata))
+                ti = tar_info(bytes(tdata))
                 rows.append((doc_id, info["n_records"], resp[0][1],
-                             resp[0][2], ok, len(cdx), cdx_ok))
+                             resp[0][2], ok, len(cdx), cdx_ok,
+                             zi["n_entries"], zi["uncompressed_bytes"],
+                             zi["stored_crc_ok"], ti["n_entries"],
+                             ti["n_files"], ti["total_file_bytes"]))
             yield pd.DataFrame(rows, columns=[
                 "doc_id", "n_records", "status", "content_type",
-                "body_match", "cdx_records", "cdx_ok"])
+                "body_match", "cdx_records", "cdx_ok", "zip_entries",
+                "zip_bytes", "zip_crc_ok", "tar_entries", "tar_files",
+                "tar_bytes"])
 
-    built = docs.mapInPandas(build,
-                             "doc_id long, payload binary, text string")
+    built = docs.mapInPandas(
+        build, "doc_id long, payload binary, zip binary, tar binary, "
+               "text string")
     return built.mapInPandas(
         parse, "doc_id long, n_records long, status long, "
                "content_type string, body_match boolean, "
-               "cdx_records long, cdx_ok boolean")
+               "cdx_records long, cdx_ok boolean, zip_entries long, "
+               "zip_bytes long, zip_crc_ok boolean, tar_entries long, "
+               "tar_files long, tar_bytes long")
 
 
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2760,11 +2789,22 @@ def oracle_sql() -> dict[str, str]:
         # WARC round-trip is exact by construction: warcinfo + 1
         # response, HTTP 200 text/html, body byte-recovered; the CDX
         # index tiles the stream (2 members) and each range re-parses
+        # archive columns are closed-form on doc_id + the utf-8 OCTET
+        # length of text: entries = doc.txt + meta.json(28B) + (d%3)
+        # 10-byte extras; tar adds one directory entry
         "warc_roundtrip": """
             SELECT doc_id, 2::BIGINT AS n_records, 200::BIGINT AS status,
                    'text/html; charset=utf-8' AS content_type,
                    true AS body_match, 2::BIGINT AS cdx_records,
-                   true AS cdx_ok
+                   true AS cdx_ok,
+                   (2 + doc_id % 3)::BIGINT AS zip_entries,
+                   (octet_length(encode(text)) + 28
+                    + (doc_id % 3) * 10)::BIGINT AS zip_bytes,
+                   true AS zip_crc_ok,
+                   (3 + doc_id % 3)::BIGINT AS tar_entries,
+                   (2 + doc_id % 3)::BIGINT AS tar_files,
+                   (octet_length(encode(text)) + 28
+                    + (doc_id % 3) * 10)::BIGINT AS tar_bytes
             FROM documents
         """,
         # ADTS/Annex-B/MP4/Ogg/FLAC framing is closed-form on doc_id

@@ -83,6 +83,12 @@ def families():
         containers.build_flac(44100, 2, 44100, seed=6), b"fLaC")
     add("webm", containers.webm_info,
         containers.build_webm(3, 2, 900, seed=7), b"\x1aE\xdf\xa3")
+    from snacktory_spark import archives
+    add("zip", archives.zip_info,
+        archives.build_zip([("a.txt", b"x" * 40), ("b", b"y" * 9)]),
+        b"PK\x03\x04")
+    add("tar", archives.tar_info,
+        archives.build_tar([("d/", None), ("d/a", b"z" * 30)]), b"")
     add("warc", warc.warc_info,
         warc.write_warc([("http://x.test/1", b"<html>a</html>")],
                         gzip_members=True), b"\x1f\x8b")
