@@ -44,13 +44,28 @@ def zip_info(data: bytes) -> dict:
     try:
         if len(data) < 22 or data[:4] not in (_LOCAL_SIG, _EOCD_SIG):
             raise ImageError("not a ZIP (no local/EOCD signature)")
-        # EOCD: scan backward over the (bounded) trailing comment
+        # EOCD: scan backward over the (bounded) trailing comment. A
+        # comment may itself CONTAIN the EOCD signature bytes, so each
+        # rfind candidate is validated (comment length reaches exactly
+        # end-of-file, central directory signature at cd_off) and the
+        # scan continues backward on mismatch — a bare rfind would
+        # reject valid archives on the spurious later match.
         lo = max(0, len(data) - 22 - 0xFFFF)
         at = data.rfind(_EOCD_SIG, lo)
+        while at >= 0:
+            if at + 22 <= len(data):
+                clen = struct.unpack("<H", data[at + 20:at + 22])[0]
+                cdo = struct.unpack("<I", data[at + 16:at + 20])[0]
+                if (at + 22 + clen == len(data)
+                        and (cdo == 0xFFFFFFFF     # ZIP64: reject later
+                             or data[cdo:cdo + 4] == _CDIR_SIG
+                             # empty archive: cd_off points at the EOCD
+                             or (cdo == at and struct.unpack(
+                                 "<H", data[at + 10:at + 12])[0] == 0))):
+                    break
+            at = data.rfind(_EOCD_SIG, lo, at)
         if at < 0:
             raise ImageError("ZIP without end-of-central-directory")
-        if at + 22 > len(data):
-            raise ImageError("truncated ZIP EOCD")
         (n_disk, cd_size, cd_off) = struct.unpack(
             "<H I I", data[at + 10:at + 20])
         if n_disk == 0xFFFF or cd_off == 0xFFFFFFFF:

@@ -96,7 +96,10 @@ def mp4_info(data: bytes) -> dict:
         mdat_bytes = 0
         timescale = None
         mehd_dur = None
-        trex_default_dur = 0
+        # one trex per track_ID (ISO 14496-12 §8.8.3): keyed by track so
+        # a multi-track fMP4 with differing per-track defaults resolves
+        # each traf against ITS track's default, not the last trex seen
+        trex_default_dur: dict[int, int] = {}
         tfhd_default_dur = 0          # per-traf (reset at each traf)
         cur_traf_track = None         # tfhd track_ID of the open traf
         n_fragments = 0
@@ -177,7 +180,8 @@ def mp4_info(data: bytes) -> dict:
                 # ver/flags, track_ID, default_sample_description_index,
                 # default_sample_duration, default_sample_size, flags
                 need(b, e, 24, "trex")
-                trex_default_dur = struct.unpack(
+                trex_track = struct.unpack(">I", data[b + 4:b + 8])[0]
+                trex_default_dur[trex_track] = struct.unpack(
                     ">I", data[b + 12:b + 16])[0]
             elif fourcc == b"moof":
                 n_fragments += 1
@@ -222,7 +226,14 @@ def mp4_info(data: bytes) -> dict:
                             ">I", data[off + i * per:
                                        off + i * per + 4])[0]
                 else:
-                    units = n * (tfhd_default_dur or trex_default_dur)
+                    dflt = trex_default_dur.get(cur_traf_track, 0)
+                    if (not dflt and cur_traf_track is None
+                            and len(trex_default_dur) == 1):
+                        # tfhd-less traf (non-spec but seen in the
+                        # wild): a single-track movie's lone trex is
+                        # unambiguous
+                        dflt = next(iter(trex_default_dur.values()))
+                    units = n * (tfhd_default_dur or dflt)
                 frag_dur_units[cur_traf_track] = \
                     frag_dur_units.get(cur_traf_track, 0) + units
             elif fourcc == b"mdat":

@@ -171,9 +171,13 @@ _PRIVATE_SUFFIXES = {
     "web.app", "firebaseapp.com", "azurewebsites.net", "cloudfront.net",
     "readthedocs.io", "s3.amazonaws.com", "glitch.me", "onrender.com",
     "fly.dev", "surge.sh", "neocities.org", "bitbucket.io",
-    # CentralNic pseudo-ccTLD second-levels
-    "uk.com", "us.com", "eu.com", "gb.com", "de.com", "jpn.com",
-    "br.com", "cn.com", "ru.com", "sa.com", "se.com", "za.com",
+    # CentralNic pseudo-ccTLD second-levels. NOTE (ADVICE r6): se.com
+    # and gb.com were REMOVED from the PSL around 2015 (se.com is
+    # Schneider Electric's registrable domain today); they are
+    # deliberately absent so topPrivateDomain('www.se.com') == 'se.com'
+    # matches current Guava/PSL behavior.
+    "uk.com", "us.com", "eu.com", "de.com", "jpn.com",
+    "br.com", "cn.com", "ru.com", "sa.com", "za.com",
     "uk.net", "gb.net", "se.net",
 }
 _TWO_LEVEL_SUFFIXES |= {s for s in _PRIVATE_SUFFIXES

@@ -172,3 +172,17 @@ def test_archives_bitflip_fuzz():
                 fn(bytes(b))
             except ImageError:
                 pass
+
+
+def test_zip_comment_containing_eocd_signature():
+    """The trailing comment may contain the EOCD magic bytes; the
+    backward scan must validate each candidate (comment reaches EOF,
+    central directory at cd_off) instead of trusting the last match
+    (ADVICE r6)."""
+    import struct
+    z = build_zip([("a.txt", b"hello world"),
+                   ("sub/b.bin", bytes(range(64)))])
+    comment = b"see PK\x05\x06 marker and PK\x05\x06 again inside"
+    withc = z[:-2] + struct.pack("<H", len(comment)) + comment
+    info = zip_info(withc)
+    assert info["n_entries"] == 2 and info["stored_crc_ok"]

@@ -562,3 +562,39 @@ def test_webm_random_fuzz(data):
             webm_info(payload)
         except ImageError:
             pass
+
+
+def test_fmp4_per_track_trex_defaults():
+    """One trex PER track_ID (ISO 14496-12 §8.8.3): a traf lacking a
+    tfhd default_sample_duration must resolve against ITS track's trex
+    default, not whichever trex was parsed last (ADVICE r6). Track 1's
+    trex declares 100 units, track 2's 10; last-trex-wins would give
+    track 1 a 4x10=40 ms duration instead of 4x100=400 ms."""
+    from snacktory_spark.containers import _box
+    a = build_fmp4(1, 4, 40, timescale=1000)
+    A = _fmp4_boxes(a)
+    moov_parts = _fmp4_boxes(next(r for f, r in A if f == b"moov")[8:])
+    mvhd = next(r for f, r in moov_parts if f == b"mvhd")
+    trak1 = next(r for f, r in moov_parts if f == b"trak")
+    trak2 = bytearray(trak1)
+    tk = trak2.find(b"tkhd")
+    trak2[tk + 4 + 12:tk + 4 + 16] = struct.pack(">I", 2)
+    trex1 = _box(b"trex", b"\x00" * 4
+                 + struct.pack(">IIIII", 1, 1, 100, 0, 0))
+    trex2 = _box(b"trex", b"\x00" * 4
+                 + struct.pack(">IIIII", 2, 1, 10, 0, 0))
+    moov = _box(b"moov", mvhd + trak1 + bytes(trak2)
+                + _box(b"mvex", trex1 + trex2))
+    trun = b"\x00\x00\x00\x00" + struct.pack(">I", 4)  # no per-sample
+    moofs = b""
+    for seq, track in ((1, 1), (2, 2)):
+        tfhd = b"\x00\x00\x00\x00" + struct.pack(">I", track)
+        moofs += _box(b"moof", _box(b"mfhd", b"\x00" * 4
+                                    + struct.pack(">I", seq))
+                      + _box(b"traf", _box(b"tfhd", tfhd)
+                             + _box(b"trun", trun)))
+    info = mp4_info(next(r for f, r in A if f == b"ftyp") + moov + moofs)
+    assert info["n_tracks"] == 2 and info["n_fragments"] == 2
+    # track 1: 4x100 = 400 ms; track 2: 4x10 = 40 ms; longest wins.
+    # The last-trex-wins bug resolves BOTH against track 2's 10 -> 40.
+    assert info["duration_ms"] == 400

@@ -176,9 +176,12 @@ def test_centralnic_pseudo_cctlds():
     assert tpd("www.example.uk.com") == "example.uk.com"
     assert tpd("site.us.com") == "site.us.com"
     assert tpd("uk.com") is None
-    # se.com is ALSO a real company domain; the PSL lists it as a
-    # CentralNic registry, and Guava follows the PSL — so do we
-    assert public_suffix_length("x.se.com") == 2
+    # se.com / gb.com were dropped from the PSL ~2015 (se.com is
+    # Schneider Electric's registrable domain); current Guava/PSL
+    # treats them as ordinary .com registrations — so do we (ADVICE r6)
+    assert public_suffix_length("x.se.com") == 1
+    assert tpd("www.se.com") == "se.com"
+    assert tpd("www.gb.com") == "gb.com"
 
 
 def test_existing_com_behavior_not_shadowed():
