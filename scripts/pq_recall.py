@@ -77,6 +77,40 @@ def main():
         print(f"n_iter={n_iter}: " + ", ".join(
             f"recall@{k}={results[n_iter][k]:.3f}" for k in K_LIST))
 
+    # --- IVF-probed ADC (VERDICT r6 #2): recall vs scan fraction -------
+    # Coarse cells come from the RAW seed vectors (the ann_partitions
+    # IVF layer); codebooks are the registered n_iter=1 training. For
+    # each nprobe, ADC ranks ONLY vectors whose cell is among the
+    # query's nprobe nearest cells; recall is against the exhaustive
+    # exact top-k, scan_frac is the probed cells' share of the corpus.
+    books1 = pq_train(emb, seeds, n_sub=N_SUB, sub_dim=SUB_DIM, n_iter=1)
+    C = np.asarray(seeds, dtype=np.float64)
+    cell = np.array([np.lexsort((np.arange(len(C)),
+                                 ((C - X[i]) ** 2).sum(axis=1)))[0]
+                     for i in range(len(X))])
+    probed = {}
+    for nprobe in (1, 2, 3, 4):
+        rec = {k: [] for k in K_LIST}
+        frac = []
+        for qi in range(len(X)):
+            q = X[qi]
+            d2c = ((C - q) ** 2).sum(axis=1)
+            probe = set(np.lexsort((np.arange(len(C)), d2c))[:nprobe])
+            mask = np.isin(cell, list(probe))
+            frac.append(mask.mean())
+            exact = np.lexsort(
+                (np.arange(len(X)), ((X - q) ** 2).sum(axis=1)))
+            order = adc_rank(X[mask], books1, q)
+            sub_ids = ids[mask][order]
+            for k in K_LIST:
+                want = set(ids[exact[:k]])
+                rec[k].append(len(want & set(sub_ids[:k])) / k)
+        probed[nprobe] = ({k: float(np.mean(v)) for k, v in rec.items()},
+                          float(np.mean(frac)))
+        print(f"nprobe={nprobe}: scan_frac={probed[nprobe][1]:.3f}, "
+              + ", ".join(f"recall@{k}={probed[nprobe][0][k]:.3f}"
+                          for k in K_LIST))
+
     lines = [
         "# Trained-PQ ADC search: measured recall vs exact L2",
         "",
@@ -106,6 +140,38 @@ def main():
         "billion-vector scale the same plan shape holds with k=256 "
         "codes/subspace and an IVF pre-filter (the ann_partitions cell "
         "column); ADC rerank cost stays one scan of the probed cells.",
+        "",
+        "## IVF-probed ADC: recall vs scan fraction (r7)",
+        "",
+        "Same corpus/queries; coarse cells from the raw 4 seed vectors "
+        "(the ann_partitions IVF layer), codebooks at the registered "
+        "n_iter=1 training; per query the ADC scan is restricted to the "
+        "nprobe nearest cells (textops.ivf_probe_cells + the cell "
+        "column pq_codes now emits). Recall is against the exhaustive "
+        "exact top-k; scan_frac is the probed cells' average share of "
+        "the corpus — the per-query cost on a cell-partitioned store:",
+        "",
+        "| nprobe | scan fraction | recall@1 | recall@10 |",
+        "|---|---|---|---|",
+    ]
+    for nprobe in (1, 2, 3, 4):
+        r, fr = probed[nprobe]
+        label = f"{nprobe} (registered)" if nprobe == 2 else f"{nprobe}"
+        lines.append(f"| {label} | {fr:.3f} | {r[1]:.3f} | "
+                     f"{r[10]:.3f} |")
+    lines += [
+        "",
+        "nprobe=4 scans every cell and reproduces the exhaustive "
+        "n_iter=1 ADC row above. At this deliberately coarse k=4 "
+        "quantization, probing HELPS recall@1 (0.60 at nprobe=1 vs "
+        "0.39 exhaustive): the cell filter removes distractor vectors "
+        "from other cells that the 4-entry codebooks quantize onto "
+        "near-identical codes, which exhaustive ADC then misranks "
+        "ahead of the true neighbor. With finer codebooks (k=256) the "
+        "distractor effect shrinks and the curve becomes the familiar "
+        "monotone recall-vs-cost trade; either way nprobe is the "
+        "tunable per-query cost knob (scan_frac column), which is why "
+        "billion-vector stores ship probe-then-rerank.",
     ]
     with open("/root/repo/BENCH/pq_recall.md", "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -523,6 +523,54 @@ def test_pq_train_codes_and_adc(spark):
         [(i, d) for d, i in exact]
 
 
+def test_pq_adc_probed_cells(spark):
+    """IVF-probed ADC (VERDICT r6 #2): pq_codes with cell_centroids
+    emits the coarse cell in the same projection, ivf_probe_cells picks
+    the query's nprobe nearest cells driver-side (ties to the lowest
+    cell), and the probed pq_adc_topk equals the exhaustive ADC ranking
+    restricted to vectors in the probed cells."""
+    import random
+
+    from snacktory_spark.textops import (ivf_assign, ivf_probe_cells,
+                                         pq_adc_topk, pq_codes, pq_train)
+
+    rng = random.Random(19)
+    rows = []
+    for i in range(60):
+        base = [1.0, -1.0, 3.0][i % 3]
+        rows.append((i, [base + rng.uniform(-0.1, 0.1)
+                         for _ in range(8)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0] * 8, [-1.0] * 8, [3.0] * 8]
+    seeds = [[0.5] * 8, [-0.5] * 8, [2.5] * 8, [4.0] * 8]
+    books = pq_train(emb, seeds, n_sub=2, sub_dim=4, n_iter=1)
+
+    codes = pq_codes(emb, books, sub_dim=4, cell_centroids=cents)
+    # the in-projection cell equals ivf_assign's (shared convention)
+    want_cell = {r["vec_id"]: r["cell"]
+                 for r in ivf_assign(emb, cents).collect()}
+    got_cell = {r["vec_id"]: r["cell"] for r in codes.collect()}
+    assert got_cell == want_cell
+    assert all(got_cell[i] == i % 3 for i in range(60))
+
+    # probe selection: nearest then next-nearest cell, lowest-cell ties
+    qvec = rows[0][1]                      # a +1-cluster vector
+    assert ivf_probe_cells(qvec, cents, nprobe=1) == [0]
+    probe = ivf_probe_cells(qvec, cents, nprobe=2)
+    assert probe[0] == 0 and len(probe) == 2
+    assert ivf_probe_cells([0.0] * 8, [[1.0] * 8, [1.0] * 8], 1) == [0]
+
+    # probed top-k == full ADC ranking restricted to the probed cells
+    full = pq_adc_topk(codes, books, qvec, k_top=60, sub_dim=4).collect()
+    probed = pq_adc_topk(codes, books, qvec, k_top=10, sub_dim=4,
+                         probe_cells=probe).collect()
+    want = [(r["vec_id"], r["adc_dist2"]) for r in full
+            if got_cell[r["vec_id"]] in probe][:10]
+    assert [(r["vec_id"], r["adc_dist2"]) for r in probed] == want
+    # and vectors outside the probed cells never appear
+    assert all(got_cell[r["vec_id"]] in probe for r in probed)
+
+
 def test_semdedup_flags_planted_balls(spark):
     """SemDeDup on planted structure: two well-separated clusters, each
     containing an epsilon-ball of near-identical vectors plus isolated
