@@ -614,26 +614,52 @@ def pq_adc_topk(codes: DataFrame, books: list[list[list[float]]],
 
 
 def semdedup_flags(emb: DataFrame, centroids: list[list[float]],
-                   threshold: float = 0.45) -> DataFrame:
+                   threshold: float = 0.45,
+                   max_cluster: int | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public): cluster
-    the embeddings with the coarse IVF assignment, then WITHIN each
-    cluster drop every vector that has a lower-id cluster-mate with
-    cosine >= threshold (one deterministic survivor per epsilon-ball,
-    keeper = lowest id — the paper keeps an arbitrary point; lowest-id
-    makes it engine-reproducible). The pairwise cosine work is bounded
-    by cluster size (the published algorithm's scaling property): every
-    join is an equi-join on the cluster id or vec_id — never an
-    all-pairs corpus join. Returns (vec_id, cell, semdedup_keep)."""
+    the embeddings with the coarse IVF assignment (pass TRAINED
+    centroids from kmeans_fit — the paper's clustering step; the
+    published algorithm's scalability IS the k knob: in-cluster work is
+    O(cluster²), so k must grow with the corpus, ~50k clusters at the
+    paper's scale), then WITHIN each cluster drop every vector that has
+    a lower-id cluster-mate with cosine >= threshold (one deterministic
+    survivor per epsilon-ball, keeper = lowest id — the paper keeps an
+    arbitrary point; lowest-id makes it engine-reproducible).
+
+    max_cluster is the mega-cluster guard (VERDICT r6 #3): a cluster
+    larger than max_cluster is split into contiguous id-rank sub-
+    clusters of at most max_cluster vectors (row_number over vec_id
+    within the cell — deterministic and oracle-expressible), and pairs
+    are compared only within a sub-cluster. This bounds the worst-case
+    join at O(k * max_cluster²) even when the centroids fit the data
+    badly (one cell swallowing the corpus), at a documented recall
+    cost: an epsilon-ball straddling a split keeps one survivor PER
+    sub-cluster instead of one overall. Size the knob so a well-trained
+    clustering never triggers it; it is the backstop, not the path.
+
+    Every join is an equi-join on (cell, sub-cluster) or vec_id —
+    never an all-pairs corpus join. Returns (vec_id, cell,
+    semdedup_keep)."""
     assigned = ivf_assign(emb, centroids).select("vec_id", "cell")
     base = assigned.join(emb.select("vec_id", "embedding"), "vec_id")
-    a = base.select(F.col("vec_id").alias("id_a"), "cell",
+    if max_cluster is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("cell").orderBy("vec_id")
+        base = base.withColumn(
+            "sub", ((F.row_number().over(w) - 1) / max_cluster)
+            .cast("int"))
+    else:
+        base = base.withColumn("sub", F.lit(0))
+    a = base.select(F.col("vec_id").alias("id_a"), "cell", "sub",
                     F.col("embedding").alias("e_a"))
     b = base.select(F.col("vec_id").alias("id_b"),
                     F.col("cell").alias("cell_b"),
+                    F.col("sub").alias("sub_b"),
                     F.col("embedding").alias("e_b"))
     cos = _vec_dot(F.col("e_a"), F.col("e_b")) / (
         _vec_norm(F.col("e_a")) * _vec_norm(F.col("e_b")))
     dups = (a.join(b, (F.col("cell") == F.col("cell_b"))
+                   & (F.col("sub") == F.col("sub_b"))
                    & (F.col("id_a") < F.col("id_b")))
             .filter(F.round(cos, 4) >= threshold)
             .select(F.col("id_b").alias("vec_id")).distinct()

@@ -607,6 +607,46 @@ def test_semdedup_flags_planted_balls(spark):
     assert got[12][1] is True
 
 
+def test_semdedup_mega_cluster_guard(spark):
+    """The max_cluster guard (VERDICT r6 #3): a cell larger than
+    max_cluster is split into contiguous id-rank sub-clusters of at
+    most max_cluster vectors, pairs compared only within a sub-cluster.
+    Planted: one mega-cell of 10 near-identical vectors with
+    max_cluster=4 -> sub-clusters {0..3}{4..7}{8..9}, survivors = the
+    lowest id of EACH sub-cluster (the documented recall trade), and a
+    small second cell unaffected. Without the guard the same corpus
+    keeps exactly one survivor."""
+    import random
+
+    from snacktory_spark.textops import semdedup_flags
+
+    rng = random.Random(23)
+    rows = [(i, [1.0 + rng.uniform(-0.005, 0.005) for _ in range(8)])
+            for i in range(10)]                     # mega epsilon-ball
+    rows += [(20, [-1.0 + rng.uniform(-0.005, 0.005) for _ in range(8)]),
+             (21, [-1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0])]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    cents = [[1.0] * 8, [-1.0] * 8]
+
+    guarded = {r["vec_id"]: r["semdedup_keep"]
+               for r in semdedup_flags(emb, cents, threshold=0.9,
+                                       max_cluster=4).collect()}
+    # one survivor per id-rank sub-cluster of the mega-cell
+    assert [i for i in range(10) if guarded[i]] == [0, 4, 8]
+    assert guarded[20] is True and guarded[21] is True
+
+    unguarded = {r["vec_id"]: r["semdedup_keep"]
+                 for r in semdedup_flags(emb, cents,
+                                         threshold=0.9).collect()}
+    assert [i for i in range(10) if unguarded[i]] == [0]
+    # guard >= cluster size is a no-op (well-trained-k regime)
+    wide = {r["vec_id"]: r["semdedup_keep"]
+            for r in semdedup_flags(emb, cents, threshold=0.9,
+                                    max_cluster=100).collect()}
+    assert wide == unguarded
+
+
 def test_minhash_production_params_recall(spark):
     """Production-parameter LSH (128 hashes / 32 bands, r=4) must recover
     essentially all true near-dup pairs at j>=0.7 on a seeded corpus —
