@@ -255,9 +255,80 @@ def main():
                      "(equi-joins, AQE picks the strategy — no hint, no "
                      "nested loop)."))
 
+    # ------------------------------------------------------------------
+    # Complete-by-construction audit (VERDICT r6 #7): one signature row
+    # per REGISTERED query, derived from its live plan — a new queries()
+    # entry appears here automatically, so the committed audit can never
+    # lag the registry. The signature is the set of plan facts the
+    # universal gate (tests/test_plan_shapes.py) enforces, plus the
+    # shuffle/join/python-stage counts a scale review reads first.
+    # ------------------------------------------------------------------
+    import re
+
+    def signature(name: str, plan: str) -> dict:
+        # formatted explain puts the node as "Exchange (n)" and the
+        # partitioning on a separate "Arguments:" line — match both
+        # forms accordingly (node counts via "Name (n)" tree entries,
+        # SinglePartition via its Arguments token)
+        for bad in ("BroadcastNestedLoopJoin", "CartesianProduct",
+                    "BatchEvalPython"):
+            assert bad not in plan, f"{bad} in {name}"
+        # token_pack: the P-row offsets window of the two-level prefix
+        # sum is single-partition BY DESIGN (totals table, ~32 rows,
+        # never data rows) — same allowlist as the plan-shape gate
+        assert "SinglePartition" not in plan or name == "token_pack", \
+            f"single-partition exchange in {name}"
+
+        def nodes(n):
+            return len(re.findall(rf"\b{n} \(\d+\)", plan))
+        return {
+            "shuffles": len(re.findall(
+                r"(?<!Broadcast)Exchange \(\d+\)", plan)),
+            "bcast": nodes("BroadcastExchange"),
+            "python": nodes("MapInPandas") + nodes("ArrowEvalPython"),
+            "windows": nodes("Window"),
+            "wgl": nodes("WindowGroupLimit"),
+            "topk": nodes("TakeOrderedAndProject"),
+        }
+
+    # registry keys whose deep section is titled by the underlying fn
+    curated_alias = {"extract_turns": "extracted_df",
+                     "extract_turns_dedup": "dedup-extract",
+                     "image_roundtrip": "image_roundtrip",
+                     "doc_token_stats": "doc_repetition"}
+    audit_rows = []
+    for name, fn in em.queries().items():
+        plan = plan_of(fn(spark, SF_DIR))
+        s = signature(name, plan)
+        probe = curated_alias.get(name, name)
+        deep = "§" if any(probe in t for t, _, _ in sections) else ""
+        gate = ("OK (allowlisted P-row offsets exchange)"
+                if "SinglePartition" in plan else "OK")
+        audit_rows.append(
+            f"| {name} {deep} | {s['shuffles']} | {s['bcast']} | "
+            f"{s['python']} | {s['windows']} | {s['wgl']} | "
+            f"{s['topk']} | {gate} |")
+
     with open("/root/repo/BENCH/PLANS.md", "w") as f:
         f.write("# Physical plans of the headline queries\n\n"
-                "Generated by scripts/explain_plans.py (local[4], AQE on).\n")
+                "Generated by scripts/explain_plans.py (local[4], AQE on).\n"
+                "\n## Registry-wide plan audit (all registered queries)\n\n"
+                "One row per `queries()` entry, generated from the live "
+                "plan at write time — complete by construction (a new "
+                "registry entry appears here automatically). Gate=OK "
+                "asserts, per query: no BroadcastNestedLoopJoin, no "
+                "CartesianProduct, no BatchEvalPython (row-at-a-time "
+                "Python), no Exchange SinglePartition — the same "
+                "invariants tests/test_plan_shapes.py enforces in CI. "
+                "§ marks queries with a deep-dive section below. "
+                "Python = Arrow-batched stages (MapInPandas/pandas_udf); "
+                "WGL = WindowGroupLimit (map-side top-k prune); TopK = "
+                "TakeOrderedAndProject (global top-k without a global "
+                "sort).\n\n"
+                "| query | shuffles | broadcasts | python | windows | "
+                "WGL | TopK | gate |\n"
+                "|---|---|---|---|---|---|---|---|\n")
+        f.write("\n".join(audit_rows) + "\n")
         for title, plan, note in sections:
             f.write(f"\n## {title}\n\n{note}\n\n```\n{plan.strip()}\n```\n")
     print("wrote BENCH/PLANS.md")
