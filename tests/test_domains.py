@@ -84,10 +84,15 @@ def test_jp_designated_city_wildcards_and_exceptions():
 # --- wildcard-only ccTLDs ---------------------------------------------------
 
 def test_tld_wildcards():
-    for t in ("bd", "ck", "er", "fk", "jm", "kh", "mm", "np", "pg",
-              "ye"):
+    for t in ("bd", "ck", "er", "fk", "jm", "kh", "mm", "np", "pg"):
         assert tpd(f"foo.{t}") is None, t          # foo.TLD IS a suffix
         assert tpd(f"shop.foo.{t}") == f"shop.foo.{t}", t
+    # *.ye was REMOVED from the PSL (explicit second-levels since ~2018;
+    # the r7 snapshot table supersedes the curated reference-era entry):
+    # com.ye etc. are suffixes, a bare second-level is registrable
+    assert tpd("example.com.ye") == "example.com.ye"
+    assert tpd("com.ye") is None
+    assert tpd("foo.ye") == "foo.ye"
     # !www.ck: the one registrable name directly under .ck
     assert tpd("www.ck") == "www.ck"
     assert tpd("mail.www.ck") == "www.ck"
@@ -160,7 +165,10 @@ def test_private_registry_suffixes():
     assert tpd("www.user.github.io") == "user.github.io"
     assert tpd("github.io") is None
     assert tpd("myblog.blogspot.com") == "myblog.blogspot.com"
-    assert tpd("site.wordpress.com") == "site.wordpress.com"
+    # wordpress.com has never been IN the PSL (the curated pre-r7 table
+    # wrongly listed it): Guava treats it as an ordinary .com
+    # registrable, so the subdomain's top private domain is the apex
+    assert tpd("site.wordpress.com") == "wordpress.com"
     assert tpd("app.herokuapp.com") == "app.herokuapp.com"
     assert tpd("proj.netlify.app") == "proj.netlify.app"
     assert tpd("docs.readthedocs.io") == "docs.readthedocs.io"
@@ -189,3 +197,45 @@ def test_existing_com_behavior_not_shadowed():
     assert tpd("www.google.com") == "google.com"
     assert tpd("api.stripe.io" ) == "stripe.io"
     assert tpd("sub.deep.example.com") == "example.com"
+
+
+# --- generated snapshot table (r7) ------------------------------------------
+
+def test_psl_data_matches_vendored_snapshot():
+    """Regeneration gate (same pattern as the committed synth parquet):
+    re-parse the vendored PSL snapshot with the generator's own parser
+    and assert the committed psl_data sets are exactly its output — a
+    snapshot update without `python scripts/gen_psl.py` fails here."""
+    import importlib.util
+    import os
+
+    from snacktory_spark import psl_data
+
+    gen_path = os.path.join(os.path.dirname(__file__), "..",
+                            "scripts", "gen_psl.py")
+    spec = importlib.util.spec_from_file_location("gen_psl", gen_path)
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    plain, wildcard, exception = gen.parse(gen.SNAPSHOT)
+    assert psl_data.PLAIN == frozenset(plain)
+    assert psl_data.WILDCARD == frozenset(wildcard)
+    assert psl_data.EXCEPTION == frozenset(exception)
+    # scale sanity: the full list, not a curated subset
+    assert len(psl_data.PLAIN) > 9000
+    assert len(psl_data.WILDCARD) > 100
+
+
+def test_psl_snapshot_tail_families():
+    """Entries the curated pre-r7 table never carried — the long tail
+    the snapshot closes."""
+    # municipal .jp third-levels (plain rules like aisai.aichi.jp)
+    assert tpd("www.x.aisai.aichi.jp") == "x.aisai.aichi.jp"
+    # deep private wildcards: *.compute.amazonaws.com
+    assert tpd("vm.us-east-1.compute.amazonaws.com") \
+        == "vm.us-east-1.compute.amazonaws.com"
+    assert tpd("us-east-1.compute.amazonaws.com") is None
+    # country blogspot variants beyond .com
+    assert tpd("myblog.blogspot.co.uk") == "myblog.blogspot.co.uk"
+    # unicode rules match their punycode twins (.рф == xn--p1ai)
+    assert public_suffix_length("xn--80aswg.xn--p1ai") == 1
+    assert tpd("www.xn--80aswg.xn--p1ai") == "xn--80aswg.xn--p1ai"
