@@ -684,14 +684,17 @@ def q_mpeg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MPEG-1 Layer I/II encode→decode round-trip (self-consistent
+    """MPEG-1 Layer I/II/III encode→decode round-trip (self-consistent
     codecs, snacktory_spark.mpeg — spec framing incl. Layer II scfsi +
-    grouped codewords, substituted MDCT filterbank + midrise quantizer,
-    see the module's honesty contract): per document, encode the
-    deterministic sine as Layer I (even doc_id) or Layer II (odd),
-    decode it back through the layer DISPATCHER in a second Arrow stage,
-    and verify sample rate, channel count, and SNR above the
-    bitrate-appropriate floor. Narrow maps over a binary column."""
+    grouped codewords and, since r7, the full Layer III tier: granule/
+    region framing, bit reservoir, generated-canonical Huffman with
+    linbits, power-law requantizer with rate loop, 18-point-MDCT hybrid
+    stage; see the module's honesty contract for the substituted
+    pieces): per document, encode the deterministic sine as Layer
+    doc_id%3 + 1, decode it back through the layer DISPATCHER in a
+    second Arrow stage, and verify layer, sample rate, channel count,
+    and SNR above the bitrate-appropriate floor. Narrow maps over a
+    binary column."""
     import pandas as pd
     from snacktory_spark.pipeline.extract_job import ensure_py_files
 
@@ -710,41 +713,48 @@ def q_mpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
     def to_mpeg(batches):
-        from snacktory_spark.mpeg import encode_layer1, encode_layer2
+        from snacktory_spark.mpeg import (encode_layer1, encode_layer2,
+                                          encode_layer3)
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
                 sig, br = _mpeg_sig(doc_id)
-                if int(doc_id) % 2:
+                layer = int(doc_id) % 3
+                if layer == 0:
+                    payloads.append(encode_layer1(sig, 32000, br))
+                elif layer == 1:
                     payloads.append(encode_layer2(sig, 32000,
                                                   min(br, 384)))
-                else:
-                    payloads.append(encode_layer1(sig, 32000, br))
+                else:                        # L3 ladder tops out at 320
+                    payloads.append(encode_layer3(sig, 32000,
+                                                  min(br, 320)))
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "payload": payloads})
 
     def decode(batches):
         import numpy as np
-        from snacktory_spark.mpeg import decode_mpeg
+        from snacktory_spark.mpeg import decode_mpeg, parse_frame_header
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 sig, br = _mpeg_sig(doc_id)
-                sr, ch, out = decode_mpeg(bytes(payload))
+                raw = bytes(payload)
+                layer = parse_frame_header(raw).layer
+                sr, ch, out = decode_mpeg(raw)
                 n = min(out.shape[0], sig.size)
                 e = out[:n, 0] - sig[:n]
                 snr = 10.0 * np.log10(
                     float(np.mean(sig[:n] ** 2))
                     / max(float(np.mean(e ** 2)), 1e-300))
-                # 192k mono @32k -> nb=5 (~30 dB); 448k -> nb=13 (~75 dB)
-                rows.append((doc_id, sr, ch, bool(snr > 25.0)))
+                # L1 192k mono @32k -> nb=5 (~30 dB); L3 sines ~49+ dB
+                rows.append((doc_id, layer, sr, ch, bool(snr > 25.0)))
             yield pd.DataFrame(rows, columns=[
-                "doc_id", "sample_rate", "channels", "snr_ok"])
+                "doc_id", "layer", "sample_rate", "channels", "snr_ok"])
 
     enc = docs.mapInPandas(to_mpeg, "doc_id long, payload binary")
     return enc.mapInPandas(
-        decode, "doc_id long, sample_rate long, channels long, "
-                "snr_ok boolean")
+        decode, "doc_id long, layer long, sample_rate long, "
+                "channels long, snr_ok boolean")
 
 
 def q_media_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3002,6 +3012,7 @@ def oracle_sql() -> dict[str, str]:
                        AS bitrate_kbps,
                    (((1000 + (doc_id % 5) * 384 + 64 + 383) // 384)
                         * 384 * 1000 // 32000)::BIGINT AS scan_duration_ms,
+                   (doc_id % 3 + 1)::BIGINT AS layer,
                    32000::BIGINT AS sample_rate,
                    1::BIGINT AS channels, true AS snr_ok
             FROM documents

@@ -70,6 +70,13 @@ def families():
     add("mpeg_decode",
         lambda d: mpeg.decode_mpeg(d, allow_nonconformant=True),
         mpeg.encode_layer1(np.zeros((1152, 1)), 32000), b"\xff\xff")
+    # Layer III seed (r7): mutations land on the reservoir reassembly,
+    # side-info fields, Huffman walk and count1 delimiting
+    add("mpeg_l3_decode",
+        lambda d: mpeg.decode_mpeg(d, allow_nonconformant=True),
+        mpeg.encode_layer3(
+            0.3 * np.sin(2 * np.pi * 500 * np.arange(4000) / 32000.0),
+            32000, 128), b"\xff\xfb")
     add("adts", mpeg.aac_adts_info,
         mpeg.build_adts_stream(4, 64, 48000, 2, 1, seed=2), b"\xff\xf1")
     add("mp4", containers.mp4_info,

@@ -40,9 +40,13 @@ Two honesty tiers, stated up front:
   (see the Layer II section below): its distinctive framing — scfsi
   scalefactor sharing and grouped base-N triplet codewords — is
   implemented from the spec, with the Annex B allocation-class tables
-  substituted by a uniform allocation. Layer III's 32 Huffman tables
-  would be a pure Annex B reproduction — full L3 decode remains a
-  declared stub for the same reason.
+  substituted by a uniform allocation. Layer III (r7, closing the last
+  codec stub) follows the same contract: granule/region framing, the
+  bit reservoir, Huffman coding MACHINERY with linbits escapes, the
+  closed-form power-law requantizer and the 18-point-MDCT hybrid
+  second stage are all real; the 32 Annex B.7 Huffman TABLES are the
+  substituted piece (one generated canonical code — see the Layer III
+  codec section for the full real-vs-substituted inventory).
 
 The scalefactor table IS reproduced — it is closed-form
 (sf[i] = 2 · 2^(-i/3), ISO 11172-3 Table B.1), not a magic table.
@@ -806,18 +810,16 @@ def _decode_layer2(data: bytes, allow_nonconformant: bool = False):
 
 def decode_mpeg(data: bytes, allow_nonconformant: bool = False
                 ) -> tuple[int, int, np.ndarray]:
-    """Dispatch on the first confirmed frame's layer: Layer I/II decode
-    through this module's self-consistent codecs (with the foreign-
-    stream guard, see decode_layer1); Layer III raises (its 32 Huffman
-    tables are an Annex B reproduction we refuse — it stays a declared
-    stub)."""
+    """Dispatch on the first confirmed frame's layer: Layer I/II/III
+    decode through this module's self-consistent codecs (with the
+    foreign-stream guard, see decode_layer1; Layer III since r7 — see
+    the Layer III codec section for what is real vs substituted)."""
     for _pos, hdr in iter_mpeg_frames(data):
         if hdr.layer == 1:
             return decode_layer1(data, allow_nonconformant)
         if hdr.layer == 2:
             return decode_layer2(data, allow_nonconformant)
-        raise ImageError("MPEG Layer III decode is a declared stub "
-                         "(see module docstring)")
+        return decode_layer3(data, allow_nonconformant)
     raise ImageError("no MPEG audio frames")
 
 
@@ -923,6 +925,463 @@ def l3_stream_stats(data: bytes) -> dict:
         "mean_part2_3_bits": p23_sum // max(1, p23_n),
         "short_block_fraction": round(short_blocks / max(1, p23_n), 4),
     }
+
+
+# --- Layer III codec (spec-shaped: granules, bit reservoir, Huffman) --------
+#
+# Moves L3 from declared stub to the SAME self-consistent contract as
+# Layers I/II (VERDICT r6 #5). What is REAL and spec-structural here:
+#
+# - header + side-info framing: written through the exact field layout
+#   parse_l3_sideinfo validates (the 17/32-byte size identity);
+# - the BIT RESERVOIR: per-frame main_data_begin back-pointers into the
+#   preceding frames' main-data space, byte-aligned per frame with
+#   ancillary stuffing, the <=511-byte pointer bound enforced — the
+#   distinctive L3 stream feature, implemented genuinely on both sides;
+# - granule structure: 2 granules x 576 spectral values, partitioned
+#   into big_values pairs / count1 quadruples / rzero exactly as the
+#   spec frames them, with part2_3_length delimiting the Huffman data;
+# - REAL Huffman machinery: canonical prefix codes with 13-bit linbits
+#   escapes and per-value sign bits for the big-values pairs; the
+#   count1 region uses the fixed 4-bit quadruple code (the spec's own
+#   count1 "table B" is fixed-4-bit; ours differs only in bit polarity);
+# - the power-law requantizer: x = sign(q)·|q|^(4/3)·2^((gg-210)/4) —
+#   closed-form in the spec BODY (§2.4.3.4), reproduced exactly, with
+#   a real rate loop (global_gain bumps until the granule fits);
+# - the hybrid second stage: an 18-point lapped MDCT per subband with
+#   the spec's closed-form sine window (z_i = sin(π/36(i+1/2))),
+#   overlap-added across granules — L3's actual two-stage dataflow.
+#
+# Substituted (same honesty contract as the L1/L2 sections): the 32
+# Annex B.7 Huffman TABLES are replaced by ONE generated canonical code
+# (deterministic geometric-weight construction below — real coding
+# machinery, substituted code data; table_select=1 names it); the
+# scalefactor-band tables (B.8) are unused because the encoder sends
+# scalefac_compress=0 — slen (0,0), zero scalefactor bits, a legal spec
+# configuration — so per-granule global_gain carries the scale; the
+# polyphase first stage is this module's MDCT filterbank, and the alias
+# -reduction butterflies (Table B.9 ci) are omitted — they exist to
+# cancel the real polyphase bank's aliasing, which the substituted
+# exact-PR filterbank does not produce. Long blocks only
+# (block_type=0). Consequence: encode→decode round-trips to quantizer
+# precision; a conformant third-party L3 stream PARSES (framing/side
+# info are exact) but would decode through the wrong code tables — the
+# private-bit foreign-stream guard applies exactly as in L1/L2.
+
+_L3_BITRATES = _BITRATE_MPEG1[3][1:]
+_L3_LINBITS = 13
+_L3_QMAX = 15 + (1 << _L3_LINBITS) - 1        # 8206: escape ceiling
+_L3_HUF_CACHE: dict = {}
+
+
+def _l3_huffman():
+    """Generated canonical Huffman code for big-values pairs — the
+    SUBSTITUTED code data (module honesty contract): symbols are
+    (|x|,|y|) in [0,15]^2 (15 = linbits escape class), weighted by the
+    geometric model 0.6^(x+y) and assigned canonical codes with
+    deterministic (length, symbol) ordering, so encoder and decoder
+    derive the identical table from this closed-form construction.
+    Returns (enc: {(x,y): (code, nbits)}, dec: {(nbits, code): (x,y)},
+    max_len)."""
+    if _L3_HUF_CACHE:
+        return (_L3_HUF_CACHE["enc"], _L3_HUF_CACHE["dec"],
+                _L3_HUF_CACHE["max_len"])
+    import heapq
+    syms = [(x, y) for x in range(16) for y in range(16)]
+    heap = [(0.6 ** (x + y), i, (x, y)) for i, (x, y) in enumerate(syms)]
+    counter = len(heap)
+    nodes = [(w, s, ("leaf", sym)) for w, s, sym in heap]
+    heapq.heapify(nodes)
+    while len(nodes) > 1:
+        w1, _s1, n1 = heapq.heappop(nodes)
+        w2, _s2, n2 = heapq.heappop(nodes)
+        heapq.heappush(nodes, (w1 + w2, counter, ("node", n1, n2)))
+        counter += 1
+    depth: dict = {}
+
+    def walk(node, d):
+        if node[0] == "leaf":
+            depth[node[1]] = max(d, 1)
+        else:
+            walk(node[1], d + 1)
+            walk(node[2], d + 1)
+    walk(nodes[0][2], 0)
+    order = sorted(syms, key=lambda s: (depth[s], s))
+    enc, dec = {}, {}
+    code, prev_len = 0, depth[order[0]]
+    for i, sym in enumerate(order):
+        if i:
+            code = (code + 1) << (depth[sym] - prev_len)
+        prev_len = depth[sym]
+        enc[sym] = (code, depth[sym])
+        dec[(depth[sym], code)] = sym
+    _L3_HUF_CACHE.update(enc=enc, dec=dec,
+                         max_len=max(depth.values()))
+    return enc, dec, _L3_HUF_CACHE["max_len"]
+
+
+# 18-point lapped MDCT (the hybrid second stage): closed-form sine
+# window z_i = sin(π/36 (i+1/2)) — a FORMULA in the spec, not a table
+_M2 = 18
+_LW2 = 36
+_FB2_CACHE: dict = {}
+
+
+def _mdct18_bank() -> np.ndarray:
+    if not _FB2_CACHE:
+        n = np.arange(_LW2, dtype=np.float64)
+        w = np.sin(np.pi * (n + 0.5) / _LW2)
+        k = np.arange(_M2, dtype=np.float64)[:, None]
+        basis = np.cos(np.pi / _M2 * (n[None, :] + 0.5 + _M2 / 2)
+                       * (k + 0.5))
+        _FB2_CACHE["b"] = basis * w[None, :]
+    return _FB2_CACHE["b"]
+
+
+def _l3_forward(sub: np.ndarray, n_gr: int) -> np.ndarray:
+    """Subband columns (32, 18*n_gr+18) → granule spectra
+    (n_gr, 576): per granule g and subband sb, the 18-point MDCT of
+    columns [18g, 18g+36), laid out subband-major (sb*18 + k) as L3
+    orders its spectral lines."""
+    bank = _mdct18_bank()
+    out = np.empty((n_gr, 576))
+    for g in range(n_gr):
+        seg = sub[:, g * _M2:g * _M2 + _LW2]       # (32, 36)
+        out[g] = (bank @ seg.T).T.reshape(576)     # (32, 18) → 576
+    return out
+
+
+def _l3_inverse(spec: np.ndarray) -> np.ndarray:
+    """Granule spectra (n_gr, 576) → subband columns
+    (32, 18*n_gr+18) by inverse MDCT + overlap-add (TDAC: interior
+    columns exact; the first/last 18 sit in the codec's pad)."""
+    bank = _mdct18_bank()
+    n_gr = spec.shape[0]
+    cols = np.zeros((_M, _M2 * n_gr + _M2))
+    for g in range(n_gr):
+        coeff = spec[g].reshape(_M, _M2)           # (32, 18)
+        contrib = (bank.T @ coeff.T) * (2.0 / _M2)  # (36, 32)
+        cols[:, g * _M2:g * _M2 + _LW2] += contrib.T
+    return cols
+
+
+def _l3_quantize(spec: np.ndarray) -> tuple[np.ndarray, int]:
+    """Power-law quantize one granule: pick the smallest global_gain
+    whose step keeps |q| under the escape ceiling, then
+    q = round((|x|/step)^(3/4)) with the spec's 2^((gg-210)/4) step."""
+    maxabs = float(np.abs(spec).max())
+    if maxabs == 0.0:
+        return np.zeros(576, dtype=np.int64), 0
+    need = maxabs / (_L3_QMAX ** (4.0 / 3.0))
+    gg = max(0, min(255, 210 + int(np.ceil(4.0 * np.log2(need)))))
+    while gg <= 255:
+        step = 2.0 ** ((gg - 210) / 4.0)
+        q = np.rint((np.abs(spec) / step) ** 0.75).astype(np.int64)
+        if q.max() <= _L3_QMAX:
+            break
+        gg += 1
+    else:
+        raise ImageError("Layer III rate loop failed (amplitude)")
+    return (np.sign(spec).astype(np.int64) * q), gg
+
+
+def _l3_dequantize(q: np.ndarray, gg: int) -> np.ndarray:
+    step = 2.0 ** ((gg - 210) / 4.0)
+    return np.sign(q) * (np.abs(q).astype(np.float64) ** (4.0 / 3.0)) \
+        * step
+
+
+def _l3_regions(q: np.ndarray) -> tuple[int, int]:
+    """Partition 576 quantized values into the spec's regions: returns
+    (big_end, quad_end) with big_end even, (quad_end-big_end) % 4 == 0;
+    values beyond quad_end are the rzero zeros."""
+    r = 576
+    while r > 0 and q[r - 1] == 0:
+        r -= 1
+    r += r & 1                                   # pairs are even-aligned
+    c = r
+    while c >= 4 and max(abs(int(v)) for v in q[c - 4:c]) <= 1:
+        c -= 4
+    return c, r
+
+
+def _l3_encode_granule(q: np.ndarray) -> tuple[int, list, int, int]:
+    """Huffman-encode one granule's 576 quantized values → (bit count,
+    [(value, nbits), ...] writer ops, big_values, count1 quads)."""
+    enc, _dec, _ml = _l3_huffman()
+    big_end, quad_end = _l3_regions(q)
+    ops: list = []
+    nbits = 0
+
+    def put(v, b):
+        nonlocal nbits
+        ops.append((v, b))
+        nbits += b
+
+    for i in range(0, big_end, 2):
+        x, y = int(q[i]), int(q[i + 1])
+        ax, ay = min(abs(x), 15), min(abs(y), 15)
+        code, cl = enc[(ax, ay)]
+        put(code, cl)
+        if ax == 15:
+            put(abs(x) - 15, _L3_LINBITS)
+        if x:
+            put(1 if x < 0 else 0, 1)
+        if ay == 15:
+            put(abs(y) - 15, _L3_LINBITS)
+        if y:
+            put(1 if y < 0 else 0, 1)
+    for i in range(big_end, quad_end, 4):
+        vals = [int(q[i + j]) for j in range(4)]
+        put(sum((1 if v else 0) << (3 - j)
+                for j, v in enumerate(vals)), 4)
+        for v in vals:
+            if v:
+                put(1 if v < 0 else 0, 1)
+    return nbits, ops, big_end // 2, (quad_end - big_end) // 4
+
+
+def encode_layer3(samples: np.ndarray, sample_rate: int = 32000,
+                  bitrate_kbps: int = 128) -> bytes:
+    """MPEG-1 Layer III encoder, mono (n,) or stereo (n, 2) float in
+    [-1, 1]: real granule/region framing, generated-canonical Huffman
+    coding with linbits escapes, power-law requantization with a rate
+    loop, and a genuine bit reservoir (main_data_begin back-pointers,
+    byte-aligned frames, ancillary stuffing to hold the pointer under
+    its 9-bit/511-byte bound). See the section comment for the
+    substituted pieces. Output decodes with decode_layer3 back to the
+    input to quantizer precision."""
+    if sample_rate not in _L1_SR:
+        raise ImageError(f"MPEG-1 sample rate must be one of {_L1_SR}")
+    if bitrate_kbps not in _L3_BITRATES:
+        raise ImageError("not a legal Layer III bitrate")
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    if x.ndim != 2 or x.shape[1] not in (1, 2):
+        raise ImageError("samples must be (n,) mono or (n, 2) stereo")
+    if x.shape[0] == 0:
+        raise ImageError("empty signal")
+    if x.size > MAX_DECODE_SAMPLES:
+        raise ImageError("signal too long (sample cap)")
+    nch = x.shape[1]
+    n = x.shape[0]
+    frame_bytes = 144 * bitrate_kbps * 1000 // sample_rate
+    side_bytes = 17 if nch == 1 else 32
+    cap = frame_bytes - 4 - side_bytes           # main-data bytes/frame
+    if cap <= 0:
+        raise ImageError("bitrate too low for Layer III framing")
+    lead = 576 + _M                              # stage-2 + stage-1 pad
+    n_gr = (n + lead + 575) // 576
+    n_gr += n_gr & 1                             # whole frames
+    n_frames = n_gr // 2
+    specs = []
+    for c in range(nch):
+        xpad = np.concatenate([np.zeros(lead), x[:, c],
+                               np.zeros(576 * n_gr + 576 - lead - n)])
+        sub = _analyze(xpad, _filterbank())      # (32, 18*n_gr+18)
+        specs.append(_l3_forward(sub, n_gr))     # (n_gr, 576)
+    sr_idx = _L1_SR.index(sample_rate)
+    br_idx = 1 + _L3_BITRATES.index(bitrate_kbps)
+    header = bytes([
+        0xFF,
+        0xE0 | (_V_MPEG1 << 3) | (0b01 << 1) | 0x1,   # Layer III, no CRC
+        (br_idx << 4) | (sr_idx << 2) | 0x1,  # private bit = self-encoded
+        (0b11 if nch == 1 else 0b00) << 6,
+    ])
+    main = bytearray()                           # logical main-data stream
+    out = bytearray()
+    for f in range(n_frames):
+        # main_data_begin: how far this frame's payload reaches back
+        # into the reservoir. The previous frame's fit check guarantees
+        # len(main) <= f*cap (payloads never start past their own
+        # region), so the pointer is never negative.
+        mdb = f * cap - len(main)
+        if mdb < 0:
+            raise ImageError("Layer III reservoir accounting bug")
+        if mdb > 511:
+            # stuff ancillary zeros so the 9-bit pointer can express it
+            main.extend(b"\x00" * (mdb - 511))
+            mdb = 511
+        gr_fields = []
+        w = _BitWriter()
+        written = 0
+        for gi, (g, c) in enumerate([(g, c) for g in (2 * f, 2 * f + 1)
+                                     for c in range(nch)]):
+            spec = specs[c][g]
+            # reservoir-aware budget: this granule may use whatever the
+            # stream has banked (capacity through this frame minus
+            # bytes already committed), held under the 12-bit
+            # part2_3_length ceiling, leaving room for the remaining
+            # granules and the frame's byte-align padding
+            gr_left = 2 * nch - gi - 1
+            avail = ((f + 1) * cap * 8 - len(main) * 8 - written
+                     - gr_left * 8 - 7)
+            # fair share: split what the stream has banked (this frame's
+            # capacity + reservoir slack) evenly over the remaining
+            # granules — a greedy first granule would starve the rest
+            budget = min(4095, avail // (gr_left + 1))
+            if budget < 0:
+                raise ImageError("bitrate too low for Layer III payload")
+            qv, gg = _l3_quantize(spec)
+            nbits, ops, big_values, _quads = _l3_encode_granule(qv)
+            while nbits > budget and gg < 255:
+                gg = min(255, gg + 4)            # real rate loop: halve
+                step = 2.0 ** ((gg - 210) / 4.0)  # magnitudes until fit
+                qv = (np.sign(spec).astype(np.int64)
+                      * np.rint((np.abs(spec) / step) ** 0.75)
+                      .astype(np.int64))
+                nbits, ops, big_values, _quads = _l3_encode_granule(qv)
+            if nbits > budget:
+                raise ImageError("Layer III rate loop failed (bits)")
+            gr_fields.append((nbits, big_values, gg))
+            for v, b in ops:
+                w.write(v, b)
+            written += nbits
+        if w.nbits:
+            w.write(0, 8 - w.nbits)              # byte-align the frame
+        payload = bytes(w.buf)
+        if len(main) + len(payload) > (f + 1) * cap:
+            raise ImageError("bitrate too low for Layer III payload")
+        main.extend(payload)
+        # side info through the exact parse_l3_sideinfo layout
+        s = _BitWriter()
+        s.write(mdb, 9)                          # main_data_begin
+        s.write(0, 5 if nch == 1 else 3)         # private_bits
+        for _c in range(nch):
+            s.write(0, 4)                        # scfsi
+        for nbits, big_values, gg in gr_fields:
+            s.write(nbits, 12)                   # part2_3_length
+            s.write(big_values, 9)
+            s.write(gg, 8)
+            s.write(0, 4)                        # scalefac_compress=0
+            s.write(0, 1)                        # no window switching
+            for _r in range(3):
+                s.write(1, 5)                    # table_select: generated
+            s.write(7, 4)                        # region0_count
+            s.write(7, 3)                        # region1_count
+            s.write(0, 1)                        # preflag
+            s.write(0, 1)                        # scalefac_scale
+            s.write(1, 1)                        # count1: fixed 4-bit
+        s.pad_to(side_bytes)
+        out += header + s.buf
+    # chop the logical stream into the frames' main regions
+    main.extend(b"\x00" * (n_frames * cap - len(main)))
+    hs = 4 + side_bytes
+    framed = bytearray()
+    for f in range(n_frames):
+        framed += out[f * hs:(f + 1) * hs]
+        framed += main[f * cap:(f + 1) * cap]
+    return bytes(framed)
+
+
+def decode_layer3(data: bytes,
+                  allow_nonconformant: bool = False
+                  ) -> tuple[int, int, np.ndarray]:
+    """MPEG-1 Layer III decoder → (sample_rate, channels, float
+    (n, ch)): real side-info parse (parse_l3_sideinfo), real bit
+    reservoir reassembly via main_data_begin, real Huffman decode of
+    big_values pairs (generated canonical table, linbits escapes, sign
+    bits) and fixed-4-bit count1 quadruples delimited by
+    part2_3_length, power-law dequantization, inverse 18-point MDCT
+    overlap-add, then the module's synthesis filterbank. Same
+    foreign-stream guard as decode_layer1 (private-bit marker): a
+    conformant third-party stream would Huffman-decode through the
+    wrong tables."""
+    try:
+        return _decode_layer3(data, allow_nonconformant)
+    except ImageError:
+        raise
+    except (ValueError, IndexError, struct.error, OverflowError,
+            MemoryError) as e:
+        raise ImageError(f"malformed Layer III: {type(e).__name__}: {e}") \
+            from None
+
+
+def _decode_layer3(data: bytes, allow_nonconformant: bool = False):
+    _enc, dec, max_len = _l3_huffman()
+    sr = None
+    channels = None
+    frames = []                   # (side_info, main-region bytes)
+    for pos, hdr in iter_mpeg_frames(data):
+        if hdr.layer != 3 or hdr.version != _V_MPEG1:
+            raise ImageError("not an MPEG-1 Layer III stream")
+        if not hdr.private and not allow_nonconformant:
+            raise ImageError(_FOREIGN_STREAM_MSG)
+        if hdr.mode == 1:
+            raise ImageError("joint-stereo Layer III not supported")
+        if sr is None:
+            sr, channels = hdr.sample_rate, hdr.channels
+        elif hdr.sample_rate != sr or hdr.channels != channels:
+            raise ImageError("mid-stream format change")
+        if (len(frames) + 1) * 1152 * channels > MAX_DECODE_SAMPLES:
+            raise ImageError("Layer III output exceeds sample cap")
+        si = parse_l3_sideinfo(data, pos, hdr)
+        side_bytes = 17 if channels == 1 else 32
+        body = data[pos + 4 + (2 if hdr.crc else 0) + side_bytes:
+                    pos + hdr.frame_bytes]
+        frames.append((si, body))
+    if sr is None:
+        raise ImageError("no Layer III frames")
+    nch = channels
+    main = bytearray()
+    gr_specs: list = [[] for _ in range(nch)]
+    for si, body in frames:
+        # the reservoir pointer reaches at most 511 bytes back, so only
+        # that much history need stay resident (keeps the walk linear
+        # and the buffer bounded on arbitrarily long streams)
+        if len(main) > 511:
+            del main[:len(main) - 511]
+        start = len(main) - si["main_data_begin"]
+        if start < 0:
+            raise ImageError("main_data_begin reaches before the stream")
+        main.extend(body)
+        br = _BitReader(bytes(main[start:]), 0)
+        for gi, g in enumerate(si["granules"]):
+            c = gi % nch
+            p23 = g["part2_3_length"]
+            end_bit = br.pos + p23
+            q = np.zeros(576, dtype=np.int64)
+            idx = 0
+            for _p in range(g["big_values"]):
+                code, cl = 0, 0
+                while (cl, code) not in dec:
+                    code = (code << 1) | br.read(1)
+                    cl += 1
+                    if cl > max_len or br.pos > end_bit:
+                        raise ImageError("bad Layer III Huffman code")
+                x, y = dec[(cl, code)]
+                vals = []
+                for a in (x, y):
+                    v = a
+                    if a == 15:
+                        v += br.read(_L3_LINBITS)
+                    if v and br.read(1):
+                        v = -v
+                    vals.append(v)
+                if idx + 2 > 576:
+                    raise ImageError("big_values overrun")
+                q[idx], q[idx + 1] = vals
+                idx += 2
+            while br.pos < end_bit:
+                mask = br.read(4)
+                if idx + 4 > 576:
+                    raise ImageError("count1 overrun")
+                for j in range(4):
+                    if (mask >> (3 - j)) & 1:
+                        q[idx + j] = -1 if br.read(1) else 1
+                idx += 4
+            if br.pos != end_bit:
+                raise ImageError("part2_3_length mismatch")
+            gr_specs[c].append(_l3_dequantize(q, g["global_gain"]))
+    chans = []
+    for c in range(nch):
+        spec = np.stack(gr_specs[c])             # (n_gr, 576)
+        cols = _l3_inverse(spec)
+        y = _synthesize(cols, _filterbank())
+        chans.append(y[576 + _M:])
+    n = min(ch.size for ch in chans)
+    return sr, nch, np.stack([ch[:n] for ch in chans], axis=1)
 
 
 # --- AAC ADTS frame scanning (scan tier: REAL, no audio decode) -------------
