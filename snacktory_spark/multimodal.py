@@ -24,15 +24,17 @@ Decode reality in this container (no PIL/ffmpeg):
 - **video: REAL for Y4M (YUV4MPEG2 C420/C444)** via `snacktory_spark.av`
   — streaming frame iteration, every-k frame sampling, luma statistics.
 - **MPEG audio**: frame scanning (duration/bitrate/VBR metadata) is REAL
-  and spec-exact for MP1/MP2/MP3 files; MPEG-1 Layer I AND Layer II
-  additionally decode through `snacktory_spark.mpeg`'s self-consistent
-  codecs (spec framing incl. L2 scfsi sharing + grouped codewords; MDCT
-  filterbank + midrise quantizer substituted for the Annex B tables —
-  see mpeg.py's two-tier honesty contract).
-- remaining perceptual codecs (MP3 full decode, AAC/H.264/VP9):
-  stubbed — NotImplementedError by default, `deterministic_fake=True`
-  yields a seeded content-derived feature vector so the Spark-side
-  plumbing stays fully exercised.
+  and spec-exact for MP1/MP2/MP3 files; MPEG-1 Layers I, II and (r7)
+  III additionally decode through `snacktory_spark.mpeg`'s
+  self-consistent codecs (spec framing incl. L2 scfsi sharing + grouped
+  codewords and the full L3 granule / bit-reservoir / Huffman-with-
+  linbits / power-law-requant / hybrid-MDCT dataflow; the Annex B
+  tables are the substituted piece — see mpeg.py's two-tier honesty
+  contract).
+- remaining perceptual codecs (AAC/H.264/VP9): stubbed —
+  NotImplementedError by default, `deterministic_fake=True` yields a
+  seeded content-derived feature vector so the Spark-side plumbing
+  stays fully exercised.
 
 At 100 TB: payloads should live in their own parquet column chunk (they do —
 separate column), batches must stay small (binary rows are large), and
