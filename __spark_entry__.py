@@ -713,10 +713,10 @@ def q_mpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
     def to_mpeg(batches):
-        from snacktory_spark.mpeg import (encode_layer1, encode_layer2,
-                                          encode_layer3)
+        from snacktory_spark.mpeg import (encode_aac_adts, encode_layer1,
+                                          encode_layer2, encode_layer3)
         for pdf in batches:
-            payloads = []
+            payloads, aacs = [], []
             for doc_id in pdf["doc_id"]:
                 sig, br = _mpeg_sig(doc_id)
                 layer = int(doc_id) % 3
@@ -728,33 +728,48 @@ def q_mpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 else:                        # L3 ladder tops out at 320
                     payloads.append(encode_layer3(sig, 32000,
                                                   min(br, 320)))
+                aacs.append(encode_aac_adts(sig, 32000))
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
-                                "payload": payloads})
+                                "payload": payloads, "aac": aacs})
 
     def decode(batches):
         import numpy as np
-        from snacktory_spark.mpeg import decode_mpeg, parse_frame_header
+        from snacktory_spark.mpeg import (aac_adts_info, decode_aac_adts,
+                                          decode_mpeg, parse_frame_header)
         for pdf in batches:
             rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for doc_id, payload, aac in zip(pdf["doc_id"],
+                                            pdf["payload"], pdf["aac"]):
                 sig, br = _mpeg_sig(doc_id)
                 raw = bytes(payload)
                 layer = parse_frame_header(raw).layer
-                sr, ch, out = decode_mpeg(raw)
-                n = min(out.shape[0], sig.size)
-                e = out[:n, 0] - sig[:n]
-                snr = 10.0 * np.log10(
-                    float(np.mean(sig[:n] ** 2))
-                    / max(float(np.mean(e ** 2)), 1e-300))
-                # L1 192k mono @32k -> nb=5 (~30 dB); L3 sines ~49+ dB
-                rows.append((doc_id, layer, sr, ch, bool(snr > 25.0)))
-            yield pd.DataFrame(rows, columns=[
-                "doc_id", "layer", "sample_rate", "channels", "snr_ok"])
 
-    enc = docs.mapInPandas(to_mpeg, "doc_id long, payload binary")
+                def snr_of(out):
+                    n = min(out.shape[0], sig.size)
+                    e = out[:n, 0] - sig[:n]
+                    return 10.0 * np.log10(
+                        float(np.mean(sig[:n] ** 2))
+                        / max(float(np.mean(e ** 2)), 1e-300))
+                sr, ch, out = decode_mpeg(raw)
+                a_sr, a_ch, a_out = decode_aac_adts(bytes(aac))
+                # L1 192k mono @32k -> nb=5 (~30 dB); L3 sines ~49+ dB;
+                # AAC rides ADTS VBR so it is quantizer-limited (~78 dB).
+                # aac_frames comes from SCANNING the stream, so the
+                # closed-form oracle validates the actual ADTS framing
+                n_aac = aac_adts_info(bytes(aac))["n_frames"]
+                rows.append((doc_id, layer, sr, ch,
+                             bool(snr_of(out) > 25.0),
+                             int(n_aac) if (a_sr, a_ch) == (32000, 1)
+                             and snr_of(a_out) > 60.0 else -1))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "layer", "sample_rate", "channels", "snr_ok",
+                "aac_frames"])
+
+    enc = docs.mapInPandas(to_mpeg,
+                           "doc_id long, payload binary, aac binary")
     return enc.mapInPandas(
         decode, "doc_id long, layer long, sample_rate long, "
-                "channels long, snr_ok boolean")
+                "channels long, snr_ok boolean, aac_frames long")
 
 
 def q_media_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3014,7 +3029,9 @@ def oracle_sql() -> dict[str, str]:
                         * 384 * 1000 // 32000)::BIGINT AS scan_duration_ms,
                    (doc_id % 3 + 1)::BIGINT AS layer,
                    32000::BIGINT AS sample_rate,
-                   1::BIGINT AS channels, true AS snr_ok
+                   1::BIGINT AS channels, true AS snr_ok,
+                   ((1000 + (doc_id % 5) * 384 + 2047) // 1024
+                        + 1)::BIGINT AS aac_frames
             FROM documents
         """,
         # streaming availableNow + watermark sentinel == plain batch agg

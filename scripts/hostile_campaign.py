@@ -79,6 +79,13 @@ def families():
             32000, 128), b"\xff\xfb")
     add("adts", mpeg.aac_adts_info,
         mpeg.build_adts_stream(4, 64, 48000, 2, 1, seed=2), b"\xff\xf1")
+    # AAC codec seed (r7): mutations land on the raw_data_block walk,
+    # section/scalefactor parse, escape sequences and sign bits
+    add("aac_decode",
+        lambda d: mpeg.decode_aac_adts(d, allow_nonconformant=True),
+        mpeg.encode_aac_adts(
+            0.3 * np.sin(2 * np.pi * 800 * np.arange(3000) / 48000.0),
+            48000), b"\xff\xf1")
     add("mp4", containers.mp4_info,
         containers.build_mp4(5, 20, 500, seed=3), b"\x00\x00\x00\x14ftyp")
     add("fmp4", containers.mp4_info,

@@ -77,15 +77,15 @@ MAX_DECODE_SAMPLES = 1 << 24  # decoded-output cap, matches av.py
 # is spec-exact on arbitrary real files)
 _FOREIGN_STREAM_MSG = (
     "stream was not produced by this module's encoder (private-bit "
-    "marker absent): the Layer I/II codec is self-consistent, not "
-    "ISO-conformant (substituted Annex B window/requant tables), so a "
-    "foreign stream would decode to plausible but DIVERGENT samples. "
-    "Pass allow_nonconformant=True to decode anyway. KNOWN FALSE-"
-    "NEGATIVE WINDOW: the private bit is legal for any encoder to set "
-    "(ISO 11172-3 calls it 'for private use'), so a conformant third-"
-    "party stream that happens to set it on every frame passes this "
-    "guard and decodes divergently — the marker is a strong heuristic, "
-    "not proof of provenance.")
+    "marker absent): the Layer I/II/III and AAC codec tiers are "
+    "self-consistent, not ISO-conformant (substituted Annex B / "
+    "codebook tables), so a foreign stream would decode to plausible "
+    "but DIVERGENT samples. Pass allow_nonconformant=True to decode "
+    "anyway. KNOWN FALSE-NEGATIVE WINDOW: the private bit is legal for "
+    "any encoder to set (ISO 11172-3 calls it 'for private use'), so a "
+    "conformant third-party stream that happens to set it on every "
+    "frame passes this guard and decodes divergently — the marker is a "
+    "strong heuristic, not proof of provenance.")
 
 # --- header tables (ISO 11172-3 / 13818-3, public) -------------------------
 
@@ -1420,6 +1420,7 @@ def parse_adts_header(data: bytes, pos: int = 0) -> dict:
         "profile": _AAC_PROFILES[profile],
         "sample_rate": _ADTS_SR[sf_idx],
         "channels": channel_cfg,
+        "private": (b[2] >> 1) & 1,
         "frame_bytes": frame_len,
         "samples": 1024 * n_blocks,
     }
@@ -1427,8 +1428,9 @@ def parse_adts_header(data: bytes, pos: int = 0) -> dict:
 
 def aac_adts_info(data: bytes) -> dict:
     """Scan an ADTS stream (the raw-AAC container): frame inventory,
-    duration, mean frame size — no audio decode (AAC decode needs the
-    14496-3 Huffman codebooks; declared stub like MP3 Layer III)."""
+    duration, mean frame size — no audio decode (the scan tier is
+    spec-exact on arbitrary real files; decode_aac_adts below is the
+    self-consistent codec tier for this module's own streams)."""
     pos = _skip_id3v2(data)
     first = None
     n = 0
@@ -1504,3 +1506,410 @@ def build_adts_stream(n_frames: int, payload_bytes: int,
         out += bytes(((seed + f + i) * 131) % 251
                      for i in range(payload_bytes))
     return bytes(out)
+
+
+# --- AAC-LC codec (spec-shaped: ADTS + raw_data_block syntax; r7) -----------
+#
+# Extends the codec family to AAC under the SAME self-consistent
+# contract as Layers I-III. REAL and spec-structural (ISO 13818-7 /
+# 14496-3 syntax, public):
+#
+# - ADTS framing: the exact header parse_adts_header validates, with
+#   per-frame variable length (ADTS is natively VBR) and the ADTS
+#   private_bit as the self-encoded marker (same guard semantics);
+# - raw_data_block element walk: SCE (mono) / CPE (stereo,
+#   common_window=0, independent channels) / END with byte alignment,
+#   element_instance_tag, and the individual_channel_stream layout —
+#   global_gain, ics_info (ONLY_LONG_SEQUENCE, sine window_shape,
+#   max_sfb, predictor_data_present=0), section_data with the real
+#   escape-coded sect_len_incr loop, scale_factor_data as dpcm from
+#   global_gain, pulse/tns/gain-control presence flags, spectral_data;
+# - REAL Huffman machinery for the spectrum: canonical pair codes with
+#   the spec's actual escape-sequence shape for codebook-11-class
+#   values (escape_prefix of N ones, 0 separator, N+4 escape word,
+#   value = 2^(N+4) + word) and per-nonzero sign bits;
+# - the power-law quantizer x = sign(q)·|q|^(4/3)·2^(0.25(sf-100))
+#   (SF_OFFSET=100, spec body), inverted with a fitting loop;
+# - the long-window filterbank: a 1024-band / 2048-point lapped MDCT
+#   with the closed-form sine window (window_shape=0) and TDAC
+#   overlap-add — AAC's actual long-block transform.
+#
+# Substituted (documented, same honesty contract): the 14496-3
+# spectral and scalefactor Huffman CODEBOOKS (tables) are generated
+# canonical codes (geometric-weight construction — machinery real,
+# code data substituted); the per-samplerate scalefactor-band tables
+# are replaced by ONE band covering all 1024 bins (max_sfb=1), so the
+# dpcm scalefactor chain is exercised with a single delta-0 symbol and
+# global_gain carries the scale; short windows / TNS / PNS / joint
+# stereo are not emitted (their presence flags are written and parsed
+# as absent). Consequence: encode→decode round-trips to quantizer
+# precision; a conformant third-party ADTS stream parses at the header
+# level but would decode through the wrong codebooks — guarded.
+
+_AAC_M = 1024
+_AAC_LW = 2048
+_AAC_ESC = 16                     # codebook-11-class escape symbol
+_AAC_SF_OFFSET = 100
+_AAC_QCAP = 8191                  # escape ceiling we target (13-bit word)
+_AAC_FB_CACHE: dict = {}
+_AAC_HUF_CACHE: dict = {}
+
+
+def _aac_bank() -> np.ndarray:
+    if not _AAC_FB_CACHE:
+        n = np.arange(_AAC_LW, dtype=np.float64)
+        w = np.sin(np.pi * (n + 0.5) / _AAC_LW)
+        k = np.arange(_AAC_M, dtype=np.float64)[:, None]
+        basis = np.cos(np.pi / _AAC_M * (n[None, :] + 0.5 + _AAC_M / 2)
+                       * (k + 0.5))
+        _AAC_FB_CACHE["b"] = basis * w[None, :]
+    return _AAC_FB_CACHE["b"]
+
+
+def _aac_huffman():
+    """Generated canonical codes standing in for the 14496-3 codebooks
+    (substituted DATA, real machinery): a spectral pair code over
+    (|x|,|y|) in [0,16]^2 (16 = escape class) and a scalefactor dpcm
+    code over deltas [-60, 60], both geometric-weight canonical
+    constructions with deterministic (length, symbol) ordering."""
+    if _AAC_HUF_CACHE:
+        return _AAC_HUF_CACHE["sp"], _AAC_HUF_CACHE["sf"]
+    import heapq
+
+    def canonical(weights):
+        nodes = [(w, i, ("leaf", s)) for i, (s, w) in enumerate(weights)]
+        counter = len(nodes)
+        heapq.heapify(nodes)
+        while len(nodes) > 1:
+            w1, _a, n1 = heapq.heappop(nodes)
+            w2, _b, n2 = heapq.heappop(nodes)
+            heapq.heappush(nodes, (w1 + w2, counter, ("node", n1, n2)))
+            counter += 1
+        depth = {}
+
+        def walk(node, d):
+            if node[0] == "leaf":
+                depth[node[1]] = max(d, 1)
+            else:
+                walk(node[1], d + 1)
+                walk(node[2], d + 1)
+        walk(nodes[0][2], 0)
+        order = sorted(depth, key=lambda s: (depth[s], s))
+        enc, dec = {}, {}
+        code, prev = 0, depth[order[0]]
+        for i, sym in enumerate(order):
+            if i:
+                code = (code + 1) << (depth[sym] - prev)
+            prev = depth[sym]
+            enc[sym] = (code, depth[sym])
+            dec[(depth[sym], code)] = sym
+        return enc, dec, max(depth.values())
+
+    sp = canonical([((x, y), 0.6 ** (x + y))
+                    for x in range(17) for y in range(17)])
+    sf = canonical([(d, 0.7 ** abs(d)) for d in range(-60, 61)])
+    _AAC_HUF_CACHE["sp"], _AAC_HUF_CACHE["sf"] = sp, sf
+    return sp, sf
+
+
+def _huff_read(br: _BitReader, dec: dict, max_len: int):
+    code, cl = 0, 0
+    while (cl, code) not in dec:
+        code = (code << 1) | br.read(1)
+        cl += 1
+        if cl > max_len:
+            raise ImageError("bad AAC Huffman code")
+    return dec[(cl, code)]
+
+
+def _aac_quantize(spec: np.ndarray) -> tuple[np.ndarray, int]:
+    """Pick the smallest scalefactor whose step keeps |q| under the
+    escape ceiling, then q = round((|x|/step)^(3/4))."""
+    maxabs = float(np.abs(spec).max())
+    if maxabs == 0.0:
+        return np.zeros(_AAC_M, dtype=np.int64), _AAC_SF_OFFSET
+    need = maxabs / (_AAC_QCAP ** (4.0 / 3.0))
+    sf = max(0, min(255, _AAC_SF_OFFSET
+                    + int(np.ceil(4.0 * np.log2(need)))))
+    while sf <= 255:
+        step = 2.0 ** (0.25 * (sf - _AAC_SF_OFFSET))
+        q = np.rint((np.abs(spec) / step) ** 0.75).astype(np.int64)
+        if q.max() <= _AAC_QCAP:
+            break
+        sf += 1
+    else:
+        raise ImageError("AAC quantizer failed (amplitude)")
+    return np.sign(spec).astype(np.int64) * q, sf
+
+
+def _aac_dequantize(q: np.ndarray, sf: int) -> np.ndarray:
+    step = 2.0 ** (0.25 * (sf - _AAC_SF_OFFSET))
+    return np.sign(q) * (np.abs(q).astype(np.float64) ** (4.0 / 3.0)) \
+        * step
+
+
+def _aac_write_escape(w: _BitWriter, v: int):
+    """The spec's escape_sequence: N ones, a 0 separator, then an
+    (N+4)-bit word; value = 2^(N+4) + word, so 16..31 ride N=0."""
+    n = max(0, v.bit_length() - 5)
+    if v < (1 << (n + 4)) or v >= (1 << (n + 5)):
+        raise ImageError("AAC escape value out of range")
+    if n:
+        w.write((1 << n) - 1, n)
+    w.write(0, 1)
+    w.write(v - (1 << (n + 4)), n + 4)
+
+
+def _aac_read_escape(br: _BitReader) -> int:
+    n = 0
+    while br.read(1):
+        n += 1
+        if n > 16:
+            raise ImageError("AAC escape prefix runaway")
+    return (1 << (n + 4)) + br.read(n + 4)
+
+
+def _aac_encode_channel(w: _BitWriter, spec: np.ndarray):
+    """individual_channel_stream for one channel (common_window=0)."""
+    (sp_enc, _sp_dec, _ml), (sf_enc, _sf_dec, _ml2) = _aac_huffman()
+    q, sf = _aac_quantize(spec)
+    w.write(sf, 8)                      # global_gain
+    # ics_info: reserved, ONLY_LONG, sine shape, max_sfb=1, no predictor
+    w.write(0, 1)
+    w.write(0, 2)
+    w.write(0, 1)
+    w.write(1, 6)
+    w.write(0, 1)
+    # section_data: one section, codebook 11 (the generated pair code),
+    # real escape-coded length loop (value 1 < esc 31 -> single field)
+    w.write(11, 4)
+    w.write(1, 5)
+    # scale_factor_data: dpcm from global_gain — delta 0 for the band
+    code, cl = sf_enc[0]
+    w.write(code, cl)
+    # pulse / tns / gain_control absent
+    w.write(0, 1)
+    w.write(0, 1)
+    w.write(0, 1)
+    # spectral_data: 512 pairs, unsigned values + sign bits + escapes
+    for i in range(0, _AAC_M, 2):
+        x, y = int(q[i]), int(q[i + 1])
+        ax, ay = min(abs(x), _AAC_ESC), min(abs(y), _AAC_ESC)
+        code, cl = sp_enc[(ax, ay)]
+        w.write(code, cl)
+        for v in (x, y):
+            if v:
+                w.write(1 if v < 0 else 0, 1)
+        for v, a in ((x, ax), (y, ay)):
+            if a == _AAC_ESC:
+                _aac_write_escape(w, abs(v))
+
+
+def _aac_decode_channel(br: _BitReader) -> np.ndarray:
+    (_sp_enc, sp_dec, sp_ml), (_sf_enc, sf_dec, sf_ml) = _aac_huffman()
+    gg = br.read(8)
+    if br.read(1):
+        raise ImageError("AAC ics_reserved_bit set")
+    if br.read(2) != 0:
+        raise ImageError("only ONLY_LONG_SEQUENCE windows supported")
+    br.read(1)                          # window_shape
+    max_sfb = br.read(6)
+    if max_sfb != 1:
+        raise ImageError("AAC max_sfb outside the substituted layout")
+    if br.read(1):
+        raise ImageError("AAC predictor data not supported (LC)")
+    k = 0
+    sections = []
+    while k < max_sfb:
+        cb = br.read(4)
+        ln = 0
+        while True:
+            inc = br.read(5)
+            ln += inc
+            if inc != 31:
+                break
+        if ln == 0:
+            raise ImageError("empty AAC section")
+        sections.append((cb, ln))
+        k += ln
+    if k != max_sfb:
+        raise ImageError("AAC sections overrun max_sfb")
+    sf = gg
+    for cb, ln in sections:
+        if cb == 0:
+            continue
+        for _ in range(ln):
+            sf += _huff_read(br, sf_dec, sf_ml)
+    if not (0 <= sf <= 255):
+        raise ImageError("AAC scalefactor out of range")
+    if br.read(1):
+        raise ImageError("AAC pulse data not supported")
+    if br.read(1):
+        raise ImageError("AAC TNS not supported")
+    if br.read(1):
+        raise ImageError("AAC gain control not supported")
+    q = np.zeros(_AAC_M, dtype=np.int64)
+    if sections and sections[0][0] != 0:
+        for i in range(0, _AAC_M, 2):
+            ax, ay = _huff_read(br, sp_dec, sp_ml)
+            vals = [ax, ay]
+            for j in range(2):
+                if vals[j] and br.read(1):
+                    vals[j] = -vals[j]
+            for j in range(2):
+                if abs(vals[j]) == _AAC_ESC:
+                    mag = _aac_read_escape(br)
+                    vals[j] = -mag if vals[j] < 0 else mag
+            q[i], q[i + 1] = vals
+    return _aac_dequantize(q, sf)
+
+
+def encode_aac_adts(samples: np.ndarray, sample_rate: int = 48000,
+                    ) -> bytes:
+    """AAC-LC-shaped encoder, mono (n,) or stereo (n, 2) float in
+    [-1, 1] → an ADTS stream (SCE per mono frame, CPE with independent
+    channels for stereo; long windows only; per-frame variable length —
+    ADTS is natively VBR, so no bit reservoir is involved). See the
+    section comment for the real-vs-substituted inventory. Output
+    decodes with decode_aac_adts back to the input to quantizer
+    precision."""
+    if sample_rate not in _ADTS_SR:
+        raise ImageError("not an ADTS sampling frequency")
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    if x.ndim != 2 or x.shape[1] not in (1, 2):
+        raise ImageError("samples must be (n,) mono or (n, 2) stereo")
+    if x.shape[0] == 0:
+        raise ImageError("empty signal")
+    if x.size > MAX_DECODE_SAMPLES:
+        raise ImageError("signal too long (sample cap)")
+    nch = x.shape[1]
+    n = x.shape[0]
+    bank = _aac_bank()
+    n_frames = (n + _AAC_M + _AAC_M - 1) // _AAC_M + 1
+    specs = []
+    for c in range(nch):
+        xpad = np.concatenate([
+            np.zeros(_AAC_M), x[:, c],
+            np.zeros(n_frames * _AAC_M + _AAC_M - _AAC_M - n)])
+        segs = np.lib.stride_tricks.sliding_window_view(
+            xpad, _AAC_LW)[::_AAC_M][:n_frames]
+        specs.append(bank @ segs.T)     # (1024, n_frames)
+    sf_idx = _ADTS_SR.index(sample_rate)
+    out = bytearray()
+    for f in range(n_frames):
+        w = _BitWriter()
+        if nch == 1:
+            w.write(0, 3)               # SCE
+            w.write(0, 4)               # element_instance_tag
+            _aac_encode_channel(w, specs[0][:, f])
+        else:
+            w.write(1, 3)               # CPE
+            w.write(0, 4)
+            w.write(0, 1)               # common_window = 0
+            _aac_encode_channel(w, specs[0][:, f])
+            _aac_encode_channel(w, specs[1][:, f])
+        w.write(7, 3)                   # END
+        if w.nbits:
+            w.write(0, 8 - w.nbits)     # raw_data_block byte-align
+        frame_len = 7 + len(w.buf)
+        if frame_len >= (1 << 13):
+            raise ImageError("AAC frame exceeds the 13-bit ADTS length")
+        h = bytearray(7)
+        h[0] = 0xFF
+        h[1] = 0xF1                     # MPEG-4, layer 00, no CRC
+        # profile LC (1), private_bit = self-encoded marker
+        h[2] = (1 << 6) | (sf_idx << 2) | 0x2 | ((nch >> 2) & 1)
+        h[3] = ((nch & 3) << 6) | ((frame_len >> 11) & 0x3)
+        h[4] = (frame_len >> 3) & 0xFF
+        h[5] = ((frame_len & 0x7) << 5) | 0x1F  # fullness=VBR sentinel
+        h[6] = 0xFC                     # one raw data block
+        out += h + w.buf
+    return bytes(out)
+
+
+def decode_aac_adts(data: bytes, allow_nonconformant: bool = False
+                    ) -> tuple[int, int, np.ndarray]:
+    """AAC-LC-shaped decoder → (sample_rate, channels, float (n, ch)):
+    real ADTS walk + raw_data_block element parse (SCE/CPE/END,
+    sections, dpcm scalefactors, escape sequences, sign bits), then
+    inverse 1024-band MDCT with TDAC overlap-add. Same foreign-stream
+    guard as the MPEG layers, keyed on the ADTS private_bit."""
+    try:
+        return _decode_aac_adts(data, allow_nonconformant)
+    except ImageError:
+        raise
+    except (ValueError, IndexError, struct.error, OverflowError,
+            MemoryError) as e:
+        raise ImageError(f"malformed AAC: {type(e).__name__}: {e}") \
+            from None
+
+
+def _decode_aac_adts(data: bytes, allow_nonconformant: bool = False):
+    bank = _aac_bank()
+    pos = _skip_id3v2(data)
+    sr = None
+    channels = None
+    cols: list = []
+    n = 0
+    while pos + 7 <= len(data):
+        try:
+            h = parse_adts_header(data, pos)
+        except ImageError:
+            if sr is not None:
+                break
+            pos += 1
+            continue
+        if pos + h["frame_bytes"] > len(data):
+            break
+        if sr is None:
+            sr, channels = h["sample_rate"], h["channels"]
+            if channels not in (1, 2):
+                raise ImageError("AAC channel configuration unsupported")
+        elif h["sample_rate"] != sr or h["channels"] != channels:
+            raise ImageError("mid-stream ADTS format change")
+        if not h["private"] and not allow_nonconformant:
+            raise ImageError(_FOREIGN_STREAM_MSG)
+        if h["crc"]:
+            raise ImageError("ADTS CRC frames not produced by this "
+                             "encoder")
+        n += 1
+        if n > MAX_FRAMES:
+            raise ImageError("ADTS stream exceeds frame cap")
+        if n * _AAC_M * channels > MAX_DECODE_SAMPLES:
+            raise ImageError("AAC output exceeds sample cap")
+        br = _BitReader(data[pos + 7:pos + h["frame_bytes"]], 0)
+        ch_specs = []
+        while True:
+            ele = br.read(3)
+            if ele == 7:                # END
+                break
+            if ele == 0:                # SCE
+                br.read(4)
+                ch_specs.append(_aac_decode_channel(br))
+            elif ele == 1:              # CPE
+                br.read(4)
+                if br.read(1):
+                    raise ImageError("common_window CPE not supported")
+                ch_specs.append(_aac_decode_channel(br))
+                ch_specs.append(_aac_decode_channel(br))
+            else:
+                raise ImageError(f"AAC syntactic element {ele} "
+                                 "not supported")
+        if len(ch_specs) != channels:
+            raise ImageError("AAC element channels != ADTS config")
+        cols.append(ch_specs)
+        pos += h["frame_bytes"]
+    if sr is None or n == 0:
+        raise ImageError("no ADTS frames")
+    chans = []
+    for c in range(channels):
+        spec = np.stack([fr[c] for fr in cols], axis=1)  # (1024, n)
+        y = np.zeros(n * _AAC_M + _AAC_LW)
+        contrib = (bank.T @ spec) * (2.0 / _AAC_M)       # (2048, n)
+        for f in range(n):
+            y[f * _AAC_M:f * _AAC_M + _AAC_LW] += contrib[:, f]
+        chans.append(y[_AAC_M:n * _AAC_M])
+    m = min(ch.size for ch in chans)
+    return sr, channels, np.stack([ch[:m] for ch in chans], axis=1)

@@ -31,7 +31,12 @@ Decode reality in this container (no PIL/ffmpeg):
   linbits / power-law-requant / hybrid-MDCT dataflow; the Annex B
   tables are the substituted piece — see mpeg.py's two-tier honesty
   contract).
-- remaining perceptual codecs (AAC/H.264/VP9): stubbed —
+- **AAC (ADTS)**: frame scanning is REAL and spec-exact
+  (aac_adts_info); an AAC-LC-shaped self-consistent codec
+  (encode_aac_adts/decode_aac_adts — real raw_data_block syntax,
+  generated codebooks substituted) rounds trips this module's own
+  streams under the same guard.
+- remaining perceptual codecs (H.264/VP9 video decode): stubbed —
   NotImplementedError by default, `deterministic_fake=True` yields a
   seeded content-derived feature vector so the Spark-side plumbing
   stays fully exercised.

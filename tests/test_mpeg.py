@@ -647,3 +647,100 @@ def test_layer3_fuzz_never_leaks(data):
         decode_layer3(data, allow_nonconformant=True)
     except ImageError:
         pass
+
+
+# --- AAC-LC codec (r7: spec-shaped, self-consistent) ------------------------
+
+from snacktory_spark.mpeg import (_aac_read_escape, _aac_write_escape,
+                                  _BitReader, _BitWriter, aac_adts_info,
+                                  decode_aac_adts, encode_aac_adts,
+                                  parse_adts_header)
+
+
+def test_aac_roundtrip_mono_stereo_noise():
+    sr = 48000
+    sig = 0.5 * np.sin(2 * np.pi * 1000 * np.arange(5000) / sr)
+    data = encode_aac_adts(sig, sr)
+    info = aac_adts_info(data)
+    assert (info["profile"], info["sample_rate"], info["channels"]) \
+        == ("LC", sr, 1)
+    r_sr, ch, out = decode_aac_adts(data)
+    assert (r_sr, ch) == (sr, 1)
+    assert _snr(sig, out) > 60          # VBR: quantizer-limited (~78)
+    st_sig = np.stack([sig, -0.4 * sig], axis=1)
+    _, ch2, out2 = decode_aac_adts(encode_aac_adts(st_sig, 44100))
+    assert ch2 == 2 and _snr(st_sig, out2) > 60
+    rng = np.random.RandomState(3)
+    noise = (rng.rand(6000) - 0.5) * 0.8
+    _, _, out3 = decode_aac_adts(encode_aac_adts(noise, sr))
+    assert _snr(noise, out3) > 60
+
+
+def test_aac_adts_private_bit_guard():
+    sig = 0.3 * np.sin(2 * np.pi * 700 * np.arange(3000) / 48000)
+    data = bytearray(encode_aac_adts(sig, 48000))
+    ref = decode_aac_adts(bytes(data))[2]
+    # clear the ADTS private_bit on every frame
+    pos = 0
+    while pos + 7 <= len(data):
+        h = parse_adts_header(bytes(data), pos)
+        assert h["private"] == 1
+        data[pos + 2] &= ~0x02
+        pos += h["frame_bytes"]
+    with pytest.raises(ImageError, match="private-bit"):
+        decode_aac_adts(bytes(data))
+    out = decode_aac_adts(bytes(data), allow_nonconformant=True)[2]
+    assert np.array_equal(ref, out)
+    # scan-tier filler frames carry private=0 by construction
+    from snacktory_spark.mpeg import build_adts_stream
+    assert parse_adts_header(build_adts_stream(1, 16))["private"] == 0
+
+
+def test_aac_escape_sequence_shape():
+    """The spec's escape machinery: N ones, 0 separator, (N+4)-bit
+    word; value = 2^(N+4) + word — round-trip the whole 16..8191 range
+    boundary cases and assert the exact bit layout for 16."""
+    for v in (16, 31, 32, 63, 64, 255, 256, 8191):
+        w = _BitWriter()
+        _aac_write_escape(w, v)
+        if w.nbits:
+            w.write(0, 8 - w.nbits)
+        assert _aac_read_escape(_BitReader(bytes(w.buf), 0)) == v
+    w = _BitWriter()
+    _aac_write_escape(w, 16)            # N=0: '0' + '0000'
+    w.write(0, 8 - w.nbits)
+    assert bytes(w.buf) == b"\x00"
+    # prefix runaway is capped
+    with pytest.raises(ImageError):
+        _aac_read_escape(_BitReader(b"\xff\xff\xff\xff", 0))
+
+
+def test_aac_rejects_and_hostile():
+    with pytest.raises(ImageError):
+        encode_aac_adts(np.zeros(100), 12345)      # not an ADTS rate
+    with pytest.raises(ImageError):
+        encode_aac_adts(np.zeros(0), 48000)
+    with pytest.raises(ImageError):
+        encode_aac_adts(np.zeros((10, 3)), 48000)
+    sig = 0.4 * np.sin(2 * np.pi * 500 * np.arange(3000) / 48000)
+    enc = encode_aac_adts(sig, 48000)
+    # truncated final frame: clean shorter decode
+    _, _, out = decode_aac_adts(enc[:len(enc) - 40])
+    assert out.shape[0] > 0
+    # corrupt payload bytes: ImageError or a decode, never a leak
+    for off in (9, 40, 200, 700):
+        b = bytearray(enc)
+        b[off % len(b)] ^= 0x5A
+        try:
+            decode_aac_adts(bytes(b))
+        except ImageError:
+            pass
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_aac_fuzz_never_leaks(data):
+    try:
+        decode_aac_adts(data, allow_nonconformant=True)
+    except ImageError:
+        pass
