@@ -1835,6 +1835,62 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("df").cast("long").alias("df"), "tfidf"))
 
 
+_BM25_QUERY = ("data", "join", "stream")   # fixed retrieval query terms
+_BM25_K1, _BM25_B = 1.2, 0.75              # Robertson/Okapi defaults
+
+
+def q_bm25_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 scores for one fixed 3-term query over the document
+    corpus — the retrieval scoring pass decontamination and RAG-style
+    pipelines run (public: Robertson et al., TREC-3; idf in the
+    Lucene-smoothed form ln((N-df+0.5)/(df+0.5)+1), k1=1.2 b=0.75).
+
+    Scale shape: doc length is a NARROW map (size of the token split —
+    no explode, no shuffle; dl == the exploded row count by
+    construction); the query-term isin filter sits below the tf/df
+    aggregations, so those shuffles carry only rows matching the 3
+    query terms, never the whole vocabulary; avgdl and N are two
+    bounded driver scalars inlined as literals (the documented
+    seed-collect pattern — a real pipeline precomputes corpus stats
+    once, exactly this shape). Per-term contributions are rounded to 6
+    BEFORE the per-doc sum (CLAUDE.md float-parity rule), then the sum
+    re-rounds. Returns (doc_id, bm25) for docs containing >=1 query
+    term."""
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.filter(F.length("text") > 0)
+    dl = base.select("doc_id", F.size(toks).alias("dl"))
+    n_docs = docs.filter(F.col("n_chars") > 0).select("n_chars").count()
+    stats = dl.agg(F.sum("dl").alias("s"),
+                   F.count("*").alias("c")).collect()[0]
+    avgdl = float(stats["s"]) / float(stats["c"])
+    qtf = (base.select("doc_id", F.explode(toks).alias("token"))
+           .filter(F.col("token").isin(*_BM25_QUERY))
+           .groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
+    df_ = qtf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.log(((F.lit(float(n_docs)) - F.col("df") + 0.5)
+                 / (F.col("df") + 0.5)) + 1.0)
+    contrib = F.round(
+        idf * (F.col("tf") * (_BM25_K1 + 1.0))
+        / (F.col("tf") + _BM25_K1
+           * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.lit(avgdl))), 6)
+    return (qtf.join(df_, "token").join(dl, "doc_id")
+            .select("doc_id", contrib.alias("c"))
+            .groupBy("doc_id")
+            .agg(F.round(F.sum("c"), 6).alias("bm25")))
+
+
+def q_tfidf_topterms_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite: per-doc TF-IDF top-3 terms + the doc's Okapi BM25
+    score for the fixed retrieval query (q_bm25_query; 0.0 for docs
+    containing none of the query terms)."""
+    from pyspark.sql import functions as F
+    return (q_tfidf_topterms(spark, sf_dir)
+            .join(q_bm25_query(spark, sf_dir), "doc_id", "left")
+            .withColumn("bm25", F.coalesce(F.col("bm25"), F.lit(0.0))))
+
+
 def q_int8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8-quantized embedding kNN — the memory-bandwidth ANN variant: a
     100-TB store keeps embeddings scalar-quantized at 4× compression and
@@ -2302,7 +2358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_conv_stats": q_streaming_conv_stats,
         "image_roundtrip": q_image_roundtrip_all,
         "mpeg_audio": q_mpeg_audio,
-        "tfidf_topterms": q_tfidf_topterms,
+        "tfidf_topterms": q_tfidf_topterms_full,
         "int8_knn": q_int8_knn,
         "winnow_fingerprint": q_winnow_fingerprint,
         "lm_perplexity": q_lm_perplexity,
@@ -2976,10 +3032,29 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, row_number() OVER (
                     PARTITION BY doc_id
                     ORDER BY tfidf DESC, token ASC) AS rk
-                FROM scored)
-            SELECT doc_id, rk::BIGINT AS rk, token,
-                   tf::BIGINT AS tf, df::BIGINT AS df, tfidf
-            FROM ranked WHERE rk <= 3
+                FROM scored),
+            top3 AS (SELECT doc_id, rk::BIGINT AS rk, token,
+                            tf::BIGINT AS tf, df::BIGINT AS df, tfidf
+                     FROM ranked WHERE rk <= 3),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+            stats AS (SELECT sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
+                      FROM dl),
+            bm AS (
+                SELECT t.doc_id,
+                       round(sum(round(
+                           ln(((SELECT c FROM n)::DOUBLE - t.df + 0.5)
+                              / (t.df + 0.5) + 1.0)
+                           * (t.tf * 2.2)
+                           / (t.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                 / (SELECT avgdl FROM stats))), 6)), 6)
+                           AS bm25
+                FROM (SELECT tf.doc_id, tf.token, tf.tf, dfreq.df
+                      FROM tf JOIN dfreq USING (token)
+                      WHERE tf.token IN ('data', 'join', 'stream')) t
+                JOIN dl ON dl.doc_id = t.doc_id
+                GROUP BY t.doc_id)
+            SELECT top3.*, coalesce(bm.bm25, 0.0) AS bm25
+            FROM top3 LEFT JOIN bm USING (doc_id)
         """,
         # identical floor arithmetic: q_d = clip(floor((x-lo)/r*255));
         # quantized dot products are integers, ties broken by vec_id
