@@ -1143,18 +1143,28 @@ def _l3_encode_granule(q: np.ndarray) -> tuple[int, list, int, int]:
 
 def encode_layer3(samples: np.ndarray, sample_rate: int = 32000,
                   bitrate_kbps: int = 128) -> bytes:
-    """MPEG-1 Layer III encoder, mono (n,) or stereo (n, 2) float in
-    [-1, 1]: real granule/region framing, generated-canonical Huffman
-    coding with linbits escapes, power-law requantization with a rate
-    loop, and a genuine bit reservoir (main_data_begin back-pointers,
-    byte-aligned frames, ancillary stuffing to hold the pointer under
-    its 9-bit/511-byte bound). See the section comment for the
-    substituted pieces. Output decodes with decode_layer3 back to the
-    input to quantizer precision."""
-    if sample_rate not in _L1_SR:
-        raise ImageError(f"MPEG-1 sample rate must be one of {_L1_SR}")
-    if bitrate_kbps not in _L3_BITRATES:
-        raise ImageError("not a legal Layer III bitrate")
+    """MPEG-1 / MPEG-2-LSF Layer III encoder, mono (n,) or stereo
+    (n, 2) float in [-1, 1]: real granule/region framing, generated-
+    canonical Huffman coding with linbits escapes, power-law
+    requantization with a rate loop, and a genuine bit reservoir
+    (main_data_begin back-pointers, byte-aligned frames, ancillary
+    stuffing to hold the pointer under its 9-bit/511-byte bound — 8
+    bits/255 for LSF). An MPEG-1 rate (44.1/48/32 kHz) emits the
+    2-granule 1152-sample frames; an MPEG-2 LSF rate (22.05/24/16 kHz,
+    the low-bitrate MP3s a web corpus actually contains) emits the
+    1-granule 576-sample frames with the 9/17-byte LSF side-info
+    layout. See the section comment for the substituted pieces. Output
+    decodes with decode_layer3 back to the input to quantizer
+    precision."""
+    lsf = sample_rate in _SAMPLE_RATE[_V_MPEG2]
+    if not lsf and sample_rate not in _L1_SR:
+        raise ImageError("sample rate is neither MPEG-1 "
+                         f"{_L1_SR} nor MPEG-2 LSF "
+                         f"{_SAMPLE_RATE[_V_MPEG2]}")
+    ladder = (_BITRATE_MPEG2[3][1:] if lsf else _L3_BITRATES)
+    if bitrate_kbps not in ladder:
+        raise ImageError("not a legal Layer III bitrate for this "
+                         "version")
     x = np.asarray(samples, dtype=np.float64)
     if x.ndim == 1:
         x = x[:, None]
@@ -1166,26 +1176,32 @@ def encode_layer3(samples: np.ndarray, sample_rate: int = 32000,
         raise ImageError("signal too long (sample cap)")
     nch = x.shape[1]
     n = x.shape[0]
-    frame_bytes = 144 * bitrate_kbps * 1000 // sample_rate
-    side_bytes = 17 if nch == 1 else 32
+    gr_per_frame = 1 if lsf else 2
+    frame_bytes = (72 if lsf else 144) * bitrate_kbps * 1000 \
+        // sample_rate
+    side_bytes = (9 if nch == 1 else 17) if lsf else \
+                 (17 if nch == 1 else 32)
+    mdb_max = 255 if lsf else 511                # 8- vs 9-bit pointer
     cap = frame_bytes - 4 - side_bytes           # main-data bytes/frame
     if cap <= 0:
         raise ImageError("bitrate too low for Layer III framing")
     lead = 576 + _M                              # stage-2 + stage-1 pad
     n_gr = (n + lead + 575) // 576
-    n_gr += n_gr & 1                             # whole frames
-    n_frames = n_gr // 2
+    if not lsf:
+        n_gr += n_gr & 1                         # whole 2-granule frames
+    n_frames = n_gr // gr_per_frame
     specs = []
     for c in range(nch):
         xpad = np.concatenate([np.zeros(lead), x[:, c],
                                np.zeros(576 * n_gr + 576 - lead - n)])
         sub = _analyze(xpad, _filterbank())      # (32, 18*n_gr+18)
         specs.append(_l3_forward(sub, n_gr))     # (n_gr, 576)
-    sr_idx = _L1_SR.index(sample_rate)
-    br_idx = 1 + _L3_BITRATES.index(bitrate_kbps)
+    version = _V_MPEG2 if lsf else _V_MPEG1
+    sr_idx = _SAMPLE_RATE[version].index(sample_rate)
+    br_idx = 1 + list(ladder).index(bitrate_kbps)
     header = bytes([
         0xFF,
-        0xE0 | (_V_MPEG1 << 3) | (0b01 << 1) | 0x1,   # Layer III, no CRC
+        0xE0 | (version << 3) | (0b01 << 1) | 0x1,    # Layer III, no CRC
         (br_idx << 4) | (sr_idx << 2) | 0x1,  # private bit = self-encoded
         (0b11 if nch == 1 else 0b00) << 6,
     ])
@@ -1199,22 +1215,25 @@ def encode_layer3(samples: np.ndarray, sample_rate: int = 32000,
         mdb = f * cap - len(main)
         if mdb < 0:
             raise ImageError("Layer III reservoir accounting bug")
-        if mdb > 511:
-            # stuff ancillary zeros so the 9-bit pointer can express it
-            main.extend(b"\x00" * (mdb - 511))
-            mdb = 511
+        if mdb > mdb_max:
+            # stuff ancillary zeros so the pointer field can express it
+            main.extend(b"\x00" * (mdb - mdb_max))
+            mdb = mdb_max
         gr_fields = []
         w = _BitWriter()
         written = 0
-        for gi, (g, c) in enumerate([(g, c) for g in (2 * f, 2 * f + 1)
-                                     for c in range(nch)]):
+        frame_grs = [(g, c)
+                     for g in range(gr_per_frame * f,
+                                    gr_per_frame * (f + 1))
+                     for c in range(nch)]
+        for gi, (g, c) in enumerate(frame_grs):
             spec = specs[c][g]
             # reservoir-aware budget: this granule may use whatever the
             # stream has banked (capacity through this frame minus
             # bytes already committed), held under the 12-bit
             # part2_3_length ceiling, leaving room for the remaining
             # granules and the frame's byte-align padding
-            gr_left = 2 * nch - gi - 1
+            gr_left = len(frame_grs) - gi - 1
             avail = ((f + 1) * cap * 8 - len(main) * 8 - written
                      - gr_left * 8 - 7)
             # fair share: split what the stream has banked (this frame's
@@ -1245,22 +1264,28 @@ def encode_layer3(samples: np.ndarray, sample_rate: int = 32000,
             raise ImageError("bitrate too low for Layer III payload")
         main.extend(payload)
         # side info through the exact parse_l3_sideinfo layout
+        # (MPEG-1 vs LSF field widths per the parser's two branches)
         s = _BitWriter()
-        s.write(mdb, 9)                          # main_data_begin
-        s.write(0, 5 if nch == 1 else 3)         # private_bits
-        for _c in range(nch):
-            s.write(0, 4)                        # scfsi
+        if not lsf:
+            s.write(mdb, 9)                      # main_data_begin
+            s.write(0, 5 if nch == 1 else 3)     # private_bits
+            for _c in range(nch):
+                s.write(0, 4)                    # scfsi
+        else:
+            s.write(mdb, 8)
+            s.write(0, 1 if nch == 1 else 2)
         for nbits, big_values, gg in gr_fields:
             s.write(nbits, 12)                   # part2_3_length
             s.write(big_values, 9)
             s.write(gg, 8)
-            s.write(0, 4)                        # scalefac_compress=0
+            s.write(0, 9 if lsf else 4)          # scalefac_compress=0
             s.write(0, 1)                        # no window switching
             for _r in range(3):
                 s.write(1, 5)                    # table_select: generated
             s.write(7, 4)                        # region0_count
             s.write(7, 3)                        # region1_count
-            s.write(0, 1)                        # preflag
+            if not lsf:
+                s.write(0, 1)                    # preflag
             s.write(0, 1)                        # scalefac_scale
             s.write(1, 1)                        # count1: fixed 4-bit
         s.pad_to(side_bytes)
@@ -1304,8 +1329,8 @@ def _decode_layer3(data: bytes, allow_nonconformant: bool = False):
     channels = None
     frames = []                   # (side_info, main-region bytes)
     for pos, hdr in iter_mpeg_frames(data):
-        if hdr.layer != 3 or hdr.version != _V_MPEG1:
-            raise ImageError("not an MPEG-1 Layer III stream")
+        if hdr.layer != 3 or hdr.version not in (_V_MPEG1, _V_MPEG2):
+            raise ImageError("not an MPEG-1/MPEG-2-LSF Layer III stream")
         if not hdr.private and not allow_nonconformant:
             raise ImageError(_FOREIGN_STREAM_MSG)
         if hdr.mode == 1:
@@ -1317,7 +1342,9 @@ def _decode_layer3(data: bytes, allow_nonconformant: bool = False):
         if (len(frames) + 1) * 1152 * channels > MAX_DECODE_SAMPLES:
             raise ImageError("Layer III output exceeds sample cap")
         si = parse_l3_sideinfo(data, pos, hdr)
-        side_bytes = 17 if channels == 1 else 32
+        lsf = hdr.version != _V_MPEG1
+        side_bytes = (9 if channels == 1 else 17) if lsf else \
+                     (17 if channels == 1 else 32)
         body = data[pos + 4 + (2 if hdr.crc else 0) + side_bytes:
                     pos + hdr.frame_bytes]
         frames.append((si, body))

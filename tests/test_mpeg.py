@@ -744,3 +744,44 @@ def test_aac_fuzz_never_leaks(data):
         decode_aac_adts(data, allow_nonconformant=True)
     except ImageError:
         pass
+
+
+def test_layer3_mpeg2_lsf_roundtrip():
+    """MPEG-2 LSF Layer III (r7): the 1-granule 576-sample frames with
+    the 9/17-byte LSF side-info layout and the 8-bit/255-byte
+    reservoir pointer — the low-bitrate MP3 shape a web corpus
+    actually contains."""
+    for sr, br in ((22050, 64), (24000, 96), (16000, 32)):
+        sig = 0.5 * np.sin(2 * np.pi * 440 * np.arange(4000) / sr)
+        data = encode_layer3(sig, sr, br)
+        info = mpeg_audio_info(data)
+        assert (info["version"], info["layer"]) == ("MPEG2", 3)
+        assert info["sample_rate"] == sr
+        stats = l3_stream_stats(data)
+        assert stats["reservoir_frames"] > 0
+        for pos, hdr in iter_mpeg_frames(data):
+            si = parse_l3_sideinfo(data, pos, hdr)
+            assert 0 <= si["main_data_begin"] <= 255
+            assert len(si["granules"]) == 1          # LSF: one granule
+        r_sr, ch, out = decode_layer3(data)
+        assert (r_sr, ch) == (sr, 1)
+        assert _snr(sig, out) > 30
+    # stereo LSF + the MPEG-1 path unchanged by the generalization
+    st_sig = np.stack(
+        [0.4 * np.sin(2 * np.pi * 300 * np.arange(5000) / 22050),
+         0.3 * np.sin(2 * np.pi * 500 * np.arange(5000) / 22050)],
+        axis=1)
+    _, ch2, out2 = decode_layer3(encode_layer3(st_sig, 22050, 128))
+    assert ch2 == 2 and _snr(st_sig, out2) > 35
+    sig1 = 0.5 * np.sin(2 * np.pi * 440 * np.arange(5000) / 32000)
+    _, _, out1 = decode_layer3(encode_layer3(sig1, 32000, 128))
+    assert _snr(sig1, out1) > 35
+
+
+def test_layer3_lsf_rejects():
+    # MPEG-1-only bitrate (192 is not on the LSF ladder's 8..160)
+    with pytest.raises(ImageError):
+        encode_layer3(np.zeros(100), 22050, 192)
+    # MPEG-2.5 rates are not supported by the codec tier
+    with pytest.raises(ImageError):
+        encode_layer3(np.zeros(100), 11025, 64)
