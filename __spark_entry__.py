@@ -1129,8 +1129,9 @@ def q_av_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     def synth(batches):
         import numpy as np
         from snacktory_spark.av import encode_wav, encode_y4m
+        from snacktory_spark.h264 import encode_h264_ipcm
         for pdf in batches:
-            wavs, clips = [], []
+            wavs, clips, avcs = [], [], []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 freq = 200 + (d % 20) * 20  # multiple of 4 Hz = exact bin
@@ -1141,14 +1142,21 @@ def q_av_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 frames = [np.full((8, 8), (d * 7 + j * 11) % 256, np.uint8)
                           for j in range(nf)]
                 clips.append(encode_y4m(frames, fps=25))
+                # the SAME frames as a conformant H.264 I_PCM stream
+                # (lossless raw-sample macroblocks — snacktory_spark.h264)
+                avcs.append(encode_h264_ipcm(frames))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "wav": wavs,
-                                "clip": clips})
+                                "clip": clips, "avc": avcs})
 
     def feats(batches):
+        import numpy as np
         from snacktory_spark.av import audio_features, video_features
+        from snacktory_spark.h264 import decode_h264_ipcm
         for pdf in batches:
-            dom, dur, nfr, nsm, luma = [], [], [], [], []
-            for wav, clip in zip(pdf["wav"], pdf["clip"]):
+            dom, dur, nfr, nsm, luma, avcf = [], [], [], [], [], []
+            for doc_id, wav, clip, avc in zip(
+                    pdf["doc_id"], pdf["wav"], pdf["clip"], pdf["avc"]):
+                d = int(doc_id)
                 af = audio_features(bytes(wav))
                 vf = video_features(bytes(clip), every_k=2)
                 dur.append(int(round(af[0] * 1000)))
@@ -1156,15 +1164,26 @@ def q_av_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 nfr.append(int(vf[0]))
                 nsm.append(int(vf[1]))
                 luma.append(round(vf[2], 4))
+                # H.264 path must reproduce every frame BIT-EXACTLY
+                # (I_PCM is lossless); -1 on any mismatch
+                w, h, frames = decode_h264_ipcm(bytes(avc))
+                ok = (w, h) == (8, 8) and all(
+                    np.array_equal(fr, np.full((8, 8),
+                                               (d * 7 + j * 11) % 256,
+                                               np.uint8))
+                    for j, fr in enumerate(frames))
+                avcf.append(len(frames) if ok else -1)
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "duration_ms": dur, "dom_freq": dom,
                                 "n_frames": nfr, "n_sampled": nsm,
-                                "mean_luma": luma})
+                                "mean_luma": luma, "h264_frames": avcf})
 
-    av = docs.mapInPandas(synth, "doc_id long, wav binary, clip binary")
+    av = docs.mapInPandas(
+        synth, "doc_id long, wav binary, clip binary, avc binary")
     return av.mapInPandas(
         feats, "doc_id long, duration_ms long, dom_freq long, "
-               "n_frames long, n_sampled long, mean_luma double")
+               "n_frames long, n_sampled long, mean_luma double, "
+               "h264_frames long")
 
 
 def q_role_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3129,7 +3148,8 @@ def oracle_sql() -> dict[str, str]:
                    ((3 + doc_id % 4 + 1) // 2)::BIGINT AS n_sampled,
                    round(list_avg(list_transform(
                        range(0, (3 + doc_id % 4)::INT, 2),
-                       j -> (doc_id * 7 + j * 11) % 256)), 4) AS mean_luma
+                       j -> (doc_id * 7 + j * 11) % 256)), 4) AS mean_luma,
+                   (3 + doc_id % 4)::BIGINT AS h264_frames
             FROM documents
         """,
         "role_lang_rollup": f"""

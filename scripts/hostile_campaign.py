@@ -65,6 +65,14 @@ def families():
         b"YUV4MPEG2")
     add("h264", av.h264_annexb_info,
         av.build_h264_annexb(2, 4, 100, 41, seed=1), b"\x00\x00\x00\x01")
+    # I_PCM codec seed (r7): mutations land on the NAL/SPS/PPS/slice
+    # parse, exp-Golomb fields, emulation-prevention strip, MB walk
+    from snacktory_spark import h264
+    add("h264_ipcm", h264.decode_h264_ipcm,
+        h264.encode_h264_ipcm(
+            [(np.arange(256, dtype=np.uint8).reshape(16, 16)
+              + k).astype(np.uint8) for k in range(2)]),
+        b"\x00\x00\x00\x01")
     add("mpeg_scan", mpeg.mpeg_audio_info,
         mpeg.encode_layer2(np.zeros((2304, 1)), 32000), b"\xff\xfd")
     add("mpeg_decode",

@@ -22,7 +22,8 @@ interchange formats need nothing beyond struct + numpy:
 - **H.264 Annex-B NAL scanning**: start-code walk, NAL-type inventory,
   keyframe (IDR) counts, SPS profile/level from their fixed byte
   offsets — the no-decode video-corpus audit pass (see
-  h264_annexb_info; slice/entropy decode stays a declared stub).
+  h264_annexb_info; the I_PCM Baseline intra tier in h264.py decodes
+  losslessly; CAVLC/CABAC residual decode stays the declared limit).
 
 Perceptual codec DECODE (MP3 L3/AAC/H.264/VP9) genuinely needs the
 specs' normative entropy tables and remains a declared stub in

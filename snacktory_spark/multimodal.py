@@ -36,10 +36,17 @@ Decode reality in this container (no PIL/ffmpeg):
   (encode_aac_adts/decode_aac_adts — real raw_data_block syntax,
   generated codebooks substituted) rounds trips this module's own
   streams under the same guard.
-- remaining perceptual codecs (H.264/VP9 video decode): stubbed —
-  NotImplementedError by default, `deterministic_fake=True` yields a
-  seeded content-derived feature vector so the Spark-side plumbing
-  stays fully exercised.
+- **H.264**: Annex-B scanning is REAL and spec-exact
+  (av.h264_annexb_info); the I_PCM Baseline intra tier
+  (h264.encode_h264_ipcm/decode_h264_ipcm) is CONFORMANT and
+  bit-exact lossless — raw-sample macroblocks need no entropy tables,
+  so unlike the audio tiers it carries no substitutions at all.
+  Predicted/transform-coded macroblocks (CAVLC/CABAC residual decode)
+  raise the documented refusal.
+- the remaining perceptual codec (VP9 video decode — needs the
+  arithmetic bool-coder): stubbed — NotImplementedError by default,
+  `deterministic_fake=True` yields a seeded content-derived feature
+  vector so the Spark-side plumbing stays fully exercised.
 
 At 100 TB: payloads should live in their own parquet column chunk (they do —
 separate column), batches must stay small (binary rows are large), and
