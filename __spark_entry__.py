@@ -1809,6 +1809,37 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.avg(logp_tgt - logp) > 0).alias("dsir_keep")))
 
 
+def q_lm_perplexity_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite: CCNet LM perplexity + DSIR importance signal + the
+    CCNet head/middle/tail BUCKET (Wenzek et al. 2020, public): per
+    LANGUAGE, documents are split at the perplexity terciles —
+    head = cleanest third, the slice CCNet keeps by default. Cuts are
+    exact interpolated percentiles over the 4-dp-rounded ppl (Spark
+    `percentile` == DuckDB quantile_cont; same precedent as
+    turn_length_quantiles), computed per language — a bounded-group
+    agg. At 100 TB the identical cuts come from the bounded
+    (lang, ppl-grid) histogram (ppl rides a 1e-4 grid by construction)
+    or a sampled quantile, which is what CCNet itself ships; the
+    bucket JOIN side is #languages × 2 floats — broadcast-small by
+    nature, no hint needed."""
+    from pyspark.sql import functions as F
+    base = q_lm_perplexity(spark, sf_dir)
+    lang = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "lang"))
+    scored = base.join(lang, "doc_id")
+    pct = F.expr("percentile(ppl, array(cast(1 as double)/3, "
+                 "cast(2 as double)/3))")
+    cuts = (scored.groupBy("lang")
+            .agg(F.round(pct[0], 6).alias("c1"),
+                 F.round(pct[1], 6).alias("c2")))
+    bucket = (F.when(F.col("ppl") <= F.col("c1"), "head")
+              .when(F.col("ppl") <= F.col("c2"), "middle")
+              .otherwise("tail"))
+    return (scored.join(cuts, "lang")
+            .select("doc_id", "n_tokens", "ppl", "dsir_logratio",
+                    "dsir_keep", "lang", bucket.alias("ccnet_bucket")))
+
+
 def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document TF-IDF top terms — the keyword/topic-signal pass of a
     text-analysis pipeline. Shape: one explode to (doc, token) pairs →
@@ -2380,7 +2411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topterms": q_tfidf_topterms_full,
         "int8_knn": q_int8_knn,
         "winnow_fingerprint": q_winnow_fingerprint,
-        "lm_perplexity": q_lm_perplexity,
+        "lm_perplexity": q_lm_perplexity_full,
         "media_container_scan": q_media_container_scan,
         "warc_roundtrip": q_warc_roundtrip,
         "jsonl_roundtrip": q_jsonl_roundtrip,
@@ -2988,24 +3019,36 @@ def oracle_sql() -> dict[str, str]:
             lmt AS (SELECT token, count(*) AS c FROM pairs
                     WHERE doc_id < 50 AND lang = 'en' GROUP BY 1),
             tott AS (SELECT count(*) AS t, count(DISTINCT token) AS v
-                     FROM pairs WHERE doc_id < 50 AND lang = 'en')
-            SELECT p.doc_id, count(*)::BIGINT AS n_tokens,
-                   round(exp(-avg(ln((coalesce(lm.c, 0) + 1.0)
-                                     / (SELECT t + v FROM tot)))), 4)
-                       AS ppl,
-                   round(avg(ln((coalesce(lmt.c, 0) + 1.0)
-                                / (SELECT t + v FROM tott))
-                             - ln((coalesce(lm.c, 0) + 1.0)
-                                  / (SELECT t + v FROM tot))), 4)
-                       AS dsir_logratio,
-                   (avg(ln((coalesce(lmt.c, 0) + 1.0)
-                           / (SELECT t + v FROM tott))
-                        - ln((coalesce(lm.c, 0) + 1.0)
-                             / (SELECT t + v FROM tot))) > 0)
-                       AS dsir_keep
-            FROM pairs p LEFT JOIN lm USING (token)
-                 LEFT JOIN lmt USING (token)
-            GROUP BY p.doc_id
+                     FROM pairs WHERE doc_id < 50 AND lang = 'en'),
+            scored AS (
+                SELECT p.doc_id, lang, count(*)::BIGINT AS n_tokens,
+                       round(exp(-avg(ln((coalesce(lm.c, 0) + 1.0)
+                                         / (SELECT t + v FROM tot)))), 4)
+                           AS ppl,
+                       round(avg(ln((coalesce(lmt.c, 0) + 1.0)
+                                    / (SELECT t + v FROM tott))
+                                 - ln((coalesce(lm.c, 0) + 1.0)
+                                      / (SELECT t + v FROM tot))), 4)
+                           AS dsir_logratio,
+                       (avg(ln((coalesce(lmt.c, 0) + 1.0)
+                               / (SELECT t + v FROM tott))
+                            - ln((coalesce(lm.c, 0) + 1.0)
+                                 / (SELECT t + v FROM tot))) > 0)
+                           AS dsir_keep
+                FROM pairs p LEFT JOIN lm USING (token)
+                     LEFT JOIN lmt USING (token)
+                GROUP BY p.doc_id, lang),
+            cuts AS (
+                SELECT lang,
+                       round(quantile_cont(ppl, 1.0/3), 6) AS c1,
+                       round(quantile_cont(ppl, 2.0/3), 6) AS c2
+                FROM scored GROUP BY lang)
+            SELECT doc_id, n_tokens, ppl, dsir_logratio, dsir_keep,
+                   lang,
+                   CASE WHEN ppl <= c1 THEN 'head'
+                        WHEN ppl <= c2 THEN 'middle'
+                        ELSE 'tail' END AS ccnet_bucket
+            FROM scored JOIN cuts USING (lang)
         """,
         # winnowing: same md5-hex gram hashes, lexicographic window min
         "winnow_fingerprint": """
