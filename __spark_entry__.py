@@ -783,8 +783,11 @@ def q_media_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     count / SPS profile-level, MP4 box-tree duration/track/sample
     inventory, Ogg page walk with CRC verification, FLAC STREAMINFO,
     WebM EBML walk (duration/codec/cluster/block inventory, incl. the
-    live-stream unknown-size Segment layout), and fMP4 moof/traf/trun
-    fragment walk (duration via mehd OR summed trun sample durations).
+    live-stream unknown-size Segment layout), fMP4 moof/traf/trun
+    fragment walk (duration via mehd OR summed trun sample durations),
+    and (r7) IVF/VP9: container walk + per-frame VP9 uncompressed-
+    header audit (keyframe inventory, coded-vs-container dimension
+    check) without the bool-coder that keeps full VP9 decode stubbed.
     The no-decode audit pass a 100-TB media corpus runs over its
     compressed audio/video columns — real web-video corpora are heavily
     WebM and streaming-era MP4 is fragmented (VERDICT r4 #4 + r5 #4).
@@ -814,17 +817,21 @@ def q_media_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "webm_bpc": 2 + d % 4,
                 "webm_ms": 500 + (d % 8) * 250,
                 "fmp4_frags": 1 + d % 4,
-                "fmp4_spf": 3 + d % 6}
+                "fmp4_spf": 3 + d % 6,
+                "ivf_frames": 4 + d % 6,
+                "ivf_kf": 2 + d % 3,
+                "ivf_w": 160 + (d % 4) * 80,
+                "ivf_h": 90 + (d % 4) * 45}
 
     def build(batches):
         from snacktory_spark.av import build_h264_annexb
         from snacktory_spark.containers import (build_flac, build_fmp4,
-                                                build_mp4, build_ogg,
-                                                build_webm)
+                                                build_ivf, build_mp4,
+                                                build_ogg, build_webm)
         from snacktory_spark.mpeg import build_adts_stream
         for pdf in batches:
             aacs, h264s, mp4s, oggs, flacs = [], [], [], [], []
-            webms, fmp4s = [], []
+            webms, fmp4s, ivfs = [], [], []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 nf, pb, gops, glen = _params(doc_id)
@@ -851,21 +858,28 @@ def q_media_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 fmp4s.append(build_fmp4(
                     c["fmp4_frags"], c["fmp4_spf"], 40,
                     with_mehd=(d % 2 == 0), seed=d))
+                ivfs.append(build_ivf(
+                    c["ivf_frames"], c["ivf_w"], c["ivf_h"], fps=30,
+                    keyframe_interval=c["ivf_kf"], seed=d))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "aac": aacs,
                                 "h264": h264s, "mp4": mp4s,
                                 "ogg": oggs, "flac": flacs,
-                                "webm": webms, "fmp4": fmp4s})
+                                "webm": webms, "fmp4": fmp4s,
+                                "ivf": ivfs})
 
     def scan(batches):
         from snacktory_spark.av import h264_annexb_info
-        from snacktory_spark.containers import (flac_info, mp4_info,
-                                                ogg_info, webm_info)
+        from snacktory_spark.containers import (flac_info, ivf_info,
+                                                mp4_info, ogg_info,
+                                                webm_info)
         from snacktory_spark.mpeg import aac_adts_info
         for pdf in batches:
             rows = []
-            for doc_id, aac, h264, mp4, ogg, flac, webm, fmp4 in zip(
+            for (doc_id, aac, h264, mp4, ogg, flac, webm, fmp4,
+                 ivf) in zip(
                     pdf["doc_id"], pdf["aac"], pdf["h264"], pdf["mp4"],
-                    pdf["ogg"], pdf["flac"], pdf["webm"], pdf["fmp4"]):
+                    pdf["ogg"], pdf["flac"], pdf["webm"], pdf["fmp4"],
+                    pdf["ivf"]):
                 a = aac_adts_info(bytes(aac))
                 v = h264_annexb_info(bytes(h264))
                 m = mp4_info(bytes(mp4))
@@ -873,6 +887,7 @@ def q_media_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f = flac_info(bytes(flac))
                 w = webm_info(bytes(webm))
                 fm = mp4_info(bytes(fmp4))
+                iv = ivf_info(bytes(ivf))
                 rows.append((doc_id, a["n_frames"], a["duration_ms"],
                              a["profile"], v["n_nals"], v["n_keyframes"],
                              v["n_slices"], v["profile_idc"],
@@ -887,7 +902,9 @@ def q_media_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                              w["duration_ms"], w["tracks"][0]["codec"],
                              w["n_clusters"], w["n_blocks"],
                              fm["n_fragments"], fm["frag_samples"],
-                             fm["duration_ms"]))
+                             fm["duration_ms"],
+                             iv["n_frames"], iv["keyframes"],
+                             iv["width"], iv["duration_ms"]))
             yield pd.DataFrame(rows, columns=[
                 "doc_id", "aac_frames", "aac_duration_ms", "aac_profile",
                 "n_nals", "n_keyframes", "n_slices", "profile_idc",
@@ -896,11 +913,13 @@ def q_media_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "flac_rate", "flac_channels", "flac_duration_ms",
                 "webm_duration_ms", "webm_codec", "webm_clusters",
                 "webm_blocks", "fmp4_fragments", "fmp4_samples",
-                "fmp4_duration_ms"])
+                "fmp4_duration_ms", "ivf_frames", "ivf_keyframes",
+                "ivf_width", "ivf_duration_ms"])
 
     built = docs.mapInPandas(
         build, "doc_id long, aac binary, h264 binary, mp4 binary, "
-               "ogg binary, flac binary, webm binary, fmp4 binary")
+               "ogg binary, flac binary, webm binary, fmp4 binary, "
+               "ivf binary")
     return built.mapInPandas(
         scan, "doc_id long, aac_frames long, aac_duration_ms long, "
               "aac_profile string, n_nals long, n_keyframes long, "
@@ -911,7 +930,9 @@ def q_media_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
               "flac_duration_ms long, webm_duration_ms long, "
               "webm_codec string, webm_clusters long, webm_blocks long, "
               "fmp4_fragments long, fmp4_samples long, "
-              "fmp4_duration_ms long")
+              "fmp4_duration_ms long, ivf_frames long, "
+              "ivf_keyframes long, ivf_width long, "
+              "ivf_duration_ms long")
 
 
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3001,7 +3022,13 @@ def oracle_sql() -> dict[str, str]:
                    ((1 + doc_id % 4) * (3 + doc_id % 6))::BIGINT
                        AS fmp4_samples,
                    ((1 + doc_id % 4) * (3 + doc_id % 6) * 40)::BIGINT
-                       AS fmp4_duration_ms
+                       AS fmp4_duration_ms,
+                   (4 + doc_id % 6)::BIGINT AS ivf_frames,
+                   ((4 + doc_id % 6 + (2 + doc_id % 3) - 1)
+                        // (2 + doc_id % 3))::BIGINT AS ivf_keyframes,
+                   (160 + (doc_id % 4) * 80)::BIGINT AS ivf_width,
+                   ((4 + doc_id % 6) * 1000 // 30)::BIGINT
+                       AS ivf_duration_ms
             FROM documents
         """,
         # add-1 unigram LM trained on doc_id < 50; ppl = exp(mean -ln p);

@@ -105,6 +105,9 @@ def families():
         containers.build_flac(44100, 2, 44100, seed=6), b"fLaC")
     add("webm", containers.webm_info,
         containers.build_webm(3, 2, 900, seed=7), b"\x1aE\xdf\xa3")
+    add("ivf_vp9", containers.ivf_info,
+        containers.build_ivf(6, 160, 90, keyframe_interval=2, seed=8),
+        b"DKIF")
     from snacktory_spark import archives
     add("zip", archives.zip_info,
         archives.build_zip([("a.txt", b"x" * 40), ("b", b"y" * 9)]),

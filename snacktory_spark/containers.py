@@ -836,3 +836,177 @@ def build_webm(n_clusters: int, blocks_per_cluster: int,
     else:
         seg = _ebml_el(_MKV_SEGMENT, seg_body)
     return header + seg
+
+
+# ---------------------------------------------------------------------------
+# IVF container + VP9 uncompressed-frame-header scan (r7)
+# ---------------------------------------------------------------------------
+#
+# IVF is the raw-VP8/VP9/AV1 test container libvpx ships (public, and
+# trivially structural): a 32-byte file header ("DKIF", version, header
+# size, codec fourcc, dims, timebase, frame count) then per frame a
+# 12-byte header (payload size u32 LE + pts u64 LE). The VP9
+# UNCOMPRESSED frame header (VP9 Bitstream & Decoding Process
+# Specification §6.2, public) is a plain MSB-first bit layout up to and
+# including the keyframe's frame_size — frame marker, profile bits,
+# show_existing_frame, frame_type, show_frame, error_resilient, the
+# 0x498342 sync code, color_config, width/height — which is exactly
+# what a corpus audit needs per frame (keyframe inventory, coded
+# dimensions) WITHOUT the arithmetic bool-coder that keeps full VP9
+# decode a declared stub (multimodal.py). Builders emit structurally
+# valid headers with filler tails (never decoded).
+
+MAX_IVF_FRAMES = 1 << 20
+_VP9_SYNC = 0x498342
+_VP9_CS_RGB = 7
+
+
+def vp9_frame_header(payload: bytes) -> dict:
+    """Parse one VP9 frame's uncompressed header (the scan subset:
+    through frame_size for keyframes, through error_resilient for
+    inter frames)."""
+    from .mpeg import _BitReader
+    if not payload:
+        raise ImageError("empty VP9 frame")
+    br = _BitReader(payload, 0)
+    if br.read(2) != 2:
+        raise ImageError("bad VP9 frame marker")
+    profile = br.read(1) | (br.read(1) << 1)
+    if profile == 3 and br.read(1):
+        raise ImageError("VP9 reserved profile bit set")
+    if br.read(1):                          # show_existing_frame
+        return {"profile": profile, "show_existing": True,
+                "show_map_idx": br.read(3), "keyframe": False,
+                "show_frame": True}
+    keyframe = br.read(1) == 0
+    show = br.read(1) == 1
+    err = br.read(1) == 1
+    out = {"profile": profile, "show_existing": False,
+           "keyframe": keyframe, "show_frame": show,
+           "error_resilient": err}
+    if keyframe:
+        if br.read(24) != _VP9_SYNC:
+            raise ImageError("bad VP9 keyframe sync code")
+        if profile >= 2:
+            br.read(1)                      # ten_or_twelve_bit
+        cs = br.read(3)
+        if cs != _VP9_CS_RGB:
+            br.read(1)                      # color_range
+            if profile in (1, 3):
+                if br.read(3) & 1:          # ss_x, ss_y, reserved
+                    raise ImageError("VP9 reserved color bit set")
+        elif profile in (1, 3):
+            if br.read(1):
+                raise ImageError("VP9 reserved color bit set")
+        out["width"] = br.read(16) + 1
+        out["height"] = br.read(16) + 1
+    return out
+
+
+def ivf_info(data: bytes) -> dict:
+    """Scan an IVF file: header fields + a frame walk (per-frame sizes
+    validated against the buffer), and for VP90 streams the per-frame
+    VP9 uncompressed-header audit (keyframe/shown counts, coded dims
+    from the first keyframe — must agree with the IVF header dims)."""
+    try:
+        return _ivf_info(data)
+    except ImageError:
+        raise
+    except (ValueError, IndexError, struct.error, OverflowError,
+            MemoryError) as e:
+        raise ImageError(f"malformed IVF: {type(e).__name__}: {e}") \
+            from None
+
+
+def _ivf_info(data: bytes) -> dict:
+    if len(data) < 32 or data[:4] != b"DKIF":
+        raise ImageError("not an IVF file")
+    version, hdr_size = struct.unpack_from("<HH", data, 4)
+    if version != 0:
+        raise ImageError("unsupported IVF version")
+    if hdr_size < 32 or hdr_size > len(data):
+        raise ImageError("bad IVF header size")
+    fourcc = data[8:12].decode("ascii", "replace")
+    w, h = struct.unpack_from("<HH", data, 12)
+    den, num = struct.unpack_from("<II", data, 16)
+    n_declared = struct.unpack_from("<I", data, 24)[0]
+    pos = hdr_size
+    n = 0
+    keyframes = 0
+    shown = 0
+    coded_w = coded_h = None
+    vp9 = fourcc == "VP90"
+    while pos + 12 <= len(data):
+        size, _pts = struct.unpack_from("<IQ", data, pos)
+        if pos + 12 + size > len(data):
+            break                           # truncated final frame
+        n += 1
+        if n > MAX_IVF_FRAMES:
+            raise ImageError("IVF stream exceeds frame cap")
+        if vp9:
+            fh = vp9_frame_header(data[pos + 12:pos + 12 + size])
+            if fh["keyframe"]:
+                keyframes += 1
+                if coded_w is None:
+                    coded_w, coded_h = fh["width"], fh["height"]
+                    if (coded_w, coded_h) != (w, h):
+                        raise ImageError(
+                            "VP9 coded size disagrees with IVF header")
+            if fh["show_frame"]:
+                shown += 1
+        pos += 12 + size
+    if n == 0:
+        raise ImageError("no IVF frames")
+    return {
+        "fourcc": fourcc,
+        "width": w,
+        "height": h,
+        "timebase_num": num,
+        "timebase_den": den,
+        "n_frames_declared": n_declared,
+        "n_frames": n,
+        "keyframes": keyframes if vp9 else None,
+        "shown_frames": shown if vp9 else None,
+        "duration_ms": (n * num * 1000 // den) if den else None,
+    }
+
+
+def build_ivf(n_frames: int, width: int, height: int, fps: int = 30,
+              keyframe_interval: int = 8, payload_bytes: int = 64,
+              seed: int = 0) -> bytes:
+    """Structurally valid IVF/VP90 stream: every keyframe_interval-th
+    frame carries a real VP9 keyframe uncompressed header (sync code,
+    profile 0 color config, coded size) and the rest a real inter-frame
+    header, each followed by deterministic filler (the bool-coded tail
+    a scanner never decodes)."""
+    from .mpeg import _BitWriter
+    if n_frames <= 0 or n_frames > MAX_IVF_FRAMES:
+        raise ImageError("bad IVF frame count")
+    if not (1 <= width <= 0xFFFF and 1 <= height <= 0xFFFF):
+        raise ImageError("IVF dimensions out of range")
+    out = bytearray(b"DKIF")
+    out += struct.pack("<HH4sHHIIII", 0, 32, b"VP90", width, height,
+                       fps, 1, n_frames, 0)
+    for f in range(n_frames):
+        w = _BitWriter()
+        w.write(2, 2)                       # frame_marker
+        w.write(0, 2)                       # profile 0
+        w.write(0, 1)                       # show_existing_frame
+        key = f % keyframe_interval == 0
+        w.write(0 if key else 1, 1)         # frame_type
+        w.write(1, 1)                       # show_frame
+        w.write(0, 1)                       # error_resilient
+        if key:
+            w.write(_VP9_SYNC, 24)
+            w.write(0, 3)                   # color_space
+            w.write(0, 1)                   # color_range
+            w.write(width - 1, 16)
+            w.write(height - 1, 16)
+            w.write(0, 1)                   # render size == frame size
+        if w.nbits:
+            w.write(0, 8 - w.nbits)
+        body = bytes(w.buf) + bytes(((seed + f + i) * 149) % 251
+                                    for i in range(payload_bytes))
+        out += struct.pack("<IQ", len(body), f)
+        out += body
+    return bytes(out)

@@ -598,3 +598,69 @@ def test_fmp4_per_track_trex_defaults():
     # track 1: 4x100 = 400 ms; track 2: 4x10 = 40 ms; longest wins.
     # The last-trex-wins bug resolves BOTH against track 2's 10 -> 40.
     assert info["duration_ms"] == 400
+
+
+# --- IVF + VP9 uncompressed frame header (r7) -------------------------------
+
+from snacktory_spark.containers import build_ivf, ivf_info, vp9_frame_header
+
+
+def test_ivf_walk_and_vp9_keyframe_audit():
+    d = build_ivf(10, 320, 180, fps=30, keyframe_interval=4, seed=3)
+    info = ivf_info(d)
+    assert (info["fourcc"], info["width"], info["height"]) \
+        == ("VP90", 320, 180)
+    assert info["n_frames"] == info["n_frames_declared"] == 10
+    assert info["keyframes"] == 3          # frames 0, 4, 8
+    assert info["shown_frames"] == 10
+    assert info["duration_ms"] == 10 * 1000 // 30
+    # truncated final frame: walked past, not an error
+    assert ivf_info(d[:-20])["n_frames"] == 9
+
+
+def test_vp9_frame_header_fields():
+    d = build_ivf(2, 64, 48, keyframe_interval=1, seed=1)
+    import struct
+    size = struct.unpack_from("<I", d, 32)[0]
+    fh = vp9_frame_header(d[44:44 + size])
+    assert fh["keyframe"] and fh["show_frame"]
+    assert (fh["width"], fh["height"]) == (64, 48)
+    assert fh["profile"] == 0
+    # inter frames parse through error_resilient and stop
+    d2 = build_ivf(2, 64, 48, keyframe_interval=2, seed=1)
+    s0 = struct.unpack_from("<I", d2, 32)[0]
+    fh2 = vp9_frame_header(d2[44 + s0 + 12:])
+    assert not fh2["keyframe"] and fh2["show_frame"]
+
+
+def test_ivf_hostile():
+    with pytest.raises(ImageError):
+        ivf_info(b"DKIF")                           # truncated header
+    with pytest.raises(ImageError):
+        ivf_info(b"XXXX" + b"\x00" * 40)            # wrong magic
+    d = bytearray(build_ivf(4, 64, 48, keyframe_interval=2))
+    d[4] = 9                                        # bad version
+    with pytest.raises(ImageError):
+        ivf_info(bytes(d))
+    d2 = bytearray(build_ivf(4, 64, 48, keyframe_interval=2))
+    d2[44] = 0x00                                   # break frame marker
+    with pytest.raises(ImageError):
+        ivf_info(bytes(d2))
+    d3 = bytearray(build_ivf(4, 64, 48, keyframe_interval=1))
+    d3[45] ^= 0xFF                                  # corrupt sync code
+    with pytest.raises(ImageError):
+        ivf_info(bytes(d3))
+    # keyframe coded size must agree with the container header
+    d4 = bytearray(build_ivf(2, 64, 48, keyframe_interval=1))
+    d4[12] = 65                                     # widen header width
+    with pytest.raises(ImageError):
+        ivf_info(bytes(d4))
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_ivf_fuzz_never_leaks(data):
+    try:
+        ivf_info(data)
+    except ImageError:
+        pass
