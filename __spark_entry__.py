@@ -1151,8 +1151,9 @@ def q_av_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         from snacktory_spark.av import encode_wav, encode_y4m
         from snacktory_spark.h264 import encode_h264_ipcm
+        from snacktory_spark.vp9 import encode_vp9_raw
         for pdf in batches:
-            wavs, clips, avcs = [], [], []
+            wavs, clips, avcs, vp9s = [], [], [], []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 freq = 200 + (d % 20) * 20  # multiple of 4 Hz = exact bin
@@ -1166,17 +1167,24 @@ def q_av_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # the SAME frames as a conformant H.264 I_PCM stream
                 # (lossless raw-sample macroblocks — snacktory_spark.h264)
                 avcs.append(encode_h264_ipcm(frames))
+                # and as a VP9-shaped IVF stream (real RFC 6386 bool
+                # coder, substituted model — snacktory_spark.vp9)
+                vp9s.append(encode_vp9_raw(frames, keyframe_interval=2))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "wav": wavs,
-                                "clip": clips, "avc": avcs})
+                                "clip": clips, "avc": avcs,
+                                "vp9": vp9s})
 
     def feats(batches):
         import numpy as np
         from snacktory_spark.av import audio_features, video_features
         from snacktory_spark.h264 import decode_h264_ipcm
+        from snacktory_spark.vp9 import decode_vp9_raw
         for pdf in batches:
-            dom, dur, nfr, nsm, luma, avcf = [], [], [], [], [], []
-            for doc_id, wav, clip, avc in zip(
-                    pdf["doc_id"], pdf["wav"], pdf["clip"], pdf["avc"]):
+            dom, dur, nfr, nsm, luma, avcf, vp9f = \
+                [], [], [], [], [], [], []
+            for doc_id, wav, clip, avc, vp9 in zip(
+                    pdf["doc_id"], pdf["wav"], pdf["clip"], pdf["avc"],
+                    pdf["vp9"]):
                 d = int(doc_id)
                 af = audio_features(bytes(wav))
                 vf = video_features(bytes(clip), every_k=2)
@@ -1194,17 +1202,26 @@ def q_av_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                np.uint8))
                     for j, fr in enumerate(frames))
                 avcf.append(len(frames) if ok else -1)
+                vw, vh, vframes = decode_vp9_raw(bytes(vp9))
+                vok = (vw, vh) == (8, 8) and all(
+                    np.array_equal(fr, np.full((8, 8),
+                                               (d * 7 + j * 11) % 256,
+                                               np.uint8))
+                    for j, fr in enumerate(vframes))
+                vp9f.append(len(vframes) if vok else -1)
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "duration_ms": dur, "dom_freq": dom,
                                 "n_frames": nfr, "n_sampled": nsm,
-                                "mean_luma": luma, "h264_frames": avcf})
+                                "mean_luma": luma, "h264_frames": avcf,
+                                "vp9_frames": vp9f})
 
     av = docs.mapInPandas(
-        synth, "doc_id long, wav binary, clip binary, avc binary")
+        synth, "doc_id long, wav binary, clip binary, avc binary, "
+               "vp9 binary")
     return av.mapInPandas(
         feats, "doc_id long, duration_ms long, dom_freq long, "
                "n_frames long, n_sampled long, mean_luma double, "
-               "h264_frames long")
+               "h264_frames long, vp9_frames long")
 
 
 def q_role_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3219,7 +3236,8 @@ def oracle_sql() -> dict[str, str]:
                    round(list_avg(list_transform(
                        range(0, (3 + doc_id % 4)::INT, 2),
                        j -> (doc_id * 7 + j * 11) % 256)), 4) AS mean_luma,
-                   (3 + doc_id % 4)::BIGINT AS h264_frames
+                   (3 + doc_id % 4)::BIGINT AS h264_frames,
+                   (3 + doc_id % 4)::BIGINT AS vp9_frames
             FROM documents
         """,
         "role_lang_rollup": f"""

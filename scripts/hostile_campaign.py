@@ -108,6 +108,14 @@ def families():
     add("ivf_vp9", containers.ivf_info,
         containers.build_ivf(6, 160, 90, keyframe_interval=2, seed=8),
         b"DKIF")
+    # VP9-raw codec seed (r7): mutations land on the bool decoder,
+    # marker guard, zero-run flags and literal walk
+    from snacktory_spark import vp9 as vp9mod
+    add("vp9_raw", vp9mod.decode_vp9_raw,
+        vp9mod.encode_vp9_raw(
+            [((np.arange(192, dtype=np.uint8).reshape(12, 16) * 3 + k)
+              % 251).astype(np.uint8) for k in range(2)],
+            keyframe_interval=2), b"DKIF")
     from snacktory_spark import archives
     add("zip", archives.zip_info,
         archives.build_zip([("a.txt", b"x" * 40), ("b", b"y" * 9)]),

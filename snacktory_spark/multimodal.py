@@ -43,10 +43,14 @@ Decode reality in this container (no PIL/ffmpeg):
   so unlike the audio tiers it carries no substitutions at all.
   Predicted/transform-coded macroblocks (CAVLC/CABAC residual decode)
   raise the documented refusal.
-- the remaining perceptual codec (VP9 video decode — needs the
-  arithmetic bool-coder): stubbed — NotImplementedError by default,
-  `deterministic_fake=True` yields a seeded content-derived feature
-  vector so the Spark-side plumbing stays fully exercised.
+- **VP9**: IVF walk + uncompressed-frame-header audit are REAL
+  (containers.ivf_info/vp9_frame_header); vp9.py carries the REAL RFC
+  6386 bool-coder machinery under the self-consistent contract
+  (substituted entropy model, marker-guarded) — a conformant VP9
+  compressed frame still refuses decode, honestly.
+- exotic/unsniffable payloads: `deterministic_fake=True` yields a
+  seeded content-derived feature vector so the Spark-side plumbing
+  stays fully exercised; NotImplementedError otherwise.
 
 At 100 TB: payloads should live in their own parquet column chunk (they do —
 separate column), batches must stay small (binary rows are large), and
