@@ -248,19 +248,26 @@ def decode_au(data: bytes) -> tuple[int, int, np.ndarray]:
 
 
 def decode_audio(data: bytes) -> tuple[int, int, np.ndarray]:
-    """Route by magic: WAV (RIFF), AIFF (FORM), AU (.snd), MPEG-1
-    Layer I (frame sync; see mpeg.py's two-tier honesty contract —
-    Layer II/III raise and fall through to the declared stub path)."""
+    """Route by magic: WAV (RIFF), AIFF (FORM), AU (.snd), ADTS/AAC
+    (0xFFF sync with layer bits 00 — must be checked BEFORE the MPEG
+    branch, whose mask it also matches), MPEG-1/2 Layers I-III (frame
+    sync). The MPEG/AAC codec tiers are self-consistent and guarded
+    (mpeg.py honesty contract): foreign streams raise and fall through
+    to the caller's stub path."""
     if data[:4] == b"RIFF":
         return decode_wav(data)
     if data[:4] == b"FORM":
         return decode_aiff(data)
     if data[:4] == b".snd":
         return decode_au(data)
+    if len(data) > 1 and data[0] == 0xFF and (data[1] & 0xF6) == 0xF0:
+        from .mpeg import decode_aac_adts
+        return decode_aac_adts(data)
     if len(data) > 1 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0:
         from .mpeg import decode_mpeg
         return decode_mpeg(data)
-    raise ImageError("unsupported audio container (WAV/AIFF/AU/MP1/MP2)")
+    raise ImageError(
+        "unsupported audio container (WAV/AIFF/AU/MPEG/ADTS)")
 
 
 def audio_features(data: bytes) -> list[float]:
@@ -390,12 +397,22 @@ def iter_y4m_luma(data: bytes, every_k: int = 1):
 def video_features(data: bytes, every_k: int = 2) -> list[float]:
     """Frame-sampled video features: [n_frames_total, n_sampled,
     mean_luma, luma_std, mean_abs_frame_diff] over every k-th frame.
-    ONE pass over the payload: skipped frames are header-walked only,
-    sampled frames decoded, and the total counted in the same walk
-    (review finding: a second count_y4m_frames pass re-scanned the
-    whole buffer)."""
+    Routes by magic: Y4M (streaming one-pass walk — skipped frames are
+    header-walked only, sampled frames decoded, total counted in the
+    same walk), H.264 Annex-B (the I_PCM lossless tier, h264.py) and
+    IVF/VP9 (the bool-coded raw tier, vp9.py) — the guarded codec
+    tiers raise on foreign streams and the caller's stub path takes
+    over."""
     if every_k < 1:
         raise ImageError("every_k must be >= 1")
+    if data[:3] == b"\x00\x00\x01" or data[:4] == b"\x00\x00\x00\x01":
+        from .h264 import decode_h264_ipcm
+        _w, _h, frames = decode_h264_ipcm(data)
+        return _video_features_frames(frames, every_k)
+    if data[:4] == b"DKIF":
+        from .vp9 import decode_vp9_raw
+        _w, _h, frames = decode_vp9_raw(data)
+        return _video_features_frames(frames, every_k)
     means, prev, diffs, stds = [], None, [], []
     total = 0
     budget = MAX_VIDEO_PIXELS
@@ -416,6 +433,26 @@ def video_features(data: bytes, every_k: int = 2) -> list[float]:
     if not means:
         raise ImageError("Y4M has no frames")
     return [float(total), float(len(means)),
+            float(np.mean(means)), float(np.mean(stds)),
+            float(np.mean(diffs)) if diffs else 0.0]
+
+
+def _video_features_frames(frames: list, every_k: int) -> list[float]:
+    """The same feature vector over an already-decoded frame list
+    (H.264/VP9 tiers), with the identical every-k sampling."""
+    means, prev, diffs, stds = [], None, [], []
+    for idx, fr in enumerate(frames):
+        if idx % every_k:
+            continue
+        f = fr.astype(np.float64)
+        means.append(float(f.mean()))
+        stds.append(float(f.std()))
+        if prev is not None:
+            diffs.append(float(np.abs(f - prev).mean()))
+        prev = f
+    if not means:
+        raise ImageError("video has no frames")
+    return [float(len(frames)), float(len(means)),
             float(np.mean(means)), float(np.mean(stds)),
             float(np.mean(diffs)) if diffs else 0.0]
 

@@ -117,13 +117,17 @@ def decode_payload(payload: bytes, kind: str, deterministic_fake: bool = False):
             return np.asarray(audio_features(payload), dtype=np.float32)
         except ImageError:
             pass  # non-PCM / malformed → stub below
-    elif kind == "video" and payload.startswith(b"YUV4MPEG2"):
+    elif kind == "video" and (
+            payload.startswith(b"YUV4MPEG2")
+            or payload.startswith(b"DKIF")
+            or payload[:3] == b"\x00\x00\x01"
+            or payload[:4] == b"\x00\x00\x00\x01"):
         from .av import video_features
         from .imaging import ImageError
         try:
             return np.asarray(video_features(payload), dtype=np.float32)
         except ImageError:
-            pass  # unsupported chroma / malformed → stub below
+            pass  # unsupported chroma / foreign coded stream → stub
     if not deterministic_fake:
         raise NotImplementedError(
             f"decode for kind={kind!r} in this codec requires media libs "

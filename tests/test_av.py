@@ -338,3 +338,49 @@ def test_h264_fuzz_never_leaks(data):
         h264_annexb_info(b"\x00\x00\x01" + data)
     except ImageError:
         pass
+
+
+# --- codec-tier routing through the audio/video feature paths (r7) ----------
+
+def test_audio_features_route_mpeg_and_adts():
+    """decode_audio routes our MP3/AAC tiers (ADTS sync must win over
+    the MPEG mask it also matches); features come from real decoded
+    samples — the dominant frequency survives the codec round trip."""
+    from snacktory_spark.av import audio_features, decode_audio
+    from snacktory_spark.mpeg import encode_aac_adts, encode_layer3
+    sr = 32000
+    sig = 0.5 * np.sin(2 * np.pi * 500 * np.arange(8000) / sr)
+    mp3 = encode_layer3(sig, sr, 128)
+    rate, ch, _ = decode_audio(mp3)
+    assert (rate, ch) == (sr, 1)
+    af = audio_features(mp3)
+    assert abs(af[3] - 500) < 20            # dominant freq ~500 Hz
+    aac = encode_aac_adts(sig, sr)
+    af2 = audio_features(aac)
+    assert abs(af2[3] - 500) < 20
+    # foreign (unguarded-bit) streams raise through the guard
+    import pytest as _pt
+    bad = bytearray(mp3)
+    bad[2] &= ~0x01
+    with _pt.raises(ImageError):
+        decode_audio(bytes(bad))
+
+
+def test_video_features_route_h264_and_vp9():
+    """video_features routes the H.264 I_PCM and VP9-raw tiers and
+    computes the identical stats a Y4M clip of the same frames gets."""
+    from snacktory_spark.av import encode_y4m, video_features
+    from snacktory_spark.h264 import encode_h264_ipcm
+    from snacktory_spark.vp9 import encode_vp9_raw
+    frames = [np.full((16, 16), 40 + 30 * j, dtype=np.uint8)
+              for j in range(4)]
+    want = video_features(encode_y4m(frames, fps=10), every_k=2)
+    got_avc = video_features(encode_h264_ipcm(frames), every_k=2)
+    got_vp9 = video_features(encode_vp9_raw(frames), every_k=2)
+    assert got_avc == want
+    assert got_vp9 == want
+    # multimodal plumbing picks the same path (no stub fallback)
+    from snacktory_spark.multimodal import decode_payload
+    feat = decode_payload(encode_h264_ipcm(frames), "video",
+                          deterministic_fake=True)
+    assert float(feat[0]) == 4.0            # n_frames, not a fake hash
