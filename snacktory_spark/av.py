@@ -399,10 +399,13 @@ def video_features(data: bytes, every_k: int = 2) -> list[float]:
     mean_luma, luma_std, mean_abs_frame_diff] over every k-th frame.
     Routes by magic: Y4M (streaming one-pass walk — skipped frames are
     header-walked only, sampled frames decoded, total counted in the
-    same walk), H.264 Annex-B (the I_PCM lossless tier, h264.py) and
-    IVF/VP9 (the bool-coded raw tier, vp9.py) — the guarded codec
-    tiers raise on foreign streams and the caller's stub path takes
-    over."""
+    same walk, bounded by MAX_VIDEO_PIXELS), H.264 Annex-B (the I_PCM
+    lossless tier, h264.py) and IVF/VP9 (the bool-coded raw tier,
+    vp9.py) — those two decode the full frame list before sampling,
+    bounded by their own aggregate caps (MAX_TOTAL_PIXELS_PCM /
+    MAX_TOTAL_PIXELS_VP9, the same 2^26-pixel budget), and their
+    guarded codec tiers raise on foreign streams so the caller's stub
+    path takes over."""
     if every_k < 1:
         raise ImageError("every_k must be >= 1")
     if data[:3] == b"\x00\x00\x01" or data[:4] == b"\x00\x00\x00\x01":

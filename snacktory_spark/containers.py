@@ -928,6 +928,8 @@ def _ivf_info(data: bytes) -> dict:
         raise ImageError("bad IVF header size")
     fourcc = data[8:12].decode("ascii", "replace")
     w, h = struct.unpack_from("<HH", data, 12)
+    # (header_bytes is surfaced so consumers walk frames from the
+    # DECLARED header size, not a hardcoded 32)
     den, num = struct.unpack_from("<II", data, 16)
     n_declared = struct.unpack_from("<I", data, 24)[0]
     pos = hdr_size
@@ -959,6 +961,7 @@ def _ivf_info(data: bytes) -> dict:
         raise ImageError("no IVF frames")
     return {
         "fourcc": fourcc,
+        "header_bytes": hdr_size,
         "width": w,
         "height": h,
         "timebase_num": num,
@@ -971,6 +974,44 @@ def _ivf_info(data: bytes) -> dict:
     }
 
 
+def write_ivf_header(n_frames: int, width: int, height: int,
+                     fps: int = 30) -> bytes:
+    """The 32-byte IVF/VP90 file header — shared by build_ivf and the
+    vp9.py codec tier so the layout ivf_info validates is written in
+    exactly one place."""
+    if n_frames <= 0 or n_frames > MAX_IVF_FRAMES:
+        raise ImageError("bad IVF frame count")
+    if not (1 <= width <= 0xFFFF and 1 <= height <= 0xFFFF):
+        raise ImageError("IVF dimensions out of range")
+    return b"DKIF" + struct.pack("<HH4sHHIIII", 0, 32, b"VP90",
+                                 width, height, fps, 1, n_frames, 0)
+
+
+def write_vp9_frame_header(key: bool, width: int, height: int) -> bytes:
+    """The VP9 uncompressed frame header this module's scanner parses
+    (profile 0, sine of the spec's bit layout through frame_size for
+    keyframes) — byte-aligned; shared by build_ivf and vp9.py
+    (keyframe: 69 bits -> 9 bytes; inter: 8 bits -> 1 byte)."""
+    from .mpeg import _BitWriter
+    w = _BitWriter()
+    w.write(2, 2)                           # frame_marker
+    w.write(0, 2)                           # profile 0
+    w.write(0, 1)                           # show_existing_frame
+    w.write(0 if key else 1, 1)             # frame_type
+    w.write(1, 1)                           # show_frame
+    w.write(0, 1)                           # error_resilient
+    if key:
+        w.write(_VP9_SYNC, 24)
+        w.write(0, 3)                       # color_space
+        w.write(0, 1)                       # color_range
+        w.write(width - 1, 16)
+        w.write(height - 1, 16)
+        w.write(0, 1)                       # render size == frame size
+    if w.nbits:
+        w.write(0, 8 - w.nbits)
+    return bytes(w.buf)
+
+
 def build_ivf(n_frames: int, width: int, height: int, fps: int = 30,
               keyframe_interval: int = 8, payload_bytes: int = 64,
               seed: int = 0) -> bytes:
@@ -979,34 +1020,12 @@ def build_ivf(n_frames: int, width: int, height: int, fps: int = 30,
     profile 0 color config, coded size) and the rest a real inter-frame
     header, each followed by deterministic filler (the bool-coded tail
     a scanner never decodes)."""
-    from .mpeg import _BitWriter
-    if n_frames <= 0 or n_frames > MAX_IVF_FRAMES:
-        raise ImageError("bad IVF frame count")
-    if not (1 <= width <= 0xFFFF and 1 <= height <= 0xFFFF):
-        raise ImageError("IVF dimensions out of range")
-    out = bytearray(b"DKIF")
-    out += struct.pack("<HH4sHHIIII", 0, 32, b"VP90", width, height,
-                       fps, 1, n_frames, 0)
+    out = bytearray(write_ivf_header(n_frames, width, height, fps))
     for f in range(n_frames):
-        w = _BitWriter()
-        w.write(2, 2)                       # frame_marker
-        w.write(0, 2)                       # profile 0
-        w.write(0, 1)                       # show_existing_frame
-        key = f % keyframe_interval == 0
-        w.write(0 if key else 1, 1)         # frame_type
-        w.write(1, 1)                       # show_frame
-        w.write(0, 1)                       # error_resilient
-        if key:
-            w.write(_VP9_SYNC, 24)
-            w.write(0, 3)                   # color_space
-            w.write(0, 1)                   # color_range
-            w.write(width - 1, 16)
-            w.write(height - 1, 16)
-            w.write(0, 1)                   # render size == frame size
-        if w.nbits:
-            w.write(0, 8 - w.nbits)
-        body = bytes(w.buf) + bytes(((seed + f + i) * 149) % 251
-                                    for i in range(payload_bytes))
+        hdr = write_vp9_frame_header(f % keyframe_interval == 0,
+                                     width, height)
+        body = hdr + bytes(((seed + f + i) * 149) % 251
+                           for i in range(payload_bytes))
         out += struct.pack("<IQ", len(body), f)
         out += body
     return bytes(out)

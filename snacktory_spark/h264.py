@@ -53,6 +53,10 @@ from .mpeg import _BitReader, _BitWriter
 
 MAX_DIM = 1 << 14                 # 16384px per side cap
 MAX_FRAMES_PCM = 1 << 12          # frame-count cap (PCM is ~1.5 B/px)
+MAX_TOTAL_PIXELS_PCM = 1 << 26    # aggregate decode cap, checked
+# BEFORE each frame's allocation (review finding r7: the per-side and
+# per-count caps alone admit a multi-GB total; this is the
+# MAX_VIDEO_PIXELS analog for the frame-list decoders)
 
 
 # --- Exp-Golomb (spec §9.1, closed-form) ------------------------------------
@@ -302,6 +306,9 @@ def _decode_h264_ipcm(data: bytes):
                                  "decoder)")
             if len(frames) >= MAX_FRAMES_PCM:
                 raise ImageError("frame-count cap exceeded")
+            if (len(frames) + 1) * sps["mb_w"] * sps["mb_h"] * 256 \
+                    > MAX_TOTAL_PIXELS_PCM:
+                raise ImageError("I_PCM output exceeds total pixel cap")
             rbsp = _ebsp_to_rbsp(bytes(payload))
             br = _BitReader(rbsp, 0)
             if _ue_read(br) != 0:

@@ -974,27 +974,21 @@ _L3_QMAX = 15 + (1 << _L3_LINBITS) - 1        # 8206: escape ceiling
 _L3_HUF_CACHE: dict = {}
 
 
-def _l3_huffman():
-    """Generated canonical Huffman code for big-values pairs — the
-    SUBSTITUTED code data (module honesty contract): symbols are
-    (|x|,|y|) in [0,15]^2 (15 = linbits escape class), weighted by the
-    geometric model 0.6^(x+y) and assigned canonical codes with
-    deterministic (length, symbol) ordering, so encoder and decoder
-    derive the identical table from this closed-form construction.
-    Returns (enc: {(x,y): (code, nbits)}, dec: {(nbits, code): (x,y)},
-    max_len)."""
-    if _L3_HUF_CACHE:
-        return (_L3_HUF_CACHE["enc"], _L3_HUF_CACHE["dec"],
-                _L3_HUF_CACHE["max_len"])
+def _canonical_huffman(weights):
+    """Canonical Huffman construction from (symbol, weight) pairs with
+    deterministic tie-breaking (heap order by weight then insertion
+    index; code assignment by (length, symbol)) — the ONE generator
+    behind every substituted code table in this module (L3 big-values,
+    AAC spectral/scalefactor), so encoder and decoder always derive the
+    identical table from a closed-form weight model. Returns
+    (enc: {sym: (code, nbits)}, dec: {(nbits, code): sym}, max_len)."""
     import heapq
-    syms = [(x, y) for x in range(16) for y in range(16)]
-    heap = [(0.6 ** (x + y), i, (x, y)) for i, (x, y) in enumerate(syms)]
-    counter = len(heap)
-    nodes = [(w, s, ("leaf", sym)) for w, s, sym in heap]
+    nodes = [(w, i, ("leaf", s)) for i, (s, w) in enumerate(weights)]
+    counter = len(nodes)
     heapq.heapify(nodes)
     while len(nodes) > 1:
-        w1, _s1, n1 = heapq.heappop(nodes)
-        w2, _s2, n2 = heapq.heappop(nodes)
+        w1, _a, n1 = heapq.heappop(nodes)
+        w2, _b, n2 = heapq.heappop(nodes)
         heapq.heappush(nodes, (w1 + w2, counter, ("node", n1, n2)))
         counter += 1
     depth: dict = {}
@@ -1006,18 +1000,32 @@ def _l3_huffman():
             walk(node[1], d + 1)
             walk(node[2], d + 1)
     walk(nodes[0][2], 0)
-    order = sorted(syms, key=lambda s: (depth[s], s))
+    order = sorted(depth, key=lambda s: (depth[s], s))
     enc, dec = {}, {}
-    code, prev_len = 0, depth[order[0]]
+    code, prev = 0, depth[order[0]]
     for i, sym in enumerate(order):
         if i:
-            code = (code + 1) << (depth[sym] - prev_len)
-        prev_len = depth[sym]
+            code = (code + 1) << (depth[sym] - prev)
+        prev = depth[sym]
         enc[sym] = (code, depth[sym])
         dec[(depth[sym], code)] = sym
-    _L3_HUF_CACHE.update(enc=enc, dec=dec,
-                         max_len=max(depth.values()))
-    return enc, dec, _L3_HUF_CACHE["max_len"]
+    return enc, dec, max(depth.values())
+
+
+def _l3_huffman():
+    """Generated canonical Huffman code for big-values pairs — the
+    SUBSTITUTED code data (module honesty contract): symbols are
+    (|x|,|y|) in [0,15]^2 (15 = linbits escape class), weighted by the
+    geometric model 0.6^(x+y) through _canonical_huffman. Returns
+    (enc: {(x,y): (code, nbits)}, dec: {(nbits, code): (x,y)},
+    max_len)."""
+    if not _L3_HUF_CACHE:
+        enc, dec, ml = _canonical_huffman(
+            [((x, y), 0.6 ** (x + y))
+             for x in range(16) for y in range(16)])
+        _L3_HUF_CACHE.update(enc=enc, dec=dec, max_len=ml)
+    return (_L3_HUF_CACHE["enc"], _L3_HUF_CACHE["dec"],
+            _L3_HUF_CACHE["max_len"])
 
 
 # 18-point lapped MDCT (the hybrid second stage): closed-form sine
@@ -1595,48 +1603,16 @@ def _aac_bank() -> np.ndarray:
 
 def _aac_huffman():
     """Generated canonical codes standing in for the 14496-3 codebooks
-    (substituted DATA, real machinery): a spectral pair code over
-    (|x|,|y|) in [0,16]^2 (16 = escape class) and a scalefactor dpcm
-    code over deltas [-60, 60], both geometric-weight canonical
-    constructions with deterministic (length, symbol) ordering."""
-    if _AAC_HUF_CACHE:
-        return _AAC_HUF_CACHE["sp"], _AAC_HUF_CACHE["sf"]
-    import heapq
-
-    def canonical(weights):
-        nodes = [(w, i, ("leaf", s)) for i, (s, w) in enumerate(weights)]
-        counter = len(nodes)
-        heapq.heapify(nodes)
-        while len(nodes) > 1:
-            w1, _a, n1 = heapq.heappop(nodes)
-            w2, _b, n2 = heapq.heappop(nodes)
-            heapq.heappush(nodes, (w1 + w2, counter, ("node", n1, n2)))
-            counter += 1
-        depth = {}
-
-        def walk(node, d):
-            if node[0] == "leaf":
-                depth[node[1]] = max(d, 1)
-            else:
-                walk(node[1], d + 1)
-                walk(node[2], d + 1)
-        walk(nodes[0][2], 0)
-        order = sorted(depth, key=lambda s: (depth[s], s))
-        enc, dec = {}, {}
-        code, prev = 0, depth[order[0]]
-        for i, sym in enumerate(order):
-            if i:
-                code = (code + 1) << (depth[sym] - prev)
-            prev = depth[sym]
-            enc[sym] = (code, depth[sym])
-            dec[(depth[sym], code)] = sym
-        return enc, dec, max(depth.values())
-
-    sp = canonical([((x, y), 0.6 ** (x + y))
-                    for x in range(17) for y in range(17)])
-    sf = canonical([(d, 0.7 ** abs(d)) for d in range(-60, 61)])
-    _AAC_HUF_CACHE["sp"], _AAC_HUF_CACHE["sf"] = sp, sf
-    return sp, sf
+    (substituted DATA, real machinery — the shared _canonical_huffman
+    generator): a spectral pair code over (|x|,|y|) in [0,16]^2 (16 =
+    escape class) and a scalefactor dpcm code over deltas [-60, 60]."""
+    if not _AAC_HUF_CACHE:
+        _AAC_HUF_CACHE["sp"] = _canonical_huffman(
+            [((x, y), 0.6 ** (x + y))
+             for x in range(17) for y in range(17)])
+        _AAC_HUF_CACHE["sf"] = _canonical_huffman(
+            [(d, 0.7 ** abs(d)) for d in range(-60, 61)])
+    return _AAC_HUF_CACHE["sp"], _AAC_HUF_CACHE["sf"]
 
 
 def _huff_read(br: _BitReader, dec: dict, max_len: int):

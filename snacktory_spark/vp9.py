@@ -44,7 +44,13 @@ from .imaging import ImageError
 _MARKER = 0x5A9C3E               # bool-coded stream marker (24 bits)
 _P_LIT = 128                     # literal bits: equiprobable
 _P_RUN = 200                     # zero-run flag: skewed (carry paths)
-MAX_PIXELS_VP9 = 1 << 24
+MAX_PIXELS_VP9 = 1 << 24         # per-frame cap
+MAX_TOTAL_PIXELS_VP9 = 1 << 26   # aggregate decode cap: the zero-run
+# RLE makes compact payloads expand (a ~520-byte all-zero 4096x4096
+# frame decodes to 16.7 MB), so the TOTAL output must be bounded
+# before each frame's allocation — the MAX_DECODE_SAMPLES analog
+# (review finding r7: without this the decoder is a decompression
+# bomb, ~14,650x amplification per crafted frame)
 
 
 class _BoolEncoder:
@@ -147,29 +153,15 @@ def encode_vp9_raw(frames: list[np.ndarray], fps: int = 30,
         raise ImageError("frame dimensions out of range")
     if w * h > MAX_PIXELS_VP9:
         raise ImageError("frame exceeds pixel cap")
-    from .mpeg import _BitWriter
+    from .containers import write_ivf_header, write_vp9_frame_header
     payloads = []
     for fi, frame in enumerate(frames):
         fr = np.asarray(frame)
         if fr.shape != (h, w) or fr.dtype != np.uint8:
             raise ImageError("all frames must be uint8 with one shape")
-        hw = _BitWriter()                    # real uncompressed header
-        hw.write(2, 2)                       # frame_marker
-        hw.write(0, 2)                       # profile 0
-        hw.write(0, 1)                       # show_existing_frame
-        key = fi % keyframe_interval == 0
-        hw.write(0 if key else 1, 1)         # frame_type
-        hw.write(1, 1)                       # show_frame
-        hw.write(0, 1)                       # error_resilient
-        if key:
-            hw.write(0x498342, 24)           # sync code
-            hw.write(0, 3)                   # color_space
-            hw.write(0, 1)                   # color_range
-            hw.write(w - 1, 16)
-            hw.write(h - 1, 16)
-            hw.write(0, 1)                   # render == frame size
-        if hw.nbits:
-            hw.write(0, 8 - hw.nbits)
+        # real uncompressed header — the ONE writer the scanner's
+        # parser round-trips (containers.write_vp9_frame_header)
+        hdr = write_vp9_frame_header(fi % keyframe_interval == 0, w, h)
         enc = _BoolEncoder()
         enc.literal(_MARKER, 24)
         for row in fr:
@@ -179,10 +171,8 @@ def encode_vp9_raw(frames: list[np.ndarray], fps: int = 30,
             enc.put(_P_RUN, 0)
             for v in row:
                 enc.literal(int(v), 8)
-        payloads.append(bytes(hw.buf) + enc.finish())
-    out = bytearray(b"DKIF")
-    out += struct.pack("<HH4sHHIIII", 0, 32, b"VP90", w, h,
-                       fps, 1, len(frames), 0)
+        payloads.append(hdr + enc.finish())
+    out = bytearray(write_ivf_header(len(frames), w, h, fps))
     for fi, body in enumerate(payloads):
         out += struct.pack("<IQ", len(body), fi)
         out += body
@@ -215,11 +205,16 @@ def _decode_vp9_raw(data: bytes):
     if w * h > MAX_PIXELS_VP9:
         raise ImageError("frame exceeds pixel cap")
     frames = []
-    pos = 32
+    # start at the DECLARED header size (ivf_info validated it): a
+    # legal hdr_size > 32 would misalign a hardcoded-32 walk into
+    # garbage frame records (review finding r7)
+    pos = info["header_bytes"]
     while pos + 12 <= len(data):
         size, _pts = struct.unpack_from("<IQ", data, pos)
         if pos + 12 + size > len(data):
             break
+        if (len(frames) + 1) * w * h > MAX_TOTAL_PIXELS_VP9:
+            raise ImageError("VP9-raw output exceeds total pixel cap")
         payload = data[pos + 12:pos + 12 + size]
         fh = vp9_frame_header(payload)
         # header length in bytes: the bit layout the encoder wrote —

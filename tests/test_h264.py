@@ -118,3 +118,16 @@ def test_ipcm_fuzz_never_leaks(data):
         decode_h264_ipcm(data)
     except ImageError:
         pass
+
+
+def test_ipcm_total_output_cap():
+    """Review finding r7: per-side and per-count caps alone admit a
+    multi-GB decoded total; the aggregate pixel cap must fire before
+    the allocations."""
+    from snacktory_spark.h264 import (MAX_TOTAL_PIXELS_PCM,
+                                      encode_h264_ipcm)
+    f = np.zeros((1024, 1024), dtype=np.uint8)
+    n = MAX_TOTAL_PIXELS_PCM // (1024 * 1024) + 1
+    data = encode_h264_ipcm([f] * n)
+    with pytest.raises(ImageError, match="total pixel cap"):
+        decode_h264_ipcm(data)

@@ -102,3 +102,29 @@ def test_vp9_raw_fuzz_never_leaks(data):
         decode_vp9_raw(data)
     except ImageError:
         pass
+
+
+def test_vp9_raw_total_output_cap():
+    """Review finding r7: the zero-run RLE makes compact payloads
+    expand (~520 bytes -> 16.7 MB per all-zero 4096x4096 frame), so
+    the decoder must bound TOTAL output before each allocation."""
+    from snacktory_spark.vp9 import MAX_TOTAL_PIXELS_VP9, encode_vp9_raw
+    z = np.zeros((4096, 4096), dtype=np.uint8)
+    n = MAX_TOTAL_PIXELS_VP9 // (4096 * 4096) + 1
+    data = encode_vp9_raw([z] * n, keyframe_interval=1)
+    assert len(data) < 20000                 # the bomb is tiny on disk
+    with pytest.raises(ImageError, match="total pixel cap"):
+        decode_vp9_raw(data)
+
+
+def test_vp9_raw_honors_declared_ivf_header_size():
+    """Review finding r7: the frame walk must start at the DECLARED
+    hdr_size (legal to exceed 32), not a hardcoded 32."""
+    import struct
+    frames = [np.full((8, 8), 9, dtype=np.uint8)]
+    data = bytearray(encode_vp9_raw(frames))
+    # grow the header by 4 padding bytes and redeclare its size
+    grown = data[:32] + b"\x00\x00\x00\x00" + data[32:]
+    struct.pack_into("<H", grown, 6, 36)
+    w, h, out = decode_vp9_raw(bytes(grown))
+    assert np.array_equal(out[0], frames[0])
