@@ -20,6 +20,13 @@ Unicode rules also match their punycode twins. One deliberate,
 golden-frozen divergence from Guava: an UNKNOWN alphabetic TLD of 2+
 chars is treated as a suffix (the PSL spec's implicit `*` default
 rule), where Guava would report no public suffix at all.
+
+Second documented residual divergence (ADVICE r7): the punycode twins
+are generated with Python's IDNA-2003 codec, not UTS-46/IDNA-2008 as
+browsers and Guava use — labels the 2003 codec rejects (emoji, ß-class
+mappings) have no ascii twin in the tables, so punycoded hosts under
+those few PSL rules fall back to the generic-TLD rule. See
+scripts/gen_psl.py:to_ascii.
 """
 
 from __future__ import annotations

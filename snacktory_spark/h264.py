@@ -53,6 +53,28 @@ from .mpeg import _BitReader, _BitWriter
 
 MAX_DIM = 1 << 14                 # 16384px per side cap
 MAX_FRAMES_PCM = 1 << 12          # frame-count cap (PCM is ~1.5 B/px)
+
+# ISO/IEC 14496-10 Annex A Table A-1: (level_idc, MaxFS in macroblocks).
+# Levels sharing a MaxFS are collapsed to the lowest level_idc with that
+# capacity. Table A-1 also bounds each picture DIMENSION at
+# sqrt(8 * MaxFS) MBs. ADVICE r7: the encoder must declare a level the
+# frame actually fits, or the conformance claim fails for >720p frames.
+_LEVEL_MAX_FS = (
+    (10, 99), (11, 396), (21, 792), (22, 1620), (31, 3600), (32, 5120),
+    (40, 8192), (42, 8704), (50, 22080), (51, 36864), (60, 139264),
+)
+
+
+def _level_for(mb_w: int, mb_h: int) -> int:
+    """Smallest level_idc whose Table A-1 frame-size and per-dimension
+    limits admit an (mb_w x mb_h) picture; ImageError when even level 6
+    cannot (the conformant encoder refuses rather than misdeclare)."""
+    fs = mb_w * mb_h
+    for level_idc, max_fs in _LEVEL_MAX_FS:
+        dim_cap = int((8 * max_fs) ** 0.5)
+        if fs <= max_fs and mb_w <= dim_cap and mb_h <= dim_cap:
+            return level_idc
+    raise ImageError("frame exceeds H.264 level 6 limits")
 MAX_TOTAL_PIXELS_PCM = 1 << 26    # aggregate decode cap, checked
 # BEFORE each frame's allocation (review finding r7: the per-side and
 # per-count caps alone admit a multi-GB total; this is the
@@ -157,7 +179,7 @@ def encode_h264_ipcm(frames: list[np.ndarray]) -> bytes:
     s = _BitWriter()
     s.write(66, 8)                      # profile_idc: Baseline
     s.write(0, 8)                       # constraint flags + reserved
-    s.write(30, 8)                      # level_idc 3.0
+    s.write(_level_for(mb_w, mb_h), 8)  # level_idc from Table A-1
     _ue_write(s, 0)                     # seq_parameter_set_id
     _ue_write(s, 0)                     # log2_max_frame_num_minus4
     _ue_write(s, 2)                     # pic_order_cnt_type

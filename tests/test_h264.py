@@ -131,3 +131,30 @@ def test_ipcm_total_output_cap():
     data = encode_h264_ipcm([f] * n)
     with pytest.raises(ImageError, match="total pixel cap"):
         decode_h264_ipcm(data)
+
+
+def test_level_idc_tracks_frame_size():
+    """ADVICE r7: level_idc must be derived from the macroblock count
+    (Table A-1), not hardcoded 3.0 — a 1080p-class frame needs >=4.0."""
+    from snacktory_spark.h264 import _level_for, encode_h264_ipcm
+
+    assert _level_for(2, 2) == 10                 # 32x32: level 1
+    assert _level_for(80, 45) == 31               # 1280x720: 3600 MBs
+    assert _level_for(120, 68) == 40              # 1920x1088: 8160 MBs
+    assert _level_for(160, 160) == 51             # 25600 MBs <= 36864
+    with pytest.raises(ImageError):
+        _level_for(1024, 1024)                    # 16384px: beyond level 6
+    # per-DIMENSION cap binds even at tiny area: 1x1000 MBs needs
+    # sqrt(8*MaxFS) >= 1000 -> level 6 (dim cap 1055)
+    assert _level_for(1, 1000) == 60
+
+    # the emitted SPS carries the derived level: byte layout is
+    # 00 00 00 01 | nal hdr 0x67 | profile | constraints | LEVEL
+    for (w, h), want in (((32, 32), 10), ((1280, 720), 31),
+                         ((1920, 1080), 40)):
+        enc = encode_h264_ipcm([np.zeros((h, w), dtype=np.uint8)])
+        assert enc[4] == 0x67 and enc[7] == want
+        dw, dh, frames = decode_h264_ipcm(enc)
+        assert (dw, dh, len(frames)) == (w, h, 1)
+    with pytest.raises(ImageError):
+        encode_h264_ipcm([np.zeros((16384, 16384), dtype=np.uint8)])
