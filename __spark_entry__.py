@@ -1345,6 +1345,25 @@ def _gram_at(k):
     return g
 
 
+def _zip_grams(toks_expr, k, m):
+    """k-gram array as k shifted slices zip_with-ed together, O(k·n)
+    per row. The transform-over-sequence construction (_gram_at) is
+    O(n²) when the token source is an INLINE expression: catalyst's
+    filter pushdown substitutes column aliases into HOF lambda bodies,
+    so slice(split(text), i, k) re-runs the split once per element
+    (measured: 79s → 9s on corpus_prep at sf0.1). Here split(text)
+    appears only as the k slice arguments — evaluated k times per row,
+    never per element — and the lambda body touches lambda vars only.
+    `m` is the gram-count expression (n-k+1, clamped ≥0)."""
+    from pyspark.sql import functions as F
+
+    acc = F.slice(toks_expr, 1, m)
+    for j in range(2, k + 1):
+        acc = F.zip_with(acc, F.slice(toks_expr, j, m),
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    return acc
+
+
 def q_doc_cross_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicate-text coverage — the corpus-overlap
     signal behind exact-substring dedup (Lee et al. 2022,
@@ -1694,6 +1713,189 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max_by("hi_tok", "hi_gpos").alias("last_tok")))
 
 
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-prep DAG (VERDICT r7 #1) — the chain a
+    training-data user actually runs, registered as ONE oracled query:
+
+        extract → quality gate → exact dedup → decontaminate → seq-pack
+
+    Every constituent is separately hash-green (extract_turns /
+    quality_gate / doc_exact_dedup / decontaminate / seq_pack), but each
+    of those oracles reads the RAW table; this composite proves the
+    CHAIN — each stage consumes the previous stage's survivors, and the
+    DuckDB oracle replays the same five stages as chained CTEs over
+    expected_extraction.parquet (the extraction stage's own oracle).
+
+    Stage shapes (the 100-TB audit is the sum of the proven parts):
+      1. extraction — one pushed-down scan, salted repartition by
+         (conv_id, turn_idx div 64) hash, MapInPandas (the audited
+         extract_turns plan; BENCH/skew_salt.md);
+      2. quality gate — narrow JVM HOF expressions over the extracted
+         text (token count, stopword ratio, bigram-repetition), zero
+         shuffles; thresholds pass 731/962 turns at sf0.01 — a real
+         24% attrition, not a vacuous gate;
+      3. exact dedup — one row_number window hash-partitioned on
+         md5(text) (uniform key, dup groups tiny; keeps the smallest
+         (conv_id, turn_idx));
+      4. decontamination — the benchmark set is the first-8-token gram
+         of turn 0 of the 3 smallest conv_ids (bounded: 2 driver
+         collects of ≤3 rows, the documented seed pattern; the 3-row
+         bench extraction pushes conv_id/turn_idx filters to the scan).
+         With the bench inlined as literals the check is a NARROW
+         arrays_overlap map — no explode, no join; the registered
+         decontaminate query keeps the broadcast-hash-join shape for
+         production-sized (~1e4-gram) bench sets;
+      5. packing — the seq_pack two-level prefix sum keyed by role,
+         ordered by (conv_id, turn_idx); tokens never transit a
+         shuffle as rows, exchange reuse pins totals+cumsum to one
+         range shuffle.
+    """
+    from pyspark.sql import Window, functions as F
+    from snacktory_spark.pipeline.extract_job import (extracted_df,
+                                                      read_transcripts)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    SEQ = 128
+    sdir = _synth(sf_dir)
+    tr = read_transcripts(spark, f"{sdir}/transcripts.parquet")
+
+    # stage 4's bench set: extract ONLY turn 0 of the 3 smallest
+    # conv_ids (filters hit the parquet scan before the UDF stage)
+    ids = [r[0] for r in (tr.filter(F.col("turn_idx") == 0)
+                          .select("conv_id").distinct()
+                          .orderBy("conv_id").limit(3).collect())]
+    btoks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    bench_rows = (extracted_df(
+        tr.filter((F.col("turn_idx") == 0) & F.col("conv_id").isin(ids)),
+        partitions=1)  # 3 rows — don't spin up 2×CPUs UDF tasks
+        .filter(F.col("extract_ok") & (F.length("text") > 0))
+        .select(F.when(F.size(btoks) >= 8,
+                       F.concat_ws(" ", F.slice(btoks, 1, 8)))
+                .alias("gram"))
+        .filter(F.col("gram").isNotNull()).collect())
+    bench_grams = sorted({r["gram"] for r in bench_rows})
+
+    # stages 1-4 are built as EXPRESSIONS over (role, conv_id, turn_idx,
+    # text) — no intermediate toks/n columns survive past any exchange.
+    # Why (the q_seq_pack column-pruning lesson one level deeper): the
+    # packing stage consumes `clean` through THREE lineage branches
+    # (token-carrying base, narrow prefix-sum totals, narrow cumsum).
+    # Extraction is the expensive stage, so all three branches must
+    # share ONE physical execution of it — which AQE's ReusedExchange
+    # grants only if the dedup exchange's subtree is byte-identical in
+    # every branch. Carrying the same 4 columns through stage 3's
+    # md5-hash exchange in all branches makes per-branch column pruning
+    # produce the same subtree; toks/n are recomputed ABOVE the reused
+    # exchange (narrow per-row work over already-shuffled rows). A test
+    # asserts the executed plan contains the ReusedExchange.
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    stop = F.array(*[F.lit(w) for w in
+                     ("the", "of", "and", "to", "a", "in", "is", "it",
+                      "that", "for")])
+
+    def gate_pred(t):
+        # t is a bound lambda variable carrying the token array — every
+        # reference is a cheap variable read, vs ~8 re-evaluations of
+        # split(text) per row when the same predicate is written over
+        # the inline expression (catalyst inlines column aliases into
+        # filters, and measured at sf0.1 that costs ~160µs/row)
+        n = F.size(t).cast("long")
+        sw = F.round(
+            F.size(F.filter(t, lambda x: F.array_contains(stop, x)))
+            / n, 4)
+        bigrams = _zip_grams(t, 2, F.greatest(n - 1, F.lit(0)).cast("int"))
+        dupf = F.when(
+            n >= 2,
+            F.round(1.0 - F.size(F.array_distinct(bigrams))
+                    / (n - 1), 4)).otherwise(F.lit(0.0))
+        return (n >= 30) & (sw >= 0.01) & (dupf <= 0.1)
+
+    # stage 1 (extraction survivors) + stage 2 (quality gate: token
+    # count, stopword ratio, bigram repetition — narrow JVM HOFs; the
+    # forall(array(·)) wrapper is a let-binding so the tokenization
+    # runs ONCE per row)
+    gated = (extracted_df(tr)
+             .filter(F.col("extract_ok") & (F.length("text") > 0))
+             .select("role", "conv_id", "turn_idx", "text")
+             .filter(F.forall(F.array(toks), gate_pred)))
+
+    # stage 3: exact dedup — keep the smallest (conv_id, turn_idx) per
+    # content hash; one hash-partitioned exchange on a uniform key
+    w_dup = (Window.partitionBy(F.md5("text"))
+             .orderBy("conv_id", "turn_idx"))
+    deduped = (gated.withColumn("_rn", F.row_number().over(w_dup))
+               .filter(F.col("_rn") == 1).drop("_rn"))
+
+    # stage 4: decontamination — narrow arrays_overlap vs the bounded
+    # literal bench-gram set (see docstring; same let-binding trick)
+    if bench_grams:
+        bench_lit = F.array(*[F.lit(g) for g in bench_grams])
+
+        def decontam_pred(t):
+            n = F.size(t).cast("long")
+            grams8 = F.when(
+                n >= 8,
+                _zip_grams(t, 8, F.greatest(n - 7, F.lit(0)).cast("int"))
+            ).otherwise(F.array().cast("array<string>"))
+            return ~F.arrays_overlap(grams8, bench_lit)
+
+        clean = deduped.filter(F.forall(F.array(toks), decontam_pred))
+    else:
+        clean = deduped
+
+    # stage 5: fixed-length sequence packing keyed by role (the
+    # q_seq_pack two-level prefix sum; see its docstring for why the
+    # prefix sum runs on the NARROW projection)
+    base = (clean.withColumn("toks", toks)
+            .withColumn("n", F.size("toks").cast("long"))
+            .select("role", "conv_id", "turn_idx", "toks", "n"))
+    narrow = clean.select("role", "conv_id", "turn_idx",
+                          F.size(toks).cast("long").alias("n"))
+    n_parts = max(spark.sparkContext.defaultParallelism, 2)
+    parts = (narrow.repartitionByRange(n_parts, "role", "conv_id",
+                                       "turn_idx")
+             .withColumn("_pid", F.spark_partition_id()))
+    if not (_conf_true(spark, "spark.sql.exchange.reuse")
+            or _conf_true(spark, "spark.sql.adaptive.enabled")):
+        parts = parts.persist()
+    totals = parts.groupBy("_pid", "role").agg(F.sum("n").alias("_tot"))
+    w_off = (Window.partitionBy("role").orderBy("_pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.select(
+        "_pid", "role",
+        F.coalesce(F.sum("_tot").over(w_off), F.lit(0))
+        .cast("long").alias("_off"))
+    w_local = (Window.partitionBy("_pid", "role")
+               .orderBy("conv_id", "turn_idx")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    local_before = F.coalesce(F.sum("n").over(w_local), F.lit(0))
+    starts = (parts.withColumn("_lb", local_before)
+              .join(F.broadcast(offsets), ["_pid", "role"])
+              .select("conv_id", "turn_idx",
+                      (F.col("_off") + F.col("_lb"))
+                      .cast("long").alias("gstart")))
+    g = base.join(starts, ["conv_id", "turn_idx"])
+    s0 = F.floor(F.col("gstart") / SEQ)
+    s1 = F.floor((F.col("gstart") + F.col("n") - 1) / SEQ)
+    spans = (g.select("role", "toks", "n", "gstart",
+                      F.explode(F.sequence(s0, s1)).alias("seq_idx"))
+             .withColumn("lo", F.greatest(F.col("gstart"),
+                                          F.col("seq_idx") * SEQ))
+             .withColumn("hi", F.least(F.col("gstart") + F.col("n") - 1,
+                                       F.col("seq_idx") * SEQ + (SEQ - 1))))
+    at = (lambda pos: F.element_at(
+        "toks", (pos - F.col("gstart") + 1).cast("int")))
+    spans = spans.select(
+        "role", F.col("seq_idx").cast("long").alias("seq_idx"),
+        (F.col("hi") - F.col("lo") + 1).alias("cnt"),
+        F.col("lo").alias("lo_gpos"), at(F.col("lo")).alias("lo_tok"),
+        F.col("hi").alias("hi_gpos"), at(F.col("hi")).alias("hi_tok"))
+    return (spans.groupBy("role", "seq_idx")
+            .agg(F.sum("cnt").cast("long").alias("n_tokens"),
+                 F.min_by("lo_tok", "lo_gpos").alias("first_tok"),
+                 F.max_by("hi_tok", "hi_gpos").alias("last_tok")))
+
+
 def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster labeling: MinHash/LSH candidates verified at
     Jaccard ≥ 0.5, then connected components via iterative min-label
@@ -2036,6 +2238,28 @@ def q_int8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") <= 5)
             .select("query_id", F.col("rk").cast("long").alias("rk"),
                     "vec_id", "qdot"))
+
+
+def q_knn_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN composite (r8 registry consolidation, freeing the slot the
+    corpus_prep DAG takes): the exact float32 cosine top-10 baseline
+    (q_knn_cosine, query vec 0) and the int8-scalar-quantized top-5
+    variant (q_int8_knn, queries 1-3) as one union with a method
+    discriminator. Both constituents are unchanged and still
+    individually exercised by tests and bench.py; rank is implied by
+    (query_id, score DESC, vec_id) so the union needs no global window."""
+    from pyspark.sql import functions as F
+    exact = (q_knn_cosine(spark, sf_dir)
+             .select(F.lit(0).cast("long").alias("query_id"),
+                     F.col("vec_id").cast("long").alias("vec_id"),
+                     F.col("cos_sim").cast("double").alias("score"),
+                     F.lit("cosine").alias("method")))
+    int8 = (q_int8_knn(spark, sf_dir)
+            .select(F.col("query_id").cast("long").alias("query_id"),
+                    F.col("vec_id").cast("long").alias("vec_id"),
+                    F.col("qdot").cast("double").alias("score"),
+                    F.lit("int8").alias("method")))
+    return exact.unionByName(int8)
 
 
 def q_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2421,7 +2645,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint_full,
         "doc_token_stats": q_doc_token_stats_full,
         "doc_lang_profile": q_doc_lang_profile,
-        "knn_cosine": q_knn_cosine,
+        # r8: exact-cosine + int8 variants consolidated into one union
+        # composite (constituent fns unchanged) to free the slot the
+        # corpus_prep DAG takes — the registry stays at exactly 50
+        "knn_cosine": q_knn_composite,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "doc_quality": q_doc_quality_full,
         "embedding_neardup": q_embedding_neardup,
@@ -2447,7 +2674,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_roundtrip": q_image_roundtrip_all,
         "mpeg_audio": q_mpeg_audio,
         "tfidf_topterms": q_tfidf_topterms_full,
-        "int8_knn": q_int8_knn,
         "winnow_fingerprint": q_winnow_fingerprint,
         "lm_perplexity": q_lm_perplexity_full,
         "media_container_scan": q_media_container_scan,
@@ -2456,6 +2682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "av_features": q_av_features,
         "conv_flatten": q_conv_flatten,
         "ann_partitions": q_ann_partitions,
+        "corpus_prep": q_corpus_prep,
     }
 
 
@@ -3162,39 +3389,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT top3.*, coalesce(bm.bm25, 0.0) AS bm25
             FROM top3 LEFT JOIN bm USING (doc_id)
         """,
-        # identical floor arithmetic: q_d = clip(floor((x-lo)/r*255));
-        # quantized dot products are integers, ties broken by vec_id
-        "int8_knn": """
-            WITH dims AS (
-                SELECT unnest(range(len(embedding))) AS dim,
-                       unnest(embedding) AS v
-                FROM embeddings),
-            st AS (SELECT dim, min(v) AS lo,
-                          greatest(max(v) - min(v), 1e-30) AS r
-                   FROM dims GROUP BY dim),
-            q AS (
-                SELECT vec_id, dim,
-                       least(255, greatest(0,
-                           floor((v - lo) / r * 255)))::BIGINT AS qv
-                FROM (SELECT vec_id,
-                             unnest(range(len(embedding))) AS dim,
-                             unnest(embedding) AS v
-                      FROM embeddings) x JOIN st USING (dim)),
-            dots AS (
-                SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
-                       sum(a.qv * b.qv)::BIGINT AS qdot
-                FROM q a JOIN q b USING (dim)
-                WHERE a.vec_id IN (1, 2, 3) AND b.vec_id != a.vec_id
-                GROUP BY 1, 2),
-            ranked AS (
-                SELECT *, row_number() OVER (
-                    PARTITION BY query_id
-                    ORDER BY qdot DESC, vec_id ASC) AS rk
-                FROM dots)
-            SELECT query_id::BIGINT AS query_id, rk::BIGINT AS rk,
-                   vec_id::BIGINT AS vec_id, qdot
-            FROM ranked WHERE rk <= 5
-        """,
         # MPEG Layer I frame arithmetic is closed-form on doc_id:
         # n_samples = 1000 + (doc_id%5)*384, frames = ceil((n+64)/384),
         # CBR scan at 32 kHz mono; the L1/L2 round-trip recovers the
@@ -3504,15 +3698,124 @@ def oracle_sql() -> dict[str, str]:
                 JOIN embeddings eb ON eb.vec_id = c.id_b)
             SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.45
         """,
+        # r8 composite: exact cosine top-10 (query 0) UNION the
+        # int8-quantized top-5 (queries 1-3); rank implied by
+        # (query_id, score DESC, vec_id)
         "knn_cosine": """
-            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-            SELECT vec_id,
-                   round(list_dot_product(embedding, qe)
-                         / (sqrt(list_dot_product(embedding, embedding))
-                            * sqrt(list_dot_product(qe, qe))), 4) AS cos_sim
-            FROM embeddings, q
-            WHERE vec_id <> 0
-            ORDER BY cos_sim DESC, vec_id ASC
-            LIMIT 10
+            WITH q0 AS (SELECT embedding AS qe FROM embeddings
+                        WHERE vec_id = 0),
+            exact AS (
+                SELECT 0::BIGINT AS query_id, vec_id::BIGINT AS vec_id,
+                       round(list_dot_product(embedding, qe)
+                             / (sqrt(list_dot_product(embedding, embedding))
+                                * sqrt(list_dot_product(qe, qe))),
+                             4)::DOUBLE AS score,
+                       'cosine' AS method
+                FROM embeddings, q0
+                WHERE vec_id <> 0
+                ORDER BY score DESC, vec_id ASC
+                LIMIT 10),
+            dims AS (
+                SELECT unnest(range(len(embedding))) AS dim,
+                       unnest(embedding) AS v
+                FROM embeddings),
+            st AS (SELECT dim, min(v) AS lo,
+                          greatest(max(v) - min(v), 1e-30) AS r
+                   FROM dims GROUP BY dim),
+            q AS (
+                SELECT vec_id, dim,
+                       least(255, greatest(0,
+                           floor((v - lo) / r * 255)))::BIGINT AS qv
+                FROM (SELECT vec_id,
+                             unnest(range(len(embedding))) AS dim,
+                             unnest(embedding) AS v
+                      FROM embeddings) x JOIN st USING (dim)),
+            dots AS (
+                SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+                       sum(a.qv * b.qv)::BIGINT AS qdot
+                FROM q a JOIN q b USING (dim)
+                WHERE a.vec_id IN (1, 2, 3) AND b.vec_id != a.vec_id
+                GROUP BY 1, 2),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY qdot DESC, vec_id ASC) AS rk
+                FROM dots),
+            i8 AS (
+                SELECT query_id::BIGINT AS query_id,
+                       vec_id::BIGINT AS vec_id,
+                       qdot::DOUBLE AS score, 'int8' AS method
+                FROM ranked WHERE rk <= 5)
+            SELECT * FROM exact UNION ALL SELECT * FROM i8
+        """,
+        # r8: the end-to-end corpus-prep DAG — the same five stages as
+        # chained CTEs, with expected_extraction.parquet standing in for
+        # the (separately-proven) extraction stage. Role comes from a
+        # transcripts join (Spark carries it through extracted_df).
+        "corpus_prep": rf"""
+            WITH ext0 AS (
+                SELECT e.conv_id, e.turn_idx, t.role, e.text,
+                       regexp_split_to_array(trim(lower(e.text)), '\s+')
+                           AS toks
+                FROM {ee} e
+                JOIN {tr} t USING (conv_id, turn_idx)
+                WHERE e.extract_ok AND length(e.text) > 0),
+            gated AS (
+                SELECT * FROM (
+                    SELECT *, len(toks) AS n,
+                           round(len(list_filter(toks,
+                               x -> x in ('the','of','and','to','a','in',
+                                          'is','it','that','for')))::DOUBLE
+                                 / len(toks), 4) AS sw,
+                           CASE WHEN len(toks) >= 2 THEN
+                               round(1.0 - len(list_distinct(
+                                   list_transform(range(1, len(toks)),
+                                       i -> array_to_string(
+                                           list_slice(toks, i, i + 1),
+                                           ' '))))::DOUBLE
+                                     / (len(toks) - 1), 4)
+                           ELSE 0.0 END AS dupf
+                    FROM ext0)
+                WHERE n >= 30 AND sw >= 0.01 AND dupf <= 0.1),
+            deduped AS (
+                SELECT * FROM gated
+                QUALIFY row_number() OVER (
+                    PARTITION BY md5(text)
+                    ORDER BY conv_id, turn_idx) = 1),
+            ids AS (SELECT DISTINCT conv_id
+                    FROM {tr} WHERE turn_idx = 0
+                    ORDER BY conv_id LIMIT 3),
+            bench AS (
+                SELECT list(DISTINCT array_to_string(list_slice(
+                           regexp_split_to_array(trim(lower(e.text)),
+                                                 '\s+'),
+                           1, 8), ' ')) AS grams
+                FROM {ee} e JOIN ids USING (conv_id)
+                WHERE e.turn_idx = 0 AND e.extract_ok
+                  AND length(e.text) > 0
+                  AND len(regexp_split_to_array(trim(lower(e.text)),
+                                                '\s+')) >= 8),
+            clean AS (
+                SELECT d.* FROM deduped d CROSS JOIN bench b
+                WHERE NOT coalesce(list_has_any(
+                    CASE WHEN d.n >= 8 THEN
+                        list_transform(range(1, d.n - 6),
+                            i -> array_to_string(
+                                list_slice(d.toks, i, i + 7), ' '))
+                    ELSE [] END, b.grams), false)),
+            pos AS (
+                SELECT role, tok,
+                       row_number() OVER (PARTITION BY role
+                                          ORDER BY conv_id, turn_idx, i)
+                           - 1 AS gpos
+                FROM (SELECT role, conv_id, turn_idx,
+                             unnest(toks) AS tok,
+                             unnest(range(len(toks))) AS i
+                      FROM clean))
+            SELECT role, (gpos // 128)::BIGINT AS seq_idx,
+                   count(*)::BIGINT AS n_tokens,
+                   min_by(tok, gpos) AS first_tok,
+                   max_by(tok, gpos) AS last_tok
+            FROM pos GROUP BY role, seq_idx
         """,
     }

@@ -123,6 +123,26 @@ def main():
                 extras[f"{name}_error"] = str(e)[:120]
         rep_timings.append(timings)
 
+    # r8: the end-to-end corpus-prep DAG (extract → quality gate → dedup
+    # → decontaminate → seq-pack) — reported as its OWN metric, outside
+    # the headline total, so the headline series stays comparable
+    # round-over-round while the chain a real user runs still gets a
+    # measured wall-clock (VERDICT r7 #1)
+    if not os.environ.get("SNACKTORY_BENCH_EXTRACT_ONLY"):
+        pipe_times = []
+        for _rep in range(max(1, N_REPL)):
+            t0 = time.time()
+            try:
+                entrymod.q_corpus_prep(spark, SF_DIR).count()
+                pipe_times.append(round(time.time() - t0, 3))
+            except Exception as e:  # pragma: no cover
+                extras["corpus_prep_error"] = str(e)[:120]
+                break
+        if pipe_times:
+            from statistics import median as _med
+            extras["corpus_prep_sec"] = round(_med(pipe_times), 3)
+            extras["corpus_prep_times"] = pipe_times
+
     # median-of-replicates per query (drift-robust record); raw
     # per-replicate times persisted alongside
     names = list(rep_timings[0])

@@ -233,6 +233,40 @@ def main():
                      "single-partition exchange, lookup tables are "
                      "element_at over literal arrays."))
 
+    # 24b. corpus_prep: the end-to-end DAG (VERDICT r7 #1) — the audit
+    # point is that chaining the proven stages adds NO new shuffle class
+    sections.append(("corpus_prep (extract -> quality gate -> exact dedup "
+                     "-> decontaminate -> seq-pack, one DAG)",
+                     plan_of(em.q_corpus_prep(spark, SF_DIR)),
+                     "The chain keeps each constituent's audited shape: "
+                     "ONE salted exchange feeding the extraction "
+                     "MapInPandas (text-nonnull still pushed to the "
+                     "scan); the quality gate and the 8-gram "
+                     "decontamination are Filter/Project over JVM HOFs "
+                     "DIRECTLY on the UDF output — zero added shuffles; "
+                     "exact dedup is one hash exchange on md5(text) "
+                     "(uniform key) with a WindowGroupLimit pruning dup "
+                     "groups map-side; the role-keyed two-level prefix "
+                     "sum reuses one range exchange and broadcasts the "
+                     "P-by-role offsets table back; the final (role, "
+                     "seq_idx) agg is partial+final. The static plan "
+                     "below shows the packing stage's three lineage "
+                     "branches; at RUNTIME AQE collapses them to ONE "
+                     "extraction pass — every branch carries the same 4 "
+                     "columns through the md5 exchange (toks/n are "
+                     "recomputed above it), so the subtrees stay "
+                     "identical and the executed plan shows TWO "
+                     "ReusedExchange nodes (dedup exchange: base+narrow; "
+                     "range exchange: totals+cumsum) — asserted by "
+                     "tests/test_plan_shapes.py::"
+                     "test_corpus_prep_single_extraction_pass. The "
+                     "bench-gram branch extracts exactly 3 rows "
+                     "(conv_id/turn_idx filters pushed to the parquet "
+                     "scan) and lands in the plan as LITERALS — at "
+                     "production bench sizes the registered "
+                     "decontaminate query's broadcast-hash-join shape "
+                     "replaces it."))
+
     # 25-27. binary-roundtrip composites: narrow Arrow-map chains — the
     # audit point is what is ABSENT (no exchange inside a constituent)
     sections.append(("warc_roundtrip (WARC write->CDX->range-parse "

@@ -135,9 +135,12 @@ def test_token_pack_fallback_persist_documented():
 #   top_orders_per_segment — customer-segment dim join
 #   decontaminate          — benchmark gram set (O(1e4) eval n-grams)
 #   token_pack / seq_pack  — P-row (or P×S-row) partition-offset tables
+#   corpus_prep            — the same seq_pack offsets table, keyed by
+#                            role (P×R rows, R = 3 roles; bounded by
+#                            parallelism, never by data)
 BROADCAST_HINT_OK = {
     "golden_equality", "nation_orders", "top_orders_per_segment",
-    "decontaminate", "token_pack", "seq_pack",
+    "decontaminate", "token_pack", "seq_pack", "corpus_prep",
 }
 
 # queries allowed an Exchange SinglePartition, each with the proof the
@@ -213,6 +216,32 @@ def test_seq_pack_no_token_granularity_window(spark, em):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed
+
+
+def test_corpus_prep_single_extraction_pass(spark, em):
+    """The end-to-end DAG (r8): the packing stage consumes the chain
+    through three lineage branches, and all of them must share ONE
+    physical extraction — the md5-dedup exchange's subtree is kept
+    byte-identical across branches (same 4 columns, toks/n recomputed
+    above it) so AQE's ReusedExchange pins it, and the prefix-sum
+    totals/cumsum branches share their range exchange the same way.
+    Without the first reuse, extraction (the expensive stage) runs 2-3x
+    per job."""
+    import re
+    df = em.q_corpus_prep(spark, SF_DIR)
+    plan = _check(plan_of(df))
+    # extraction's text gate must still reach the scan in the chain
+    assert "PushedFilters: [IsNotNull(text)]" in plan
+    # prefix sum runs partitioned, never a global window
+    assert "windowspecdefinition(_pid" in plan
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    reuses = re.findall(r"ReusedExchange \[([^\]]*)\]", executed)
+    # one reuse carries text (the dedup exchange: base + narrow share
+    # the extraction), one carries n (the range exchange: totals +
+    # cumsum share the prefix-sum input)
+    assert any("text" in r for r in reuses), reuses
+    assert any(re.search(r"\bn#\d+", r) for r in reuses), reuses
 
 
 def test_registry_is_exactly_the_driver_window(em):
