@@ -273,17 +273,19 @@ def _nearest_cell(emb_col, centroids: list[list[float]]):
     kmeans_assign and the PQ cell column, so every layer of the ANN
     stack agrees on cell identity."""
     col = F.col(emb_col) if isinstance(emb_col, str) else emb_col
-
-    def dist2(cvec):
-        arr = F.array(*[F.lit(float(x)) for x in cvec])
-        return F.aggregate(F.zip_with(col, arr, lambda a, b: (a - b) * (a - b)),
-                           F.lit(0.0), lambda a, x: a + x)
-    best_idx, best_d = F.lit(0), dist2(centroids[0])
-    for i, c in enumerate(centroids[1:], start=1):
-        d = dist2(c)
-        cond = d < best_d
-        best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
-        best_d = F.when(cond, d).otherwise(best_d)
+    # r8: transform over ONE literal array<array<double>> instead of a
+    # k-deep when-chain of independent distance aggregates — identical
+    # arithmetic and tie convention (array_position returns the FIRST
+    # index of the min), but the expression tree stays O(1) nodes in k,
+    # which is what makes production-sized codebooks (k=64..256,
+    # BENCH/pq_recall.md) plan and compile
+    books = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                      for c in centroids])
+    dists = F.transform(books, lambda c: F.aggregate(
+        F.zip_with(col, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x))
+    best_d = F.array_min(dists)
+    best_idx = (F.array_position(dists, best_d) - 1).cast("int")
     return best_idx, best_d
 
 
@@ -491,23 +493,17 @@ def kmeans_fit(emb: DataFrame, init_centroids: list[list[float]],
 # are single narrow scans (no shuffle, no Python).
 
 
-def _pq_dist2(seg_col, cvec: list[float]):
-    arr = F.array(*[F.lit(float(x)) for x in cvec])
-    return F.aggregate(F.zip_with(seg_col, arr,
-                                  lambda a, b: (a - b) * (a - b)),
-                       F.lit(0.0), lambda acc, x: acc + x)
-
-
 def _pq_argmin(seg_col, book: list[list[float]]):
     """Nearest codebook entry for one subspace segment (ties to the
-    lowest code — same convention as kmeans_assign)."""
-    best_i, best_d = F.lit(0), _pq_dist2(seg_col, book[0])
-    for i, c in enumerate(book[1:], start=1):
-        d = _pq_dist2(seg_col, c)
-        cond = d < best_d
-        best_i = F.when(cond, F.lit(i)).otherwise(best_i)
-        best_d = F.when(cond, d).otherwise(best_d)
-    return best_i
+    lowest code — same convention as kmeans_assign). Same O(1)-in-k
+    transform shape as _nearest_cell (r8): a 256-entry codebook must
+    not become a 256-deep when-chain."""
+    books = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                      for c in book])
+    dists = F.transform(books, lambda c: F.aggregate(
+        F.zip_with(seg_col, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x))
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
 def pq_train(emb: DataFrame, seeds: list[list[float]], n_sub: int = 4,
