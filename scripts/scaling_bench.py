@@ -6,7 +6,15 @@ running the IDENTICAL extraction job at two parallelism levels — local[8]
 and local[32] (fresh JVM each) — on the same replicated input, and
 comparing steady-state turns/sec. Results land in BENCH/BASELINE.md.
 
-Usage: python scripts/scaling_bench.py [replicate]
+Usage: python scripts/scaling_bench.py [replicate] [order]
+
+`order` (r8, VERDICT r7 #3): comma-separated leg order, default "2,8,32".
+Three rounds running, one replicate in four landed at eff(2->8) ~0.797
+and was explained in prose; the explanation (the local[2] denominator
+leg is systematically inflated by page-cache/JIT warmth accumulated by
+the time it runs) is only testable if the leg order varies. Run a
+replicate with "2,8,32" and one with "32,8,2" and compare the local[2]
+throughput by position — the order is recorded in the output.
 """
 
 from __future__ import annotations
@@ -17,6 +25,9 @@ import subprocess
 import sys
 
 REPLICATE = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+LEG_ORDER = tuple(int(x) for x in (sys.argv[2] if len(sys.argv) > 2
+                                   else "2,8,32").split(","))
+assert sorted(LEG_ORDER) == [2, 8, 32], LEG_ORDER
 
 
 def run(cpus: int) -> dict:
@@ -47,9 +58,10 @@ def best_of(cpus: int, n: int = 2) -> dict:
 
 
 def main():
-    r2 = best_of(2)
-    r8 = best_of(8)
-    r32 = best_of(32)
+    legs = {}
+    for cpus in LEG_ORDER:
+        legs[cpus] = best_of(cpus)
+    r2, r8, r32 = legs[2], legs[8], legs[32]
     tp2 = r2["turns_per_sec"]
     tp8 = r8["turns_per_sec"]
     tp32 = r32["turns_per_sec"]
@@ -62,7 +74,8 @@ Flagship job: full snacktory-parity extraction over the synthetic transcript
 table (scan → gate → salted repartition → Arrow-vectorized mapInPandas),
 identical input and plan at every parallelism level; fresh JVM per run,
 whole process tree confined with `taskset` to exactly N CPUs; Python workers
-warmed before timing (steady-state throughput).
+warmed before timing (steady-state throughput). Leg order this run:
+**{" -> ".join(f"local[{c}]" for c in LEG_ORDER)}**.
 
 | config | turns extracted | wall (s) | turns/sec | per-core |
 |---|---|---|---|---|
@@ -101,7 +114,8 @@ Raw bench lines:
 """
     with open("/root/repo/BENCH/last_scaling_run.md", "w") as f:
         f.write(md)
-    print(f"tp2={tp2} tp8={tp8} tp32={tp32} eff(2->8)={eff_2_8:.3f} eff(8->32)={eff_8_32:.3f}")
+    print(f"order={','.join(map(str, LEG_ORDER))} tp2={tp2} tp8={tp8} "
+          f"tp32={tp32} eff(2->8)={eff_2_8:.3f} eff(8->32)={eff_8_32:.3f}")
     print("wrote /root/repo/BENCH/last_scaling_run.md (curate into BASELINE.md)")
 
 
