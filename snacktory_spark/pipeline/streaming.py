@@ -32,14 +32,20 @@ def streaming_extracted(spark: SparkSession, input_dir: str):
 
 def streaming_conv_stats(spark: SparkSession, input_dir: str,
                          watermark: str = "10 minutes",
-                         window: str = "1 hour"):
+                         window: str = "1 hour",
+                         max_files_per_trigger: int | None = None):
     """Windowed per-conversation stats with late-data handling: event-time
     tumbling window over `ts` with a watermark. Demonstrates the stateful
     streaming path (watermark + windowed aggregation) the batch pipeline
-    doesn't need — extraction itself is stateless per turn."""
-    stream = (spark.readStream
-              .schema(TRANSCRIPT_SCHEMA)
-              .parquet(input_dir))
+    doesn't need — extraction itself is stateless per turn.
+    max_files_per_trigger throttles the file source (one knob for both
+    live triggers and availableNow backlog drains) — the soak harness
+    uses it to force many small micro-batches."""
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               int(max_files_per_trigger))
+    stream = reader.parquet(input_dir)
     return (stream
             .withWatermark("ts", watermark)
             .groupBy(F.window("ts", window).alias("win"), F.col("conv_id"))
@@ -194,6 +200,13 @@ class RateMetricsListener:
             "rows_per_sec": progress.get("processedRowsPerSecond"),
             "duration_ms": (progress.get("durationMs") or {}).get("triggerExecution"),
             "timestamp": progress.get("timestamp"),
+            # total state-store rows across stateful operators — the
+            # bounded-state evidence for long-running queries (r8): a
+            # healthy watermark evicts closed windows, so this plateaus
+            # instead of growing with every window ever seen
+            "state_rows_total": sum(
+                int(so.get("numRowsTotal") or 0)
+                for so in (progress.get("stateOperators") or [])),
         }
         self.batches.append(rec)
         if self.metrics_path:

@@ -736,3 +736,38 @@ def test_persisted_warc_index_reuse_and_partial_refresh(tmp_path):
     os.makedirs(os.path.join(idxp, "snap=7"))
     assert read_warc_index(spark, idxp, validate=False).count() == \
         idx2.count()
+
+
+def test_persisted_warc_index_hadoop_scheme(tmp_path):
+    """The snapshot IO's Hadoop-FileSystem branch (scheme'd index_path,
+    the cluster deployment shape) end-to-end via the file: scheme — the
+    same trick _ManifestIO's tests use: build, reuse-validate, and
+    refresh after adding a file, all through hadoop Path ops."""
+    import os
+
+    from snacktory_spark.pipeline.extract_job import build_session
+    from snacktory_spark.pipeline.warc_source import (read_warc_index,
+                                                      write_warc_index)
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    glob = str(corpus) + "/*.warc.gz"
+    idxp = "file://" + str(tmp_path / "cdx_index")
+
+    (corpus / "a.warc.gz").write_bytes(write_warc(
+        [("http://h.test/0", b"<html>h0</html>")], gzip_members=True))
+
+    spark = build_session(app="pytest-warc-index-hadoop",
+                          master="local[2]", shuffle_partitions=2)
+    spark.sparkContext.setLogLevel("ERROR")
+    n0 = write_warc_index(spark, glob, idxp).count()
+    assert n0 == 2                        # response + warcinfo
+    assert sorted(os.listdir(tmp_path / "cdx_index")) == ["snap=0"]
+    # reuse (no change): same snapshot
+    assert read_warc_index(spark, idxp, glob).count() == n0
+    assert sorted(os.listdir(tmp_path / "cdx_index")) == ["snap=0"]
+    # new file -> refresh through the hadoop branch
+    (corpus / "b.warc.gz").write_bytes(write_warc(
+        [("http://h.test/1", b"<html>h1</html>")], gzip_members=True))
+    assert read_warc_index(spark, idxp, glob).count() == n0 + 2
+    assert sorted(os.listdir(tmp_path / "cdx_index")) == ["snap=1"]
