@@ -1,84 +1,80 @@
-"""Phase-level profile of extract() on representative docs.
+"""Profile the extraction hot loop (VERDICT r7 #7).
 
-Usage: python scripts/profile_extract.py [n_iters]
-Prints per-phase mean ms for (a) cnn.html — a heavy real page, (b) a
-templated synthetic article — the common case. cProfile top functions
-optionally via PROFILE_EXTRACT_CPROFILE=1.
+`extract_turns` is ~38% of the headline bench total, and no round has
+profiled the per-document Python path itself (the r2 overhead audit
+split parse/score/format at stage granularity only). This script runs
+the EXACT per-row function the pipeline ships (udf.extract_row — the
+body of the mapInPandas stage) over the same corpus bench.py measures
+(the synthetic sf0.1 transcripts), single-threaded under cProfile, and
+reports the top functions by self-time plus per-document latency
+quantiles. No Spark: the hot loop is pure Python per row, so the
+profile is the executor-side truth without JVM noise.
+
+Usage: python scripts/profile_extract.py [n_docs] [sort]
 """
 
 from __future__ import annotations
 
-import os
-import random
+import cProfile
+import io
+import pstats
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
-from snacktory_spark.converter import read_file_as_string
-from snacktory_spark.data.synth import make_article_html
-from snacktory_spark.dom import parse as dom_parse
-from snacktory_spark.extractor import extract
-
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-RES = "/root/reference/src/test/resources/de/jetwick/snacktory/"
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
+SORT = sys.argv[2] if len(sys.argv) > 2 else "tottime"
 
 
-def timeit(fn, n=N):
-    # warm-up
-    fn()
-    t0 = time.perf_counter()
-    for _ in range(n):
-        fn()
-    return (time.perf_counter() - t0) / n * 1000
+def load_corpus(n: int):
+    import pyarrow.parquet as pq
 
+    from snacktory_spark.data.synth import ensure_synth
 
-def phase_profile(html, url=""):
-    from snacktory_spark import metadata, weights
-    from snacktory_spark.author import extract_author_description, extract_author_name
-
-    out = {}
-    out["parse"] = timeit(lambda: dom_parse(html, url))
-    doc = dom_parse(html, url)
-    out["title+desc+canon"] = timeit(lambda: (metadata.extract_title(doc),
-                                              metadata.extract_description(doc),
-                                              metadata.extract_canonical_url(url, doc, False)))
-    out["author"] = timeit(lambda: extract_author_name(doc))
-    an = extract_author_name(doc)
-    out["author_desc"] = timeit(lambda: extract_author_description(doc, an))
-    out["date_cascade"] = timeit(lambda: metadata.extract_date_from_document(doc, url))
-
-    def clean_and_elect():
-        d = dom_parse(html, url)
-        weights.remove_scripts_and_styles(d, "")
-        weights.strip_unlikely_candidates(d)
-        nodes = weights.get_nodes(d)
-        return next(iter(weights.get_best_match_elements(nodes)), None)
-    out["clean+elect (incl reparse)"] = timeit(clean_and_elect)
-    out["full extract"] = timeit(lambda: extract(html, url))
-    return out
+    sdir = ensure_synth("/root/testdata/sf0.1", include_extraction=False)
+    t = pq.read_table(f"{sdir}/transcripts.parquet", columns=["text"])
+    texts = [x for x in t.column("text").to_pylist() if x]
+    return texts[:n]
 
 
 def main():
-    cases = {
-        "cnn.html (65KB real page)": read_file_as_string(RES + "cnn.html"),
-        "templated article": make_article_html(random.Random(1), 1)[0],
-    }
-    for name, html in cases.items():
-        print(f"\n== {name} ({len(html)} chars) ==")
-        for k, v in phase_profile(html).items():
-            print(f"  {k:28s} {v:8.2f} ms")
+    from snacktory_spark.udf import extract_row
 
-    if os.environ.get("PROFILE_EXTRACT_CPROFILE"):
-        import cProfile
-        import pstats
-        html = cases["cnn.html (65KB real page)"]
-        pr = cProfile.Profile()
-        pr.enable()
-        for _ in range(N):
-            extract(html)
-        pr.disable()
-        pstats.Stats(pr).sort_stats("cumulative").print_stats(25)
+    texts = load_corpus(N_DOCS)
+    print(f"profiling extract_row over {len(texts)} docs "
+          f"({sum(len(t) for t in texts) / 1e6:.1f} MB text)")
+
+    # warm the module-level regex/rule tables first (the steady state
+    # bench.py measures — workers are warmed before timing)
+    for t in texts[:50]:
+        extract_row(t, "")
+
+    # per-doc latency quantiles (un-profiled pass: cProfile's tracing
+    # overhead would distort them)
+    times = []
+    for t in texts:
+        t0 = time.perf_counter()
+        extract_row(t, "")
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    n = len(times)
+    tot = sum(times)
+    print(f"un-profiled: {n / tot:.0f} docs/s single-core | per-doc "
+          f"p50={times[n // 2] * 1e3:.2f}ms "
+          f"p90={times[int(n * .9)] * 1e3:.2f}ms "
+          f"p99={times[int(n * .99)] * 1e3:.2f}ms "
+          f"max={times[-1] * 1e3:.1f}ms")
+
+    prof = cProfile.Profile()
+    prof.enable()
+    for t in texts:
+        extract_row(t, "")
+    prof.disable()
+    out = io.StringIO()
+    stats = pstats.Stats(prof, stream=out)
+    stats.sort_stats(SORT).print_stats(30)
+    print(out.getvalue())
 
 
 if __name__ == "__main__":

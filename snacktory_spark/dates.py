@@ -407,8 +407,20 @@ def _lead_kind(tokens):
     return None
 
 
+def _req_lits(tokens):
+    """Distinct literal strings the pattern requires (longest first).
+
+    A full match places every literal verbatim in the input, so "literal is
+    a substring of the input" is a sound necessary condition — a C-level
+    `in` scan that skips a ~9µs token-parse attempt when it fails.
+    """
+    lits = {payload for kind, payload in tokens if kind == "lit" and payload}
+    return tuple(sorted(lits, key=len, reverse=True)[:3])
+
+
 _COMPILED = [(_tokenize_java_pattern(p)) for p in PARSE_PATTERNS]
 _COMPILED_KINDS = [_lead_kind(t) for t in _COMPILED]
+_COMPILED_LITS = [_req_lits(t) for t in _COMPILED]
 
 
 def parse_with_patterns(date_string: str, patterns_tokens=None, default_tz=UTC):
@@ -416,18 +428,28 @@ def parse_with_patterns(date_string: str, patterns_tokens=None, default_tz=UTC):
     if patterns_tokens is None:
         patterns_tokens = _COMPILED
         kinds = _COMPILED_KINDS
+        lits_list = _COMPILED_LITS
     else:
         kinds = [None] * len(patterns_tokens)
+        lits_list = [()] * len(patterns_tokens)
     lead = None
     for ch in date_string:
         if ch not in " \t":
             lead = "digit" if ch.isdigit() else ("alpha" if ch.isalpha() else None)
             break
-    for tokens, kind in zip(patterns_tokens, kinds):
+    for tokens, kind, lits in zip(patterns_tokens, kinds, lits_list):
         # cheap dispatch: a pattern whose first field needs a digit can never
         # match an alpha-leading string and vice versa
         if kind is not None and lead is not None and kind != lead:
             continue
+        if lits:
+            ok = True
+            for lit in lits:
+                if lit not in date_string:
+                    ok = False
+                    break
+            if not ok:
+                continue
         ctx = _parse_with_tokens(tokens, date_string)
         if ctx is not None:
             d = _ctx_to_datetime(ctx, default_tz)
