@@ -1400,6 +1400,94 @@ def q_doc_cross_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("cross_dup_frac")))
 
 
+def _win_at(k):
+    """(0-based pos, k-token window) struct at position i, as a HOF
+    lambda. Closure factory per the _gram_at note; the lambda body slices
+    a real COLUMN ("toks"), never an inline expression — see _zip_grams'
+    O(n²) alias-substitution warning."""
+    from pyspark.sql import functions as F
+
+    def g(i):
+        return F.struct(i.alias("pos"),
+                        F.concat_ws(" ", F.slice("toks", i + 1, k))
+                         .alias("gram"))
+    return g
+
+
+def _span_str(x):
+    """'s-e' rendering of a span struct, as a HOF lambda."""
+    from pyspark.sql import functions as F
+    return F.concat_ws("-", x["s"].cast("string"), x["e"].cast("string"))
+
+
+def q_doc_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicate-SPAN extraction (Lee et al. 2022,
+    arXiv:2107.06499 §4.1, public): token positions whose W-token window
+    occurs ≥2 times ANYWHERE in the corpus (total occurrences — within-doc
+    repeats count, unlike n_cross_dup's distinct-doc df) are merged into
+    maximal covered spans per document (union of [pos, pos+W-1]; two
+    windows merge when their position gap ≤ W, i.e. coverage stays
+    contiguous). Per doc: span count, covered-token count and fraction,
+    and the canonical "s-e;s-e" span list (0-based inclusive token
+    indices) that a removal pass would cut. W=5 words here (synthetic
+    documents are small); production uses ~50 BPE tokens — a knob, not a
+    shape change.
+
+    Scale shape: window enumeration is a narrow map; occurrence counting
+    is one partial+final hash agg on gram; duplicate positions come from a
+    shuffle equi-join on gram (corpus-proportional sides are never
+    broadcast); span merging is the lag/cumsum islands window partitioned
+    by doc_id (the event_sessions shape — P concurrent sorts, no global
+    ordering); the per-doc agg rides the same doc_id partitioning. Every
+    shuffle key (gram, doc_id) is high-cardinality and unskewed — survives
+    100× as-is."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    W = 5
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    tok_docs = (docs.filter(F.length("text") > 0)
+                .select("doc_id", toks.alias("toks")))
+    wins = F.when(
+        F.size("toks") >= W,
+        F.transform(F.sequence(F.lit(0), F.size("toks") - W), _win_at(W))
+    ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+    pos_df = (tok_docs.select("doc_id", F.explode(wins).alias("w"))
+              .select("doc_id", F.col("w.pos").alias("pos"),
+                      F.col("w.gram").alias("gram")))
+    occ = pos_df.groupBy("gram").agg(F.count("*").alias("occ"))
+    dup_pos = (pos_df.join(occ, "gram")
+               .filter(F.col("occ") >= 2).select("doc_id", "pos"))
+    by_doc = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (dup_pos
+               .withColumn("new_span",
+                           F.when(F.col("pos") - F.lag("pos").over(by_doc)
+                                  <= W, F.lit(0)).otherwise(F.lit(1)))
+               .withColumn("island", F.sum("new_span").over(
+                   by_doc.rowsBetween(Window.unboundedPreceding, 0))))
+    spans = (islands.groupBy("doc_id", "island")
+             .agg(F.min("pos").alias("s"),
+                  (F.max("pos") + F.lit(W - 1)).alias("e")))
+    per_doc = (spans.groupBy("doc_id")
+               .agg(F.count("*").alias("n_dup_spans"),
+                    F.sum(F.col("e") - F.col("s") + 1)
+                     .alias("dup_span_tokens"),
+                    F.array_join(
+                        F.transform(
+                            F.sort_array(F.collect_list(F.struct("s", "e"))),
+                            _span_str), ";").alias("dup_spans")))
+    return (tok_docs.select("doc_id", F.size("toks").alias("_nt"))
+            .join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_dup_spans", F.lit(0)).cast("long")
+                     .alias("n_dup_spans"),
+                    F.coalesce("dup_span_tokens", F.lit(0)).cast("long")
+                     .alias("dup_span_tokens"),
+                    F.round(F.coalesce("dup_span_tokens", F.lit(0))
+                            / F.col("_nt"), 4).alias("dup_span_frac"),
+                    F.coalesce("dup_spans", F.lit("")).alias("dup_spans")))
+
+
 def _conf_true(spark, key):
     """True unless the session explicitly set `key` to false (both
     exchange-reuse knobs are default-on)."""
@@ -2489,10 +2577,14 @@ def q_doc_token_stats_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite: token/stopword stats + Gopher repetition metrics
     (dup-2-gram and top-2-gram fractions; null for <2-token docs) +
     cross-document duplicate-gram coverage (n_cross_dup /
-    cross_dup_frac — the ACROSS-doc overlap signal, q_doc_cross_dup)."""
+    cross_dup_frac — the ACROSS-doc overlap signal, q_doc_cross_dup) +
+    ExactSubstr duplicate-span extraction (n_dup_spans /
+    dup_span_tokens / dup_span_frac / dup_spans, q_doc_exact_substr —
+    the REMOVAL-span output a dedup cut pass consumes)."""
     return (q_doc_token_stats(spark, sf_dir)
             .join(q_doc_repetition(spark, sf_dir), "doc_id", "left")
-            .join(q_doc_cross_dup(spark, sf_dir), "doc_id"))
+            .join(q_doc_cross_dup(spark, sf_dir), "doc_id")
+            .join(q_doc_exact_substr(spark, sf_dir), "doc_id"))
 
 
 def q_doc_quality_full(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2869,7 +2961,35 @@ def oracle_sql() -> dict[str, str]:
                        count(*)::BIGINT AS n_distinct_grams,
                        sum(CASE WHEN gdf.df >= 2 THEN 1 ELSE 0
                            END)::BIGINT AS n_cross_dup
-                FROM g5 JOIN gdf USING (gram) GROUP BY g5.doc_id)
+                FROM g5 JOIN gdf USING (gram) GROUP BY g5.doc_id),
+            p5 AS (
+                SELECT doc_id,
+                       unnest(range(0, len(t) - 4)) AS pos,
+                       unnest(list_transform(range(0, len(t) - 4),
+                              i -> array_to_string(t[i + 1 : i + 5],
+                                                   ' '))) AS gram
+                FROM toks WHERE len(t) >= 5 AND length(t[1]) > 0),
+            occ AS (SELECT gram, count(*) AS occ FROM p5 GROUP BY gram),
+            dp AS (SELECT doc_id, pos FROM p5 JOIN occ USING (gram)
+                   WHERE occ >= 2),
+            fl AS (SELECT doc_id, pos,
+                          CASE WHEN pos - lag(pos) OVER (
+                                   PARTITION BY doc_id ORDER BY pos) <= 5
+                               THEN 0 ELSE 1 END AS new_span
+                   FROM dp),
+            isl AS (SELECT doc_id, pos,
+                           sum(new_span) OVER (
+                               PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS island
+                    FROM fl),
+            sp AS (SELECT doc_id, island, min(pos) AS ss,
+                          max(pos) + 4 AS ee
+                   FROM isl GROUP BY doc_id, island),
+            es AS (SELECT doc_id, count(*)::BIGINT AS n_dup_spans,
+                          sum(ee - ss + 1)::BIGINT AS dup_span_tokens,
+                          string_agg(ss || '-' || ee, ';' ORDER BY ss)
+                              AS dup_spans
+                   FROM sp GROUP BY doc_id)
             SELECT s.doc_id, s.lang, s.n_tokens, s.n_stopwords,
                    s.stopword_ratio, rep.n_grams, rep.dup_gram_frac,
                    rep.top_gram_frac,
@@ -2879,9 +2999,16 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN coalesce(xd.n_distinct_grams, 0) > 0
                         THEN round(xd.n_cross_dup
                                    / xd.n_distinct_grams, 4)
-                   END AS cross_dup_frac
+                   END AS cross_dup_frac,
+                   coalesce(es.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+                   coalesce(es.dup_span_tokens, 0)::BIGINT
+                       AS dup_span_tokens,
+                   round(coalesce(es.dup_span_tokens, 0)
+                         / s.n_tokens, 4) AS dup_span_frac,
+                   coalesce(es.dup_spans, '') AS dup_spans
             FROM s LEFT JOIN rep USING (doc_id)
             LEFT JOIN xd USING (doc_id)
+            LEFT JOIN es USING (doc_id)
         """,
         "doc_lang_profile": """
             WITH g AS (
