@@ -778,6 +778,55 @@ def test_connected_components_nonconvergence_raises(spark):
         connected_components(df, max_iter=2)
 
 
+def test_exact_substr_spans_hand_fixture(spark, tmp_path):
+    """ExactSubstr span extraction on a hand-computed fixture — evidence
+    independent of the DuckDB oracle (which replays the same algorithm and
+    could share a conceptual bug). Covers: cross-doc duplication, span
+    merging across a gap, adjacency merge at position-gap == W,
+    WITHIN-doc-only repeats (counted by occurrence, unlike n_cross_dup's
+    distinct-doc df), whole-doc coverage, and the zero-dup empty output."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py")
+    em = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(em)
+    rows = [
+        # windows at pos 0,1 repeat at pos 8,9 (and in d2/d4): two spans
+        # separated by the uncovered "g h" gap
+        (1, "a b c d e f g h a b c d e f"),
+        # one cross-doc duplicated window ("a b c d e" at pos 3)
+        (2, "x y z a b c d e q w"),
+        # no duplicated windows anywhere
+        (3, "unique words only here now yes"),
+        # exactly one window, duplicated cross-doc: whole doc covered
+        (4, "a b c d e"),
+        # WITHIN-doc repeat only: dup positions {0,1,6,7}; gap 6-1 == W=5
+        # merges (coverage is contiguous) -> ONE span over the whole doc
+        (5, "p q r s t u p q r s t u"),
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows]),
+        "lang": pa.array(["en"] * len(rows)),
+        "source": pa.array(["t"] * len(rows)),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    }), d / "documents.parquet")
+    got = {r["doc_id"]: (r["n_dup_spans"], r["dup_span_tokens"],
+                         r["dup_span_frac"], r["dup_spans"])
+           for r in em.q_doc_exact_substr(spark, str(d)).collect()}
+    assert got == {
+        1: (2, 12, 0.8571, "0-5;8-13"),
+        2: (1, 5, 0.5, "3-7"),
+        3: (0, 0, 0.0, ""),
+        4: (1, 5, 1.0, "0-4"),
+        5: (1, 12, 1.0, "0-11"),
+    }
+
+
 def test_winnowing_shared_run_guarantee(spark, tmp_path):
     """The MOSS guarantee: two documents sharing a run of >= w+k-1 = 7
     tokens MUST share at least one fingerprint; disjoint vocabularies
