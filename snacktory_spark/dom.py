@@ -114,7 +114,8 @@ class TextNode:
 
 class Element:
     __slots__ = ("tag", "attrs", "child_nodes", "parent", "_doc", "_ord",
-                 "_kids", "_kids_ver", "_otext", "_otext_ver")
+                 "_kids", "_kids_ver", "_otext", "_otext_ver",
+                 "_text_c", "_text_cver")
 
     def __init__(self, tag: str, attrs: dict | None = None, parent=None, doc=None):
         self.tag = tag
@@ -127,6 +128,8 @@ class Element:
         self._kids_ver = -1
         self._otext = None
         self._otext_ver = -1
+        self._text_c = None
+        self._text_cver = -1
 
     def _bump(self) -> None:
         d = self._doc
@@ -247,9 +250,18 @@ class Element:
         return self._otext
 
     def text(self) -> str:
+        # version-keyed cache (same pattern/invalidation as _otext/_kids):
+        # :contains pseudos and repeated scoring calls re-walk subtrees
+        d = self._doc
+        ver = d.version if d is not None else -2
+        if self._text_c is not None and self._text_cver == ver:
+            return self._text_c
         accum: list[str] = []
         self._text(accum)
-        return java_trim("".join(accum))
+        out = java_trim("".join(accum))
+        self._text_c = out
+        self._text_cver = ver
+        return out
 
     def _text(self, accum: list[str]) -> None:
         if self.tag == "br":
