@@ -1716,6 +1716,68 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n").cast("long").alias("n")))
 
 
+def _pack_sequences(spark, base, narrow, group_col: str, order_cols,
+                    seq_len: int) -> DataFrame:
+    """Fixed-length packing via the two-level exclusive prefix sum — the
+    ONE copy of the plan-shape-sensitive machinery shared by q_seq_pack
+    and q_corpus_prep stage 5 (review finding r8: the two hand-kept
+    copies had to stay in sync or a fix to one would silently miss the
+    other).
+
+    `base` carries (group_col, *order_cols, toks, n); `narrow` the same
+    minus toks. The prefix sum runs on `narrow` ONLY — column pruning
+    must produce byte-identical range-exchange subtrees in the totals
+    and cumsum branches so ReusedExchange pins them to one physical
+    shuffle (see q_seq_pack's docstring for the full why)."""
+    from pyspark.sql import Window, functions as F
+    order_cols = list(order_cols)
+    n_parts = max(spark.sparkContext.defaultParallelism, 2)
+    parts = (narrow.repartitionByRange(n_parts, group_col, *order_cols)
+             .withColumn("_pid", F.spark_partition_id()))
+    if not (_conf_true(spark, "spark.sql.exchange.reuse")
+            or _conf_true(spark, "spark.sql.adaptive.enabled")):
+        # unreachable under default configs (both knobs default-on). The
+        # cache is intentionally NOT unpersist()ed here — the query is
+        # lazy and the blocks must outlive this builder; a caller that
+        # disables BOTH knobs owns the unpersist after its action.
+        parts = parts.persist()
+    totals = parts.groupBy("_pid", group_col).agg(F.sum("n").alias("_tot"))
+    w_off = (Window.partitionBy(group_col).orderBy("_pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.select(
+        "_pid", group_col,
+        F.coalesce(F.sum("_tot").over(w_off), F.lit(0))
+        .cast("long").alias("_off"))
+    w_local = (Window.partitionBy("_pid", group_col).orderBy(*order_cols)
+               .rowsBetween(Window.unboundedPreceding, -1))
+    local_before = F.coalesce(F.sum("n").over(w_local), F.lit(0))
+    starts = (parts.withColumn("_lb", local_before)
+              .join(F.broadcast(offsets), ["_pid", group_col])
+              .select(*order_cols, (F.col("_off") + F.col("_lb"))
+                      .cast("long").alias("gstart")))
+    g = base.join(starts, order_cols)
+    s0 = F.floor(F.col("gstart") / seq_len)
+    s1 = F.floor((F.col("gstart") + F.col("n") - 1) / seq_len)
+    spans = (g.select(group_col, "toks", "n", "gstart",
+                      F.explode(F.sequence(s0, s1)).alias("seq_idx"))
+             .withColumn("lo", F.greatest(F.col("gstart"),
+                                          F.col("seq_idx") * seq_len))
+             .withColumn("hi", F.least(F.col("gstart") + F.col("n") - 1,
+                                       F.col("seq_idx") * seq_len
+                                       + (seq_len - 1))))
+    at = (lambda pos: F.element_at(
+        "toks", (pos - F.col("gstart") + 1).cast("int")))
+    spans = spans.select(
+        group_col, F.col("seq_idx").cast("long").alias("seq_idx"),
+        (F.col("hi") - F.col("lo") + 1).alias("cnt"),
+        F.col("lo").alias("lo_gpos"), at(F.col("lo")).alias("lo_tok"),
+        F.col("hi").alias("hi_gpos"), at(F.col("hi")).alias("hi_tok"))
+    return (spans.groupBy(group_col, "seq_idx")
+            .agg(F.sum("cnt").cast("long").alias("n_tokens"),
+                 F.min_by("lo_tok", "lo_gpos").alias("first_tok"),
+                 F.max_by("hi_tok", "hi_gpos").alias("last_tok")))
+
+
 def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-length sequence packing — the step AFTER shard assignment
     (token_pack): within each source (the shard stand-in), concatenate
@@ -1747,58 +1809,14 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
          dominant source across the cluster by construction.
     Exchange reuse pins the totals and cumsum branches to ONE physical
     range shuffle (same guarantee, and same fallback, as q_token_pack)."""
-    from pyspark.sql import Window, functions as F
-    SEQ = 128
+    from pyspark.sql import functions as F
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     base = (docs.filter(F.length("text") > 0)
             .select("source", "doc_id", toks.alias("toks"))
             .withColumn("n", F.size("toks").cast("long")))
     narrow = base.select("source", "doc_id", "n")
-    n_parts = max(spark.sparkContext.defaultParallelism, 2)
-    parts = (narrow.repartitionByRange(n_parts, "source", "doc_id")
-             .withColumn("_pid", F.spark_partition_id()))
-    if not (_conf_true(spark, "spark.sql.exchange.reuse")
-            or _conf_true(spark, "spark.sql.adaptive.enabled")):
-        # unreachable under default configs (both knobs default-on). The
-        # cache is intentionally NOT unpersist()ed here — the query is
-        # lazy and the blocks must outlive this builder; a caller that
-        # disables BOTH knobs owns the unpersist after its action.
-        parts = parts.persist()
-    totals = parts.groupBy("_pid", "source").agg(F.sum("n").alias("_tot"))
-    w_off = (Window.partitionBy("source").orderBy("_pid")
-             .rowsBetween(Window.unboundedPreceding, -1))
-    offsets = totals.select(
-        "_pid", "source",
-        F.coalesce(F.sum("_tot").over(w_off), F.lit(0))
-        .cast("long").alias("_off"))
-    w_local = (Window.partitionBy("_pid", "source").orderBy("doc_id")
-               .rowsBetween(Window.unboundedPreceding, -1))
-    local_before = F.coalesce(F.sum("n").over(w_local), F.lit(0))
-    starts = (parts.withColumn("_lb", local_before)
-              .join(F.broadcast(offsets), ["_pid", "source"])
-              .select("doc_id", (F.col("_off") + F.col("_lb"))
-                      .cast("long").alias("gstart")))
-    g = base.join(starts, "doc_id")
-    s0 = F.floor(F.col("gstart") / SEQ)
-    s1 = F.floor((F.col("gstart") + F.col("n") - 1) / SEQ)
-    spans = (g.select("source", "toks", "n", "gstart",
-                      F.explode(F.sequence(s0, s1)).alias("seq_idx"))
-             .withColumn("lo", F.greatest(F.col("gstart"),
-                                          F.col("seq_idx") * SEQ))
-             .withColumn("hi", F.least(F.col("gstart") + F.col("n") - 1,
-                                       F.col("seq_idx") * SEQ + (SEQ - 1))))
-    at = (lambda pos: F.element_at(
-        "toks", (pos - F.col("gstart") + 1).cast("int")))
-    spans = spans.select(
-        "source", F.col("seq_idx").cast("long").alias("seq_idx"),
-        (F.col("hi") - F.col("lo") + 1).alias("cnt"),
-        F.col("lo").alias("lo_gpos"), at(F.col("lo")).alias("lo_tok"),
-        F.col("hi").alias("hi_gpos"), at(F.col("hi")).alias("hi_tok"))
-    return (spans.groupBy("source", "seq_idx")
-            .agg(F.sum("cnt").cast("long").alias("n_tokens"),
-                 F.min_by("lo_tok", "lo_gpos").alias("first_tok"),
-                 F.max_by("hi_tok", "hi_gpos").alias("last_tok")))
+    return _pack_sequences(spark, base, narrow, "source", ["doc_id"], 128)
 
 
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1931,57 +1949,16 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         clean = deduped
 
-    # stage 5: fixed-length sequence packing keyed by role (the
-    # q_seq_pack two-level prefix sum; see its docstring for why the
-    # prefix sum runs on the NARROW projection)
+    # stage 5: fixed-length sequence packing keyed by role (the shared
+    # _pack_sequences two-level prefix sum; see q_seq_pack's docstring
+    # for why the prefix sum runs on the NARROW projection)
     base = (clean.withColumn("toks", toks)
             .withColumn("n", F.size("toks").cast("long"))
             .select("role", "conv_id", "turn_idx", "toks", "n"))
     narrow = clean.select("role", "conv_id", "turn_idx",
                           F.size(toks).cast("long").alias("n"))
-    n_parts = max(spark.sparkContext.defaultParallelism, 2)
-    parts = (narrow.repartitionByRange(n_parts, "role", "conv_id",
-                                       "turn_idx")
-             .withColumn("_pid", F.spark_partition_id()))
-    if not (_conf_true(spark, "spark.sql.exchange.reuse")
-            or _conf_true(spark, "spark.sql.adaptive.enabled")):
-        parts = parts.persist()
-    totals = parts.groupBy("_pid", "role").agg(F.sum("n").alias("_tot"))
-    w_off = (Window.partitionBy("role").orderBy("_pid")
-             .rowsBetween(Window.unboundedPreceding, -1))
-    offsets = totals.select(
-        "_pid", "role",
-        F.coalesce(F.sum("_tot").over(w_off), F.lit(0))
-        .cast("long").alias("_off"))
-    w_local = (Window.partitionBy("_pid", "role")
-               .orderBy("conv_id", "turn_idx")
-               .rowsBetween(Window.unboundedPreceding, -1))
-    local_before = F.coalesce(F.sum("n").over(w_local), F.lit(0))
-    starts = (parts.withColumn("_lb", local_before)
-              .join(F.broadcast(offsets), ["_pid", "role"])
-              .select("conv_id", "turn_idx",
-                      (F.col("_off") + F.col("_lb"))
-                      .cast("long").alias("gstart")))
-    g = base.join(starts, ["conv_id", "turn_idx"])
-    s0 = F.floor(F.col("gstart") / SEQ)
-    s1 = F.floor((F.col("gstart") + F.col("n") - 1) / SEQ)
-    spans = (g.select("role", "toks", "n", "gstart",
-                      F.explode(F.sequence(s0, s1)).alias("seq_idx"))
-             .withColumn("lo", F.greatest(F.col("gstart"),
-                                          F.col("seq_idx") * SEQ))
-             .withColumn("hi", F.least(F.col("gstart") + F.col("n") - 1,
-                                       F.col("seq_idx") * SEQ + (SEQ - 1))))
-    at = (lambda pos: F.element_at(
-        "toks", (pos - F.col("gstart") + 1).cast("int")))
-    spans = spans.select(
-        "role", F.col("seq_idx").cast("long").alias("seq_idx"),
-        (F.col("hi") - F.col("lo") + 1).alias("cnt"),
-        F.col("lo").alias("lo_gpos"), at(F.col("lo")).alias("lo_tok"),
-        F.col("hi").alias("hi_gpos"), at(F.col("hi")).alias("hi_tok"))
-    return (spans.groupBy("role", "seq_idx")
-            .agg(F.sum("cnt").cast("long").alias("n_tokens"),
-                 F.min_by("lo_tok", "lo_gpos").alias("first_tok"),
-                 F.max_by("hi_tok", "hi_gpos").alias("last_tok")))
+    return _pack_sequences(spark, base, narrow, "role",
+                           ["conv_id", "turn_idx"], SEQ)
 
 
 def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:

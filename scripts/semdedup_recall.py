@@ -154,8 +154,9 @@ def main():
     # ~ 16 per cell, far enough under max_cluster=48 that k-means
     # imbalance cannot push a cell over the knob (at k=16 the largest
     # cells still exceeded 48 and the guard cost 0.075 recall)
+    k_sized_c = 32
     n_truth_c, res_c = run_configs(spark, ids_c, X_c, threshold=0.9,
-                                   k_sized=32)
+                                   k_sized=k_sized_c)
     print(f"clustered @0.9: {n_truth_c} true dups")
     for label, (rec, n) in res_c.items():
         print(f"  {label}: recall={rec:.3f} flagged={n}")
@@ -197,11 +198,12 @@ def main():
         "",
         "Reading the table, most-important fact first: **the guard is "
         "free exactly when k obeys the paper's scaling rule** (k ~ "
-        "corpus / target-cluster-size): at k=16 the trained cells fit "
-        "under max_cluster=48 and guard-on recall matches its own "
-        "guard-off control — the matched k=16 rows isolate the guard "
-        "itself (any k=16-off vs k=8-off delta is the k knob's "
-        "cross-cell cost, not the guard). The two documented recall "
+        f"corpus / target-cluster-size): at k={k_sized_c} the trained "
+        "cells fit under max_cluster=48 and guard-on recall matches its "
+        f"own guard-off control — the matched k={k_sized_c} rows isolate "
+        f"the guard itself (any k={k_sized_c}-off vs k=8-off delta is "
+        "the k knob's cross-cell cost, not the guard). The two "
+        "documented recall "
         "costs are each isolated by one row: "
         "(a) BAD CENTROIDS — k=4 raw seed vectors split some "
         "epsilon-balls across cells (0.975 -> 0.933); (b) A MIS-SIZED "

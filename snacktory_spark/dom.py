@@ -174,8 +174,12 @@ class Element:
 
     def set_attr(self, key: str, value: str) -> None:
         key = key.lower()
-        if key not in self.attrs and key not in _INTERNAL_ATTRS:
-            self._bump()  # attribute-presence selectors depend on keys
+        # bump on NEW keys and on VALUE changes: the doc index keys class/id
+        # VALUES and select()'s pure fast paths return index lists without a
+        # matches() re-check, so a stale index would yield false positives
+        # (review finding r8). Internal scratchpad attrs never bump.
+        if key not in _INTERNAL_ATTRS and self.attrs.get(key) != value:
+            self._bump()
         self.attrs[key] = value
 
     def remove_attr(self, key: str) -> None:
@@ -196,8 +200,13 @@ class Element:
 
     @property
     def children(self) -> list["Element"]:
+        # never cache for DETACHED elements (doc None): _bump() is a no-op
+        # there, so a version-keyed cache would go silently stale on
+        # mutation (review finding r8; same rule in own_text/text)
         d = self._doc
-        ver = d.version if d is not None else -2
+        if d is None:
+            return [c for c in self.child_nodes if isinstance(c, Element)]
+        ver = d.version
         if self._kids is None or self._kids_ver != ver:
             self._kids = [c for c in self.child_nodes if isinstance(c, Element)]
             self._kids_ver = ver
@@ -236,31 +245,40 @@ class Element:
         if self.tag in ("script", "style"):
             return ""
         d = self._doc
-        ver = d.version if d is not None else -2
-        if self._otext is not None and self._otext_ver == ver:
-            return self._otext
+        if d is not None:
+            ver = d.version
+            if self._otext is not None and self._otext_ver == ver:
+                return self._otext
         accum: list[str] = []
         for child in self.child_nodes:
             if isinstance(child, TextNode):
                 _append_normalised(accum, child, self)
             elif isinstance(child, Element) and child.tag == "br":
                 _append_space_if_needed(accum)
-        self._otext = java_trim("".join(accum))
-        self._otext_ver = ver
-        return self._otext
+        out = java_trim("".join(accum))
+        if d is not None:
+            # detached elements (doc None) are never cached — _bump() is a
+            # no-op for them, so the cache could not be invalidated
+            self._otext = out
+            self._otext_ver = ver
+        return out
 
     def text(self) -> str:
         # version-keyed cache (same pattern/invalidation as _otext/_kids):
-        # :contains pseudos and repeated scoring calls re-walk subtrees
+        # :contains pseudos and repeated scoring calls re-walk subtrees.
+        # Detached elements (doc None) are never cached — _bump() is a
+        # no-op for them (review finding r8).
         d = self._doc
-        ver = d.version if d is not None else -2
-        if self._text_c is not None and self._text_cver == ver:
-            return self._text_c
+        if d is not None:
+            ver = d.version
+            if self._text_c is not None and self._text_cver == ver:
+                return self._text_c
         accum: list[str] = []
         self._text(accum)
         out = java_trim("".join(accum))
-        self._text_c = out
-        self._text_cver = ver
+        if d is not None:
+            self._text_c = out
+            self._text_cver = ver
         return out
 
     def _text(self, accum: list[str]) -> None:

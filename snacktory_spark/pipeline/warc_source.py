@@ -299,8 +299,13 @@ def write_warc_index(spark: SparkSession, path_glob: str,
     under index_path. Returns the index read back FROM THE PARQUET (so
     downstream plans scan the persisted copy, not a rebuild)."""
     files = _list_warc_files(spark, path_glob).cache()
-    return _write_snapshot(spark, index_path, files,
-                           _index_files_df(spark, files))
+    try:
+        # safe to unpersist after: _write_snapshot materializes via the
+        # parquet writes and the returned frame reads the PERSISTED copy
+        return _write_snapshot(spark, index_path, files,
+                               _index_files_df(spark, files))
+    finally:
+        files.unpersist()
 
 
 def read_warc_index(spark: SparkSession, index_path: str,
@@ -339,20 +344,29 @@ def read_warc_index(spark: SparkSession, index_path: str,
         raise ValueError("validate=True requires path_glob (the live "
                          "corpus to validate against)")
     cur = _list_warc_files(spark, path_glob).cache()
-    old = spark.read.parquet(base + "/files")
-    unchanged = (cur.alias("c")
-                 .join(old.alias("o"), "path")
-                 .filter((F.col("c.file_length") == F.col("o.file_length"))
-                         & (F.col("c.file_mtime") == F.col("o.file_mtime")))
-                 .select("path"))
-    changed = cur.join(unchanged, "path", "left_anti").select("path")
-    n_changed = changed.count()
-    n_removed = old.join(cur, "path", "left_anti").count()
-    if n_changed == 0 and n_removed == 0:
-        return cdx
-    reused = cdx.join(unchanged, "path", "left_semi")
-    out = reused.unionByName(_index_files_df(spark, changed))
-    return _write_snapshot(spark, index_path, cur, out)
+    try:
+        old = spark.read.parquet(base + "/files")
+        unchanged = (cur.alias("c")
+                     .join(old.alias("o"), "path")
+                     .filter((F.col("c.file_length")
+                              == F.col("o.file_length"))
+                             & (F.col("c.file_mtime")
+                                == F.col("o.file_mtime")))
+                     .select("path"))
+        changed = cur.join(unchanged, "path", "left_anti").select("path")
+        n_changed = changed.count()
+        n_removed = old.join(cur, "path", "left_anti").count()
+        if n_changed == 0 and n_removed == 0:
+            return cdx
+        reused = cdx.join(unchanged, "path", "left_semi")
+        out = reused.unionByName(_index_files_df(spark, changed))
+        # _write_snapshot materializes via the parquet writes, so the
+        # finally-unpersist cannot starve the returned frame's lineage
+        return _write_snapshot(spark, index_path, cur, out)
+    finally:
+        # repeated refresh loops must not accumulate cached listings
+        # (review finding r8)
+        cur.unpersist()
 
 
 def read_warc_ranges(spark: SparkSession, index_df: DataFrame,

@@ -276,9 +276,12 @@ def _nearest_cell(emb_col, centroids: list[list[float]]):
     # r8: transform over ONE literal array<array<double>> instead of a
     # k-deep when-chain of independent distance aggregates — identical
     # arithmetic and tie convention (array_position returns the FIRST
-    # index of the min), but the expression tree stays O(1) nodes in k,
-    # which is what makes production-sized codebooks (k=64..256,
-    # BENCH/pq_recall.md) plan and compile
+    # index of the min) for non-null vectors, but the expression tree
+    # stays O(1) nodes in k, which is what makes production-sized
+    # codebooks (k=64..256, BENCH/pq_recall.md) plan and compile.
+    # NULL embeddings propagate to a NULL cell/distance (the when-chain
+    # silently assigned cell 0) — intentional: a null vector must surface
+    # as a null group downstream, not hide inside a real cluster.
     books = F.array(*[F.array(*[F.lit(float(x)) for x in c])
                       for c in centroids])
     dists = F.transform(books, lambda c: F.aggregate(
@@ -497,7 +500,8 @@ def _pq_argmin(seg_col, book: list[list[float]]):
     """Nearest codebook entry for one subspace segment (ties to the
     lowest code — same convention as kmeans_assign). Same O(1)-in-k
     transform shape as _nearest_cell (r8): a 256-entry codebook must
-    not become a 256-deep when-chain."""
+    not become a 256-deep when-chain. NULL segments propagate to a NULL
+    code (see _nearest_cell's null note)."""
     books = F.array(*[F.array(*[F.lit(float(x)) for x in c])
                       for c in book])
     dists = F.transform(books, lambda c: F.aggregate(

@@ -203,3 +203,39 @@ def test_a_no_reconstruction_when_closed():
     doc2 = parse('<ul><li><a href="/1">one</ul><a href="/2">two</a> t')
     assert [(a.attr("href"), a.text()) for a in doc2.select("a")] == [
         ("/1", "one"), ("/2", "two")]
+
+
+def test_select_sees_attr_value_changes():
+    """Changing an EXISTING class/id VALUE must invalidate the doc index:
+    the pure-selector fast paths return index lists without a matches()
+    re-check, so a stale index would yield false positives (r8 review)."""
+    doc = parse('<div><p class="menu" id="x">hi</p></div>')
+    p = doc.select(".menu")[0]
+    assert doc.select("#x")
+    p.set_attr("class", "other")
+    assert list(doc.select(".menu")) == []
+    assert doc.select(".other") == [p]
+    p.set_attr("id", "y")
+    assert list(doc.select("#x")) == []
+    assert doc.select("#y") == [p]
+    # same-value rewrite must not thrash the index version
+    v = doc.version
+    p.set_attr("class", "other")
+    assert doc.version == v
+
+
+def test_detached_element_text_not_stale():
+    """Detached elements (no document) must never serve cached text/kids:
+    _bump() is a no-op without a doc, so caches could not invalidate."""
+    from snacktory_spark.dom import Element, TextNode
+    e = Element("div")
+    e.append_child(TextNode("a", e))
+    assert e.text() == "a"
+    assert e.own_text() == "a"
+    assert e.children == []
+    e.append_child(TextNode("b", e))
+    assert e.text() == "ab"
+    assert e.own_text() == "ab"
+    child = Element("span")
+    e.append_child(child)
+    assert e.children == [child]
