@@ -177,8 +177,14 @@ class Element:
         # bump on NEW keys and on VALUE changes: the doc index keys class/id
         # VALUES and select()'s pure fast paths return index lists without a
         # matches() re-check, so a stale index would yield false positives
-        # (review finding r8). Internal scratchpad attrs never bump.
-        if key not in _INTERNAL_ATTRS and self.attrs.get(key) != value:
+        # (review finding r8). Internal scratchpad attrs never bump the
+        # version (they must not invalidate the index/text caches) but are
+        # COUNTED, so pristine-document checks can still see them.
+        if key in _INTERNAL_ATTRS:
+            d = self._doc
+            if d is not None:
+                d.internal_writes += 1
+        elif self.attrs.get(key) != value:
             self._bump()
         self.attrs[key] = value
 
@@ -392,14 +398,15 @@ def _escape_text(v: str) -> str:
 
 
 class Document(Element):
-    __slots__ = ("base_uri_str", "version", "_idx_ver", "_idx_tag",
-                 "_idx_class", "_idx_id", "_idx_attr", "_idx_all")
+    __slots__ = ("base_uri_str", "version", "internal_writes", "_idx_ver",
+                 "_idx_tag", "_idx_class", "_idx_id", "_idx_attr", "_idx_all")
 
     def __init__(self, base_uri: str = ""):
         super().__init__("#root")
         self.base_uri_str = base_uri or ""
         self._doc = self
         self.version = 0
+        self.internal_writes = 0
         self._idx_ver = -1
         self._idx_tag = None
         self._idx_class = None

@@ -104,13 +104,21 @@ def _extract_retrying(res: dict, doc: Document, html: str, extract_images: bool,
     """extractContent(JResult, Document, ...) (:421-435).
 
     The reference clones the (about-to-be-mutated) document up front; we
-    re-parse the original html on the rare empty-text retry instead — same
-    tree (parsing is deterministic), no per-document deep copy.
+    re-parse the original html on the empty-text retry instead — same
+    tree (parsing is deterministic), no per-document deep copy. When the
+    first pass left the document PRISTINE (no version bump AND no
+    internal-scratchpad writes — common for plain-text turns, where no
+    candidate is ever scored), the retry reuses the document directly:
+    it is bit-identical to what the re-parse would produce, and parsing
+    is ~a quarter of per-document time (BENCH/extract_profile.md).
     """
+    v0, w0 = doc.version, doc.internal_writes
     result = _extract_content(res, doc, extract_images, max_content_size, True,
                               formatter, heuristics)
     if len(result["text"]) == 0:
-        result = _extract_content(res, dom_parse(html, res["url"]),
+        pristine = (doc.version == v0 and doc.internal_writes == w0)
+        retry_doc = doc if pristine else dom_parse(html, res["url"])
+        result = _extract_content(res, retry_doc,
                                   extract_images, max_content_size, False,
                                   formatter, heuristics)
     if not result["text"].strip():
