@@ -1420,6 +1420,24 @@ def _span_str(x):
     return F.concat_ws("-", x["s"].cast("string"), x["e"].cast("string"))
 
 
+def _pos_uncovered(spans_col):
+    """HOF lambda: position p is outside every (s, e) span. Closure
+    factory (nested higher-order lambdas; no default-arg captures)."""
+    from pyspark.sql import functions as F
+
+    def g(p):
+        def covers(sp):
+            return (p >= sp["s"]) & (p <= sp["e"])
+        return ~F.exists(spans_col, covers)
+    return g
+
+
+def _tok_at_pos(p):
+    """HOF lambda: the token at 0-based position p."""
+    from pyspark.sql import functions as F
+    return F.element_at("toks", (p + 1).cast("int"))
+
+
 def q_doc_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style duplicate-SPAN extraction (Lee et al. 2022,
     arXiv:2107.06499 §4.1, public): token positions whose W-token window
@@ -1472,11 +1490,16 @@ def q_doc_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.count("*").alias("n_dup_spans"),
                     F.sum(F.col("e") - F.col("s") + 1)
                      .alias("dup_span_tokens"),
-                    F.array_join(
-                        F.transform(
-                            F.sort_array(F.collect_list(F.struct("s", "e"))),
-                            _span_str), ";").alias("dup_spans")))
-    return (tok_docs.select("doc_id", F.size("toks").alias("_nt"))
+                    F.sort_array(F.collect_list(F.struct("s", "e")))
+                     .alias("_spans")))
+    # the APPLIED cut: normalized tokens outside every span, rejoined —
+    # the artifact a span-removal pass actually emits (O(n·n_spans)
+    # narrow per-row work; spans stay tiny per doc)
+    spans_or_empty = F.coalesce(
+        "_spans", F.array().cast("array<struct<s:int,e:int>>"))
+    kept = F.filter(F.sequence(F.lit(0), F.col("_nt") - 1),
+                    _pos_uncovered(spans_or_empty))
+    return (tok_docs.select("doc_id", "toks", F.size("toks").alias("_nt"))
             .join(per_doc, "doc_id", "left")
             .select("doc_id",
                     F.coalesce("n_dup_spans", F.lit(0)).cast("long")
@@ -1485,7 +1508,11 @@ def q_doc_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("dup_span_tokens"),
                     F.round(F.coalesce("dup_span_tokens", F.lit(0))
                             / F.col("_nt"), 4).alias("dup_span_frac"),
-                    F.coalesce("dup_spans", F.lit("")).alias("dup_spans")))
+                    F.coalesce(
+                        F.array_join(F.transform("_spans", _span_str), ";"),
+                        F.lit("")).alias("dup_spans"),
+                    F.array_join(F.transform(kept, _tok_at_pos), " ")
+                     .alias("cut_text")))
 
 
 def _conf_true(spark, key):
@@ -2965,7 +2992,8 @@ def oracle_sql() -> dict[str, str]:
             es AS (SELECT doc_id, count(*)::BIGINT AS n_dup_spans,
                           sum(ee - ss + 1)::BIGINT AS dup_span_tokens,
                           string_agg(ss || '-' || ee, ';' ORDER BY ss)
-                              AS dup_spans
+                              AS dup_spans,
+                          list({{'s': ss, 'e': ee}} ORDER BY ss) AS spans
                    FROM sp GROUP BY doc_id)
             SELECT s.doc_id, s.lang, s.n_tokens, s.n_stopwords,
                    s.stopword_ratio, rep.n_grams, rep.dup_gram_frac,
@@ -2982,10 +3010,20 @@ def oracle_sql() -> dict[str, str]:
                        AS dup_span_tokens,
                    round(coalesce(es.dup_span_tokens, 0)
                          / s.n_tokens, 4) AS dup_span_frac,
-                   coalesce(es.dup_spans, '') AS dup_spans
+                   coalesce(es.dup_spans, '') AS dup_spans,
+                   coalesce(array_to_string(
+                       list_transform(
+                           list_filter(range(0, len(toks.t)),
+                               p -> len(list_filter(
+                                        CASE WHEN es.spans IS NULL THEN []
+                                             ELSE es.spans END,
+                                        sp -> p >= sp.s AND p <= sp.e)) = 0),
+                           p -> toks.t[p + 1]),
+                       ' '), '') AS cut_text
             FROM s LEFT JOIN rep USING (doc_id)
             LEFT JOIN xd USING (doc_id)
             LEFT JOIN es USING (doc_id)
+            JOIN toks USING (doc_id)
         """,
         "doc_lang_profile": """
             WITH g AS (

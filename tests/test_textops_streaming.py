@@ -816,14 +816,14 @@ def test_exact_substr_spans_hand_fixture(spark, tmp_path):
         "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
     }), d / "documents.parquet")
     got = {r["doc_id"]: (r["n_dup_spans"], r["dup_span_tokens"],
-                         r["dup_span_frac"], r["dup_spans"])
+                         r["dup_span_frac"], r["dup_spans"], r["cut_text"])
            for r in em.q_doc_exact_substr(spark, str(d)).collect()}
     assert got == {
-        1: (2, 12, 0.8571, "0-5;8-13"),
-        2: (1, 5, 0.5, "3-7"),
-        3: (0, 0, 0.0, ""),
-        4: (1, 5, 1.0, "0-4"),
-        5: (1, 12, 1.0, "0-11"),
+        1: (2, 12, 0.8571, "0-5;8-13", "g h"),
+        2: (1, 5, 0.5, "3-7", "x y z q w"),
+        3: (0, 0, 0.0, "", "unique words only here now yes"),
+        4: (1, 5, 1.0, "0-4", ""),
+        5: (1, 12, 1.0, "0-11", ""),
     }
 
 
