@@ -1,5 +1,9 @@
 """Vendored DOM: parsing, jsoup text semantics, CSS-lite selectors."""
 
+import sys
+
+sys.path.insert(0, "/root/repo")
+
 from snacktory_spark.dom import parse
 from snacktory_spark.formatter import OutputFormatter
 
@@ -239,3 +243,113 @@ def test_detached_element_text_not_stale():
     child = Element("span")
     e.append_child(child)
     assert e.children == [child]
+
+
+# --- differential fuzz: select() fast paths vs naive scan (round 8) --------
+#
+# The r8 select engine grew index-returning fast paths (pure selectors,
+# single-chain, pure-tag groups) that skip matches() re-verification.
+# This differential test evaluates every generated selector BOTH ways —
+# the public select() (fast paths + doc index) and a naive
+# iter_descendants scan through the same parsed chains — on random
+# documents, before AND after an index-invalidating mutation.
+
+import itertools as _it
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from snacktory_spark import dom as _dom
+
+_TAGS = ["div", "p", "span", "a", "ul", "li", "b"]
+_CLASSES = ["a", "b", "c", "a b", "a a", "b c"]
+_IDS = ["x", "y", "z"]
+
+
+@st.composite
+def _doc_html(draw):
+    n = draw(st.integers(min_value=1, max_value=12))
+    parts = []
+    depth = 0
+    for _ in range(n):
+        tag = draw(st.sampled_from(_TAGS))
+        attrs = ""
+        if draw(st.booleans()):
+            attrs += f' class="{draw(st.sampled_from(_CLASSES))}"'
+        if draw(st.booleans()):
+            attrs += f' id="{draw(st.sampled_from(_IDS))}"'
+        if draw(st.booleans()):
+            attrs += f' data-k="{draw(st.sampled_from(["v", "vw", "w"]))}"'
+        parts.append(f"<{tag}{attrs}>")
+        depth += 1
+        if draw(st.booleans()):
+            parts.append(draw(st.sampled_from(
+                ["hello", "big cat", "x", ""])))
+        if draw(st.booleans()) and depth > 0:
+            parts.append(f"</{tag}>")
+            depth -= 1
+    return "<body>" + "".join(parts) + "</body>"
+
+
+_SIMPLE = st.sampled_from(
+    _TAGS + ["*", ".a", ".b", "#x", "#y", "[data-k]", "[data-k=v]",
+             "[data-k*=v]", "[data-k^=v]", "div.a", "p#x", ".a.b",
+             "li:first-of-type", "span:contains(cat)",
+             "a:containsOwn(hello)", "div:has(p)"])
+
+
+@st.composite
+def _selector(draw):
+    n_chains = draw(st.integers(min_value=1, max_value=3))
+    chains = []
+    for _ in range(n_chains):
+        n_parts = draw(st.integers(min_value=1, max_value=3))
+        chain = [draw(_SIMPLE)]
+        for _ in range(n_parts - 1):
+            chain.append(draw(st.sampled_from([" ", " > ", " ~ ", " + "])))
+            chain.append(draw(_SIMPLE))
+        chains.append("".join(chain))
+    return ", ".join(chains)
+
+
+def _naive_select(query, root):
+    """Reference evaluation: plain scan + _match_chain, no index, no
+    fast paths, dedup by doc order — jsoup Selector semantics."""
+    chains = _dom._parse_group(query)
+    doc = root._doc
+    if doc is not None and doc._idx_ver != doc.version:
+        doc._index()  # _ord must be current for ordering
+    hits = {}
+    for el in root.iter_descendants():
+        for chain in chains:
+            if _dom._match_chain(chain, el, root):
+                hits[el._ord] = el
+                break
+    return [hits[k] for k in sorted(hits)]
+
+
+@settings(max_examples=250, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(_doc_html(), st.lists(_selector(), min_size=1, max_size=3),
+       st.randoms(use_true_random=False))
+def test_select_fastpaths_match_naive_scan(html, queries, rnd):
+    doc = parse(html)
+    for q in queries:
+        assert list(doc.select(q)) == _naive_select(q, doc), q
+        got_first = doc.select_first(q)
+        naive = _naive_select(q, doc)
+        assert got_first is (naive[0] if naive else None), q
+    # subtree select from a random non-root element
+    els = [e for e in doc.iter_descendants() if e is not doc]
+    if els:
+        sub = rnd.choice(els)
+        for q in queries:
+            assert list(sub.select(q)) == _naive_select(q, sub), q
+    # index-invalidating mutations: class/id value rewrite + removal
+    if els:
+        victim = rnd.choice(els)
+        victim.set_attr("class", rnd.choice(_CLASSES))
+        victim.set_attr("id", rnd.choice(_IDS))
+        other = rnd.choice(els)
+        other.remove()
+        for q in queries:
+            assert list(doc.select(q)) == _naive_select(q, doc), q
