@@ -2,6 +2,10 @@
 ArticleTextExtractor.java:1796-1893 gets a round-trip case, plus cleanDate
 fixups and the DateUtils body-regex families."""
 
+import sys
+
+sys.path.insert(0, "/root/repo")
+
 from snacktory_spark.dates import (clean_date, extract_date_using_regex,
                                    format_date_utc, parse_date)
 
@@ -90,3 +94,53 @@ def test_extract_date_using_regex():
     d = extract_date_using_regex("posted Jul 20, 2016 by author")
     assert format_date_utc(d) == "2016-07-20 00:00:00"
     assert extract_date_using_regex("no dates here") is None
+
+
+def test_literal_prefilter_never_changes_results():
+    """The r8 required-literal prefilter is a pure necessary-condition
+    skip: parse_with_patterns must return the SAME result with the
+    filter disabled, for date-shaped strings, mutations, and junk."""
+    import random
+
+    from hypothesis import given, settings, strategies as st
+
+    from snacktory_spark import dates as D
+
+    def parse_unfiltered(s):
+        saved = D._COMPILED_LITS
+        D._COMPILED_LITS = [()] * len(D._COMPILED)
+        try:
+            return D.parse_with_patterns(s)
+        finally:
+            D._COMPILED_LITS = saved
+
+    # seed corpus: real renderings of many ladder patterns + mutations
+    rnd = random.Random(42)
+    seeds = [
+        "2016-07-20 11:30:00", "2016/07/20", "20.07.2016", "07/20/2016",
+        "July 12, 2016  6:31am", "12 July 2016", "Jul 20, 2016",
+        "Wed, 20 Jul 2016 11:30:00 GMT", "2016-07-20T11:30:00Z",
+        "2016-07-20T11:30:00+02:00", "20160720113000", "2016-07-20",
+        "11:30 20.07.2016", "am 20.07.2016", "July 2016", "2016",
+        "20 juillet 2016", "noon", "yesterday", "", "   ",
+    ]
+    cases = list(seeds)
+    for s in seeds:
+        if not s.strip():
+            continue
+        chars = list(s)
+        i = rnd.randrange(len(chars))
+        chars[i] = rnd.choice(" -/:.TZ+aJ0")
+        cases.append("".join(chars))
+        cases.append(s[: rnd.randrange(len(s))])
+    for s in cases:
+        assert D.parse_with_patterns(s) == parse_unfiltered(s), s
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(
+        alphabet=" 0123456789-/:.TZ+,JanFebMrAyulgSOctNovDecMonTuesWdhi",
+        max_size=30))
+    def fuzz(s):
+        assert D.parse_with_patterns(s) == parse_unfiltered(s), s
+
+    fuzz()
