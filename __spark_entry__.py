@@ -1401,15 +1401,24 @@ def q_doc_cross_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _win_at(k):
-    """(0-based pos, k-token window) struct at position i, as a HOF
-    lambda. Closure factory per the _gram_at note; the lambda body slices
-    a real COLUMN ("toks"), never an inline expression — see _zip_grams'
-    O(n²) alias-substitution warning."""
+    """(0-based pos, xxhash64-of-k-token-window) struct at position i,
+    as a HOF lambda. The gram STRING exists only inside this expression
+    — what leaves the projection (and therefore what transits the
+    explode, the occurrence hash-agg, and the duplicate-position
+    equi-join) is the 8-byte hash (VERDICT r8 #2: at production W≈50
+    BPE tokens a string gram is ~250 bytes, making that join the
+    pipeline's largest shuffle at 100 TB; the hash cuts it ~30×). A
+    64-bit collision merges two grams' occurrence counts — at 10^12
+    windows P(any collision affecting a unique window) is ~1e-7-grade;
+    Lee et al. 2022 likewise dedups on hashes. Closure factory per the
+    _gram_at note; the lambda body slices a real COLUMN ("toks"), never
+    an inline expression — see _zip_grams' O(n²) alias-substitution
+    warning."""
     from pyspark.sql import functions as F
 
     def g(i):
         return F.struct(i.alias("pos"),
-                        F.concat_ws(" ", F.slice("toks", i + 1, k))
+                        F.xxhash64(F.concat_ws(" ", F.slice("toks", i + 1, k)))
                          .alias("gram"))
     return g
 
@@ -1451,25 +1460,42 @@ def q_doc_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents are small); production uses ~50 BPE tokens — a knob, not a
     shape change.
 
-    Scale shape: window enumeration is a narrow map; occurrence counting
-    is one partial+final hash agg on gram; duplicate positions come from a
-    shuffle equi-join on gram (corpus-proportional sides are never
-    broadcast); span merging is the lag/cumsum islands window partitioned
+    Scale shape: window enumeration is a narrow map that emits the
+    xxhash64 of each gram, NOT the gram string (8-byte fixed keys: the
+    string never transits a shuffle — r9, VERDICT r8 #2); occurrence
+    counting is one partial+final hash agg on that hash; duplicate
+    positions come from a shuffle equi-join on it (corpus-proportional
+    sides are never broadcast); span merging is the lag/cumsum islands
+    window partitioned
     by doc_id (the event_sessions shape — P concurrent sorts, no global
     ordering); the per-doc agg rides the same doc_id partitioning. Every
     shuffle key (gram, doc_id) is high-cardinality and unskewed — survives
     100× as-is."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
-    W = 5
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     tok_docs = (docs.filter(F.length("text") > 0)
                 .select("doc_id", toks.alias("toks")))
+    return exact_substr_spans(tok_docs, W=5)
+
+
+def exact_substr_spans(tok_docs: DataFrame, W: int = 50,
+                       hashed: bool = True) -> DataFrame:
+    """ExactSubstr span extraction over a pre-tokenized
+    (doc_id, toks:array<string>) frame — W is the window width in
+    TOKENS of whatever tokenizer produced `toks` (whitespace words in
+    the oracled demo, BPE-ish regex tokens at production settings, see
+    scripts/exact_substr_bench.py). hashed=False keeps the raw gram
+    string as the shuffle key (the pre-r9 shape) — retained ONLY for
+    the shuffle-bytes A/B; production always hashes."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    win = _win_at(W) if hashed else _win_at_str(W)
+    gram_t = "bigint" if hashed else "string"
     wins = F.when(
         F.size("toks") >= W,
-        F.transform(F.sequence(F.lit(0), F.size("toks") - W), _win_at(W))
-    ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+        F.transform(F.sequence(F.lit(0), F.size("toks") - W), win)
+    ).otherwise(F.array().cast(f"array<struct<pos:int,gram:{gram_t}>>"))
     pos_df = (tok_docs.select("doc_id", F.explode(wins).alias("w"))
               .select("doc_id", F.col("w.pos").alias("pos"),
                       F.col("w.gram").alias("gram")))
@@ -1513,6 +1539,19 @@ def q_doc_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit("")).alias("dup_spans"),
                     F.array_join(F.transform(kept, _tok_at_pos), " ")
                      .alias("cut_text")))
+
+
+def _win_at_str(k):
+    """String-gram twin of _win_at (the pre-r9 shuffle key) — kept only
+    so scripts/exact_substr_bench.py can measure the shuffle-byte cost
+    the hashed key removes."""
+    from pyspark.sql import functions as F
+
+    def g(i):
+        return F.struct(i.alias("pos"),
+                        F.concat_ws(" ", F.slice("toks", i + 1, k))
+                         .alias("gram"))
+    return g
 
 
 def _conf_true(spark, key):

@@ -189,7 +189,16 @@ class Element:
         self.attrs[key] = value
 
     def remove_attr(self, key: str) -> None:
-        if self.attrs.pop(key.lower(), None) is not None:
+        key = key.lower()
+        if self.attrs.pop(key, None) is None:
+            return
+        # mirror set_attr (ADVICE r8): scratchpad attrs must not discard
+        # the index/text caches, but ARE counted for pristine checks
+        if key in _INTERNAL_ATTRS:
+            d = self._doc
+            if d is not None:
+                d.internal_writes += 1
+        else:
             self._bump()
 
     def id(self) -> str:

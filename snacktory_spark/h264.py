@@ -66,9 +66,16 @@ _LEVEL_MAX_FS = (
 
 
 def _level_for(mb_w: int, mb_h: int) -> int:
-    """Smallest level_idc whose Table A-1 frame-size and per-dimension
-    limits admit an (mb_w x mb_h) picture; ImageError when even level 6
-    cannot (the conformant encoder refuses rather than misdeclare)."""
+    """Smallest level_idc whose Table A-1 frame-size (MaxFS) and
+    per-dimension (sqrt(8*MaxFS)) limits admit an (mb_w x mb_h)
+    picture; ImageError when even level 6 cannot — for these SPATIAL
+    limits the encoder refuses rather than misdeclare. Scope (ADVICE
+    r8): Table A-1's rate-dependent bounds (MaxMBPS, MaxBR/MaxCPB) are
+    NOT factored in — the bitstream carries no VUI timing_info, so no
+    frame rate is declared and the ~3072-bit/MB I_PCM payload of a
+    multi-frame stream can exceed the chosen level's bitrate bound
+    under a decoder-assumed frame rate; callers needing rate
+    conformance must pick the level from their own timing."""
     fs = mb_w * mb_h
     for level_idc, max_fs in _LEVEL_MAX_FS:
         dim_cap = int((8 * max_fs) ** 0.5)

@@ -275,20 +275,31 @@ def _certified_snapshots(listdir, exists) -> list[int]:
 
 def _write_snapshot(spark: SparkSession, index_path: str,
                     files_df: DataFrame, cdx_df: DataFrame) -> DataFrame:
+    """Write and certify snap=N, then prune all snapshot dirs EXCEPT the
+    new one and the latest previously-certified snapshot (N-1 retention,
+    ADVICE r8): a reader still holding a DataFrame over the prior
+    snapshot survives one refresh generation — its parquet files vanish
+    only when a SECOND refresh lands. Single concurrent writer remains
+    the contract; readers spanning 2+ refreshes must re-resolve via
+    read_warc_index."""
     listdir, exists, delete = _snap_io(spark, index_path)
     prior = set()
     for d in listdir():
         m = _SNAP_RE.match(d)
         if m:
             prior.add(int(m.group(1)))
-    n = max(_certified_snapshots(listdir, exists), default=-1) + 1
+    certified = _certified_snapshots(listdir, exists)
+    n = max(certified, default=-1) + 1
     while n in prior:  # skip uncertified debris at the target number
         n += 1
     base = f"{index_path.rstrip('/')}/snap={n}"
     cdx_df.write.mode("overwrite").parquet(base + "/cdx")
     files_df.write.mode("overwrite").parquet(base + "/files")
-    for name in listdir():  # prune everything but the new snapshot
-        if _SNAP_RE.match(name) and name != f"snap={n}":
+    keep = {f"snap={n}"}
+    if certified:
+        keep.add(f"snap={certified[-1]}")
+    for name in listdir():  # prune all but the new + latest-prior snaps
+        if _SNAP_RE.match(name) and name not in keep:
             delete(name)
     return spark.read.parquet(base + "/cdx")
 

@@ -307,7 +307,11 @@ def ivf_probe_cells(qvec: list[float], centroids: list[list[float]],
 
 def ivf_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """IVF-style coarse quantization: assign each vector to its nearest
-    centroid (the scale path for ANN — probe only matching cells)."""
+    centroid (the scale path for ANN — probe only matching cells).
+
+    Output contract (since r8): a NULL embedding yields NULL cell/dist
+    rather than silently landing in cell 0 — null vectors surface as a
+    null group downstream instead of hiding inside a real cluster."""
     best_idx, best_d = _nearest_cell("embedding", centroids)
     return emb.select("vec_id", best_idx.alias("cell"),
                       F.round(F.sqrt(best_d), 4).alias("dist"))
@@ -563,7 +567,11 @@ def pq_codes(emb: DataFrame, books: list[list[list[float]]],
     cell_centroids the IVF coarse cell is computed in the SAME
     projection (a `cell` column) — the full IVF-PQ index row layout
     (cell + codes) that a billion-vector store materializes once and
-    partitions by cell, so a probed search prunes at the scan."""
+    partitions by cell, so a probed search prunes at the scan.
+
+    Output contract (since r8): a NULL embedding yields NULL
+    cell/code_<j>/pq_code columns (previously cell 0) — consumers that
+    partition by cell must treat the null group explicitly."""
     k = len(books[0])
     cols, packed = [], F.lit(0)
     if cell_centroids is not None:

@@ -728,14 +728,24 @@ def test_persisted_warc_index_reuse_and_partial_refresh(tmp_path):
     assert by_file["b.warc.gz"] == {f"http://B.test/{i}" for i in range(6)}
     # C gone
     assert "c.warc.gz" not in by_file
-    # old snapshot pruned, new one certified
-    assert sorted(os.listdir(idxp)) == ["snap=1"]
+    # new snapshot certified; the PRIOR one is retained for in-flight
+    # readers (N-1 retention, ADVICE r8) — only older ones are pruned
+    assert sorted(os.listdir(idxp)) == ["snap=0", "snap=1"]
+    # a reader that resolved before the refresh still scans cleanly
+    assert idx1.count() == n0
 
     # crash debris: an uncertified snapshot is invisible to readers and
     # the next refresh number skips over it
     os.makedirs(os.path.join(idxp, "snap=7"))
     assert read_warc_index(spark, idxp, validate=False).count() == \
         idx2.count()
+
+    # a second refresh prunes snap=0 (two generations back) AND the
+    # uncertified debris, keeping snap=1 as the new N-1
+    os.remove(corpus / "b.warc.gz")
+    idx3 = read_warc_index(spark, idxp, glob, validate=True)
+    assert idx3.filter(F.col("warc_type") == "response").count() == 4
+    assert sorted(os.listdir(idxp)) == ["snap=1", "snap=2"]
 
 
 def test_persisted_warc_index_hadoop_scheme(tmp_path):
@@ -770,4 +780,6 @@ def test_persisted_warc_index_hadoop_scheme(tmp_path):
     (corpus / "b.warc.gz").write_bytes(write_warc(
         [("http://h.test/1", b"<html>h1</html>")], gzip_members=True))
     assert read_warc_index(spark, idxp, glob).count() == n0 + 2
-    assert sorted(os.listdir(tmp_path / "cdx_index")) == ["snap=1"]
+    # N-1 retention applies through the hadoop branch's delete too
+    assert sorted(os.listdir(tmp_path / "cdx_index")) == ["snap=0",
+                                                          "snap=1"]
