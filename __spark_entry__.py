@@ -30,6 +30,18 @@ _REPO_ROOT = _os.path.dirname(_os.path.abspath(__file__))
 if _REPO_ROOT not in _sys.path:
     _sys.path.insert(0, _REPO_ROOT)
 
+# Shared corpus-prep machinery lives in the PACKAGE (r9: the production
+# job run_corpus_prep and the oracled queries must execute the same
+# code); the historical private names are kept as aliases so the 50
+# registered queries read unchanged.
+from snacktory_spark.pipeline.corpus_ops import (  # noqa: E402
+    conf_true as _conf_true,
+    corpus_gate_pred as _corpus_gate_pred,
+    pack_sequences as _pack_sequences,
+    seed_bench_grams as _seed_bench_grams,
+    zip_grams as _zip_grams,
+)
+
 SYNTH_ROOT = "/root/repo/data/synth"
 SF001_DIR = f"{SYNTH_ROOT}/sf0.001"
 SF01_DIR = f"{SYNTH_ROOT}/sf0.01"   # driver correctness runs at sf=0.01
@@ -1345,23 +1357,9 @@ def _gram_at(k):
     return g
 
 
-def _zip_grams(toks_expr, k, m):
-    """k-gram array as k shifted slices zip_with-ed together, O(k·n)
-    per row. The transform-over-sequence construction (_gram_at) is
-    O(n²) when the token source is an INLINE expression: catalyst's
-    filter pushdown substitutes column aliases into HOF lambda bodies,
-    so slice(split(text), i, k) re-runs the split once per element
-    (measured: 79s → 9s on corpus_prep at sf0.1). Here split(text)
-    appears only as the k slice arguments — evaluated k times per row,
-    never per element — and the lambda body touches lambda vars only.
-    `m` is the gram-count expression (n-k+1, clamped ≥0)."""
-    from pyspark.sql import functions as F
-
-    acc = F.slice(toks_expr, 1, m)
-    for j in range(2, k + 1):
-        acc = F.zip_with(acc, F.slice(toks_expr, j, m),
-                         lambda a, b: F.concat(a, F.lit(" "), b))
-    return acc
+# _zip_grams moved to snacktory_spark.pipeline.corpus_ops.zip_grams
+# (imported above): the O(k·n) zip_with construction vs the O(n²)
+# transform-over-sequence trap is documented there.
 
 
 def q_doc_cross_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1554,13 +1552,8 @@ def _win_at_str(k):
     return g
 
 
-def _conf_true(spark, key):
-    """True unless the session explicitly set `key` to false (both
-    exchange-reuse knobs are default-on)."""
-    try:
-        return spark.conf.get(key).lower() == "true"
-    except Exception:
-        return True
+# _conf_true moved to snacktory_spark.pipeline.corpus_ops.conf_true
+# (imported above).
 
 
 def _chunk_at(k):
@@ -1782,66 +1775,10 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n").cast("long").alias("n")))
 
 
-def _pack_sequences(spark, base, narrow, group_col: str, order_cols,
-                    seq_len: int) -> DataFrame:
-    """Fixed-length packing via the two-level exclusive prefix sum — the
-    ONE copy of the plan-shape-sensitive machinery shared by q_seq_pack
-    and q_corpus_prep stage 5 (review finding r8: the two hand-kept
-    copies had to stay in sync or a fix to one would silently miss the
-    other).
-
-    `base` carries (group_col, *order_cols, toks, n); `narrow` the same
-    minus toks. The prefix sum runs on `narrow` ONLY — column pruning
-    must produce byte-identical range-exchange subtrees in the totals
-    and cumsum branches so ReusedExchange pins them to one physical
-    shuffle (see q_seq_pack's docstring for the full why)."""
-    from pyspark.sql import Window, functions as F
-    order_cols = list(order_cols)
-    n_parts = max(spark.sparkContext.defaultParallelism, 2)
-    parts = (narrow.repartitionByRange(n_parts, group_col, *order_cols)
-             .withColumn("_pid", F.spark_partition_id()))
-    if not (_conf_true(spark, "spark.sql.exchange.reuse")
-            or _conf_true(spark, "spark.sql.adaptive.enabled")):
-        # unreachable under default configs (both knobs default-on). The
-        # cache is intentionally NOT unpersist()ed here — the query is
-        # lazy and the blocks must outlive this builder; a caller that
-        # disables BOTH knobs owns the unpersist after its action.
-        parts = parts.persist()
-    totals = parts.groupBy("_pid", group_col).agg(F.sum("n").alias("_tot"))
-    w_off = (Window.partitionBy(group_col).orderBy("_pid")
-             .rowsBetween(Window.unboundedPreceding, -1))
-    offsets = totals.select(
-        "_pid", group_col,
-        F.coalesce(F.sum("_tot").over(w_off), F.lit(0))
-        .cast("long").alias("_off"))
-    w_local = (Window.partitionBy("_pid", group_col).orderBy(*order_cols)
-               .rowsBetween(Window.unboundedPreceding, -1))
-    local_before = F.coalesce(F.sum("n").over(w_local), F.lit(0))
-    starts = (parts.withColumn("_lb", local_before)
-              .join(F.broadcast(offsets), ["_pid", group_col])
-              .select(*order_cols, (F.col("_off") + F.col("_lb"))
-                      .cast("long").alias("gstart")))
-    g = base.join(starts, order_cols)
-    s0 = F.floor(F.col("gstart") / seq_len)
-    s1 = F.floor((F.col("gstart") + F.col("n") - 1) / seq_len)
-    spans = (g.select(group_col, "toks", "n", "gstart",
-                      F.explode(F.sequence(s0, s1)).alias("seq_idx"))
-             .withColumn("lo", F.greatest(F.col("gstart"),
-                                          F.col("seq_idx") * seq_len))
-             .withColumn("hi", F.least(F.col("gstart") + F.col("n") - 1,
-                                       F.col("seq_idx") * seq_len
-                                       + (seq_len - 1))))
-    at = (lambda pos: F.element_at(
-        "toks", (pos - F.col("gstart") + 1).cast("int")))
-    spans = spans.select(
-        group_col, F.col("seq_idx").cast("long").alias("seq_idx"),
-        (F.col("hi") - F.col("lo") + 1).alias("cnt"),
-        F.col("lo").alias("lo_gpos"), at(F.col("lo")).alias("lo_tok"),
-        F.col("hi").alias("hi_gpos"), at(F.col("hi")).alias("hi_tok"))
-    return (spans.groupBy(group_col, "seq_idx")
-            .agg(F.sum("cnt").cast("long").alias("n_tokens"),
-                 F.min_by("lo_tok", "lo_gpos").alias("first_tok"),
-                 F.max_by("hi_tok", "hi_gpos").alias("last_tok")))
+# _pack_sequences moved to snacktory_spark.pipeline.corpus_ops
+# .pack_sequences (imported above): the two-level exclusive prefix sum
+# shared by q_seq_pack, q_corpus_prep stage 5, and run_corpus_prep —
+# the narrow-projection / ReusedExchange contract is documented there.
 
 
 def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1932,20 +1869,10 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = read_transcripts(spark, f"{sdir}/transcripts.parquet")
 
     # stage 4's bench set: extract ONLY turn 0 of the 3 smallest
-    # conv_ids (filters hit the parquet scan before the UDF stage)
-    ids = [r[0] for r in (tr.filter(F.col("turn_idx") == 0)
-                          .select("conv_id").distinct()
-                          .orderBy("conv_id").limit(3).collect())]
-    btoks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    bench_rows = (extracted_df(
-        tr.filter((F.col("turn_idx") == 0) & F.col("conv_id").isin(ids)),
-        partitions=1)  # 3 rows — don't spin up 2×CPUs UDF tasks
-        .filter(F.col("extract_ok") & (F.length("text") > 0))
-        .select(F.when(F.size(btoks) >= 8,
-                       F.concat_ws(" ", F.slice(btoks, 1, 8)))
-                .alias("gram"))
-        .filter(F.col("gram").isNotNull()).collect())
-    bench_grams = sorted({r["gram"] for r in bench_rows})
+    # conv_ids (filters hit the parquet scan before the UDF stage) —
+    # the shared seed builder, also used by run_corpus_prep's equality
+    # tests so query and job decontaminate against identical grams
+    bench_grams = _seed_bench_grams(tr)
 
     # stages 1-4 are built as EXPRESSIONS over (role, conv_id, turn_idx,
     # text) — no intermediate toks/n columns survive past any exchange.
@@ -1961,35 +1888,15 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange (narrow per-row work over already-shuffled rows). A test
     # asserts the executed plan contains the ReusedExchange.
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    stop = F.array(*[F.lit(w) for w in
-                     ("the", "of", "and", "to", "a", "in", "is", "it",
-                      "that", "for")])
-
-    def gate_pred(t):
-        # t is a bound lambda variable carrying the token array — every
-        # reference is a cheap variable read, vs ~8 re-evaluations of
-        # split(text) per row when the same predicate is written over
-        # the inline expression (catalyst inlines column aliases into
-        # filters, and measured at sf0.1 that costs ~160µs/row)
-        n = F.size(t).cast("long")
-        sw = F.round(
-            F.size(F.filter(t, lambda x: F.array_contains(stop, x)))
-            / n, 4)
-        bigrams = _zip_grams(t, 2, F.greatest(n - 1, F.lit(0)).cast("int"))
-        dupf = F.when(
-            n >= 2,
-            F.round(1.0 - F.size(F.array_distinct(bigrams))
-                    / (n - 1), 4)).otherwise(F.lit(0.0))
-        return (n >= 30) & (sw >= 0.01) & (dupf <= 0.1)
 
     # stage 1 (extraction survivors) + stage 2 (quality gate: token
-    # count, stopword ratio, bigram repetition — narrow JVM HOFs; the
-    # forall(array(·)) wrapper is a let-binding so the tokenization
-    # runs ONCE per row)
+    # count, stopword ratio, bigram repetition — narrow JVM HOFs via
+    # the shared corpus_ops.corpus_gate_pred; the forall(array(·))
+    # wrapper is a let-binding so the tokenization runs ONCE per row)
     gated = (extracted_df(tr)
              .filter(F.col("extract_ok") & (F.length("text") > 0))
              .select("role", "conv_id", "turn_idx", "text")
-             .filter(F.forall(F.array(toks), gate_pred)))
+             .filter(F.forall(F.array(toks), _corpus_gate_pred())))
 
     # stage 3: exact dedup — keep the smallest (conv_id, turn_idx) per
     # content hash; one hash-partitioned exchange on a uniform key

@@ -1,12 +1,18 @@
 """Local replica of the driver's correctness gate: run each queries() entry
 on Spark at sf0.01, run oracle_sql() in DuckDB (tables pre-registered as
-views), compare row-count + schema-insensitive sorted value hash."""
+views), compare row-count + schema-insensitive sorted value hash.
+
+Per-query wall times are printed inline (spark=…s duck=…s) plus a sorted
+top-10 summary at the end (VERDICT r8 #6): the gate is ~7 min and grows
+with every composite — the summary keeps its budget honest and flags any
+oracle that quietly goes quadratic."""
 
 from __future__ import annotations
 
 import hashlib
 import math
 import sys
+import time
 
 sys.path.insert(0, "/root/repo")
 
@@ -63,8 +69,10 @@ def main():
     oracles = entrymod.oracle_sql()
     only = sys.argv[1:] or list(qs)
     failures = 0
+    timings: list[tuple[float, float, str]] = []
     for name in only:
         fn = qs[name]
+        t0 = time.monotonic()
         try:
             df = fn(spark, SF_DIR)
             spark_cols = df.columns
@@ -73,9 +81,13 @@ def main():
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
             failures += 1
             continue
+        t_spark = time.monotonic() - t0
         if name not in oracles:
-            print(f"ROWS-ONLY {name}: {len(spark_rows)} rows")
+            timings.append((t_spark, 0.0, name))
+            print(f"ROWS-ONLY {name}: {len(spark_rows)} rows "
+                  f"[spark={t_spark:.1f}s]")
             continue
+        t0 = time.monotonic()
         try:
             rel = con.sql(oracles[name])
             duck_cols = rel.columns
@@ -84,6 +96,8 @@ def main():
             print(f"FAIL {name}: duckdb error {type(e).__name__}: {e}")
             failures += 1
             continue
+        t_duck = time.monotonic() - t0
+        timings.append((t_spark, t_duck, name))
         ok_count = len(spark_rows) == len(duck_rows)
         ok_schema = sorted(spark_cols) == sorted(duck_cols)
         sh = table_hash(spark_rows, spark_cols)
@@ -93,7 +107,9 @@ def main():
         if status == "FAIL":
             failures += 1
         print(f"{status} {name}: rows {len(spark_rows)}/{len(duck_rows)} "
-              f"schema={'ok' if ok_schema else sorted(spark_cols)} hash={'ok' if ok_hash else 'MISMATCH'}")
+              f"schema={'ok' if ok_schema else sorted(spark_cols)} "
+              f"hash={'ok' if ok_hash else 'MISMATCH'} "
+              f"[spark={t_spark:.1f}s duck={t_duck:.1f}s]")
         if not ok_hash and ok_count and ok_schema:
             # show first differing line for debugging
             order_s = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
@@ -105,6 +121,15 @@ def main():
                     print(f"    spark: {a[:200]}")
                     print(f"    duck : {b[:200]}")
                     break
+    if timings:
+        total_s = sum(t[0] for t in timings)
+        total_d = sum(t[1] for t in timings)
+        print(f"\ngate wall time: spark={total_s:.1f}s duck={total_d:.1f}s "
+              f"over {len(timings)} queries; slowest (spark+duck):")
+        for ts, td, name in sorted(timings,
+                                   key=lambda t: t[0] + t[1],
+                                   reverse=True)[:10]:
+            print(f"  {ts + td:6.1f}s  {name} (spark={ts:.1f} duck={td:.1f})")
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     sys.exit(1 if failures else 0)
 

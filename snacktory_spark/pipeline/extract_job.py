@@ -162,7 +162,11 @@ class _ManifestIO:
 
     def write_atomic(self, rec: dict) -> None:
         """tmp+rename so a kill mid-write never leaves a corrupt manifest."""
-        name = f"bucket-{rec['bucket']:05d}.json"
+        self.write_named(f"bucket-{rec['bucket']:05d}.json", rec)
+
+    def write_named(self, name: str, rec: dict) -> None:
+        """Atomic write of an arbitrary named manifest record (used by
+        corpus_prep_job for its chain-level record)."""
         if self.hadoop:
             dest = self._jPath(self.mdir + "/" + name)
             tmp = self._jPath(self.mdir + "/" + name + ".tmp")
@@ -180,6 +184,36 @@ class _ManifestIO:
             with open(tmp, "w") as f:
                 json.dump(rec, f)
             os.replace(tmp, path)
+
+    def read_named(self, name: str) -> dict | None:
+        """Read one named manifest record; None when missing or torn."""
+        if self.hadoop:
+            p = self._jPath(self.mdir + "/" + name)
+            if not self._fs.exists(p):
+                return None
+            stream = self._fs.open(p)
+            try:
+                raw = bytes(stream.readAllBytes())
+            finally:
+                stream.close()
+            try:
+                return json.loads(raw)
+            except json.JSONDecodeError:
+                return None
+        path = os.path.join(self.mdir, name)
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return None
+
+    def out_exists(self, rel: str) -> bool:
+        """Existence check for a path under output_path (e.g. the packed
+        sink's _SUCCESS marker), following the same filesystem scheme."""
+        full = self.out + "/" + rel
+        if self.hadoop:
+            return bool(self._fs.exists(self._jPath(full)))
+        return os.path.exists(full)
 
     def iter_records(self):
         if self.hadoop:
