@@ -765,7 +765,10 @@ _FAST_MARKUP = re.compile(r"""
     )
 """, re.VERBOSE | re.DOTALL)
 
-_LT_OK = re.compile(r"[a-zA-Z!/?]")
+# dedicated end-tag matcher (r9): end tags are ~half of all markup and
+# previously paid _FAST_MARKUP's four-way alternation each time; same
+# tolerant shape as its endtag branch
+_FAST_ENDTAG = re.compile(r"</([a-zA-Z][^\s>]*)\s*[^>]*>")
 _MARKED_NAME = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*|")
 _MARKED_CLOSE = re.compile(r"\]\s*>")
 _MARKED_CLOSE2 = re.compile(r"\]\s*\]\s*>")
@@ -795,25 +798,26 @@ def _cdata_close_re(tag: str):
     around the name, nothing else). `</scripty>` or `</script foo>` never
     match — they stay data; `</ script>` / `</script >` do match. Matching
     a bare '</tag' prefix here (the old fast path) leaked early-closed
-    script bodies into article text and dropped `</ script>` tails."""
+    script bodies into article text and dropped `</ script>` tails.
+    IGNORECASE (r9) replaces the former whole-document lower() copy —
+    searching the raw html for a case-folded pattern is the same match
+    set without the O(n) string allocation per script/style document."""
     r = _CDATA_CLOSE_RE.get(tag)
     if r is None:
-        r = _CDATA_CLOSE_RE[tag] = re.compile(r"</\s*%s\s*>" % re.escape(tag))
+        r = _CDATA_CLOSE_RE[tag] = re.compile(
+            r"</\s*%s\s*>" % re.escape(tag), re.IGNORECASE)
     return r
 
 
 def _fast_feed(tb: _TreeBuilder, html: str) -> None:
     pos = 0
     n = len(html)
-    low = None
-    cdata_close = None  # compiled close-tag regex (searched on lowered html)
+    cdata_close = None  # compiled IGNORECASE close-tag regex
     cdata_tag = None
     while pos < n:
         if cdata_tag is not None:
             # rawtext content: everything until the matching close tag
-            if low is None:
-                low = html.lower()
-            m = cdata_close.search(low, pos)
+            m = cdata_close.search(html, pos)
             if m is None:
                 # unterminated rawtext: html.parser discards the tail
                 # (goahead breaks waiting for data that never comes) — and
@@ -836,39 +840,26 @@ def _fast_feed(tb: _TreeBuilder, html: str) -> None:
             seg = html[pos:lt]
             tb.handle_data(_unescape(seg) if "&" in seg else seg)
         nxt = html[lt + 1] if lt + 1 < n else ""
-        if not nxt or not _LT_OK.match(nxt):
-            tb.handle_data("<")
-            pos = lt + 1
-            continue
-        if html.startswith("<!--", lt):
-            # comments never fall through to the declaration branch
-            close = html.find("-->", lt + 4)
-            if close >= 0:
-                pos = close + 3
-            else:
-                pos = _bogus_markup_data(tb, html, lt)
-            continue
-        if html.startswith("<![", lt):
-            # SGML marked section (html.parser parse_marked_section):
-            # if/else/endif close on ']>', cdata-style on ']]>'; content is
-            # swallowed (unknown_decl is ignored); unterminated → bogus data
-            name = _MARKED_NAME.match(html, lt + 3).group(0).strip().lower()
-            closer = (_MARKED_CLOSE if name in ("if", "else", "endif")
-                      else _MARKED_CLOSE2 if name in ("temp", "cdata",
-                                                      "ignore", "include",
-                                                      "rcdata")
-                      else None)
-            m = closer.search(html, lt + 3) if closer else None
-            if m is not None:
-                pos = m.end()
-            else:
-                pos = _bogus_markup_data(tb, html, lt)
-            continue
-
+        # dispatch by frequency (r9): start tags first, then end tags,
+        # then the rare '!'/'?' markup — the old order ran two
+        # startswith() probes and a regex char-class on EVERY tag
         if nxt.isalpha():
-            # start tag, via the stdlib's own tolerant regexes (absolute
-            # positions keep attrfind's lookbehind semantics intact)
+            # start tag. No-attribute fast path first: '<tag>' (tagfind
+            # also eats trailing whitespace/lone slashes, so '<tag >'
+            # lands here too) — one regex, no attr scan, exactly the
+            # event the tolerant slow path would emit
             tm = _tagfind.match(html, lt + 1)
+            k = tm.end()
+            if k < n and html[k] == ">":
+                tag = tm.group(1).lower()
+                pos = k + 1
+                tb.handle_starttag(tag, [])
+                if tag in _TreeBuilder.CDATA_CONTENT_ELEMENTS:
+                    cdata_tag = tag
+                    cdata_close = _cdata_close_re(tag)
+                continue
+            # attributes present: the stdlib's own tolerant regexes
+            # (absolute positions keep attrfind's lookbehind semantics)
             sm = _locatestart.match(html, lt)
             j = sm.end()
             ch = html[j] if j < n else ""
@@ -921,24 +912,64 @@ def _fast_feed(tb: _TreeBuilder, html: str) -> None:
                     cdata_close = _cdata_close_re(tag)
             continue
 
-        if nxt == "/" and not html[lt + 2:lt + 3].isalpha():
-            # '</' + non-name = bogus comment: silently skip to '>'
-            gt = html.find(">", lt + 1)
-            if gt >= 0:
-                pos = gt + 1
+        if nxt == "/":
+            if html[lt + 2:lt + 3].isalpha():
+                m = _FAST_ENDTAG.match(html, lt)
+                if m is None:
+                    # unterminated end tag: html.parser close() path
+                    pos = _bogus_markup_data(tb, html, lt)
+                else:
+                    pos = m.end()
+                    tb.handle_endtag(m.group(1).lower())
             else:
+                # '</' + non-name = bogus comment: silently skip to '>'
+                gt = html.find(">", lt + 1)
+                if gt >= 0:
+                    pos = gt + 1
+                else:
+                    pos = _bogus_markup_data(tb, html, lt)
+            continue
+
+        if nxt == "!" or nxt == "?":
+            if html.startswith("<!--", lt):
+                # comments never fall through to the declaration branch
+                close = html.find("-->", lt + 4)
+                if close >= 0:
+                    pos = close + 3
+                else:
+                    pos = _bogus_markup_data(tb, html, lt)
+                continue
+            if html.startswith("<![", lt):
+                # SGML marked section (html.parser parse_marked_section):
+                # if/else/endif close on ']>', cdata-style on ']]>';
+                # content is swallowed (unknown_decl is ignored);
+                # unterminated → bogus data
+                name = _MARKED_NAME.match(html, lt + 3).group(0) \
+                    .strip().lower()
+                closer = (_MARKED_CLOSE if name in ("if", "else", "endif")
+                          else _MARKED_CLOSE2 if name in ("temp", "cdata",
+                                                          "ignore",
+                                                          "include",
+                                                          "rcdata")
+                          else None)
+                m = closer.search(html, lt + 3) if closer else None
+                if m is not None:
+                    pos = m.end()
+                else:
+                    pos = _bogus_markup_data(tb, html, lt)
+                continue
+            m = _FAST_MARKUP.match(html, lt)
+            if m is None:
+                # unterminated decl/pi: html.parser close() path
                 pos = _bogus_markup_data(tb, html, lt)
+            else:
+                # declarations / PIs are ignored by the builder
+                pos = m.end()
             continue
-        m = _FAST_MARKUP.match(html, lt)
-        if m is None:
-            # unterminated comment/decl/pi/endtag: html.parser close() path
-            pos = _bogus_markup_data(tb, html, lt)
-            continue
-        pos = m.end()
-        end = m.group("endtag")
-        if end is not None:
-            tb.handle_endtag(end.lower())
-        # comments / declarations / PIs are ignored by the builder
+
+        # '<' followed by anything else is literal text
+        tb.handle_data("<")
+        pos = lt + 1
 
 
 FAST_PARSE = True
