@@ -39,6 +39,7 @@ from snacktory_spark.pipeline.corpus_ops import (  # noqa: E402
     corpus_gate_pred as _corpus_gate_pred,
     pack_sequences as _pack_sequences,
     seed_bench_grams as _seed_bench_grams,
+    tokens_expr as _tokens_expr,
     zip_grams as _zip_grams,
 )
 
@@ -1887,7 +1888,11 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # produce the same subtree; toks/n are recomputed ABOVE the reused
     # exchange (narrow per-row work over already-shuffled rows). A test
     # asserts the executed plan contains the ReusedExchange.
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    # The SHARED tokenizer expression (corpus_ops.tokens_expr): every
+    # stage of the chain — and the production job — must tokenize
+    # identically or survivors drift between stages (r9 review finding:
+    # this line was the one remaining inline copy).
+    toks = _tokens_expr()
 
     # stage 1 (extraction survivors) + stage 2 (quality gate: token
     # count, stopword ratio, bigram repetition — narrow JVM HOFs via

@@ -804,8 +804,13 @@ def _cdata_close_re(tag: str):
     set without the O(n) string allocation per script/style document."""
     r = _CDATA_CLOSE_RE.get(tag)
     if r is None:
-        r = _CDATA_CLOSE_RE[tag] = re.compile(
-            r"</\s*%s\s*>" % re.escape(tag), re.IGNORECASE)
+        # ASCII-only case folding via explicit [cC] classes, NOT
+        # re.IGNORECASE: Unicode folding would let U+017F (ſ) close
+        # '<script>' where both the stdlib parser and the former
+        # lower()-based search stay in rawtext (r9 review finding); \s
+        # stays Unicode exactly like the former pattern
+        folded = "".join("[%s%s]" % (c, c.upper()) for c in tag)
+        r = _CDATA_CLOSE_RE[tag] = re.compile(r"</\s*%s\s*>" % folded)
     return r
 
 
@@ -842,8 +847,12 @@ def _fast_feed(tb: _TreeBuilder, html: str) -> None:
         nxt = html[lt + 1] if lt + 1 < n else ""
         # dispatch by frequency (r9): start tags first, then end tags,
         # then the rare '!'/'?' markup — the old order ran two
-        # startswith() probes and a regex char-class on EVERY tag
-        if nxt.isalpha():
+        # startswith() probes and a regex char-class on EVERY tag.
+        # ASCII letter tests only (NOT str.isalpha): html.parser's
+        # starttagopen/endtagopen are ASCII, so '<é' is literal text —
+        # a Unicode isalpha here sent such docs into a tagfind miss and
+        # the silent double-parse fallback (r9 review finding)
+        if "a" <= nxt <= "z" or "A" <= nxt <= "Z":
             # start tag. No-attribute fast path first: '<tag>' (tagfind
             # also eats trailing whitespace/lone slashes, so '<tag >'
             # lands here too) — one regex, no attr scan, exactly the
@@ -913,7 +922,8 @@ def _fast_feed(tb: _TreeBuilder, html: str) -> None:
             continue
 
         if nxt == "/":
-            if html[lt + 2:lt + 3].isalpha():
+            c2 = html[lt + 2:lt + 3]
+            if "a" <= c2 <= "z" or "A" <= c2 <= "Z":
                 m = _FAST_ENDTAG.match(html, lt)
                 if m is None:
                     # unterminated end tag: html.parser close() path

@@ -34,11 +34,14 @@ first — a killed job resumes from the last committed level):
     <out>/packed/      fixed-length sequence stats (stage 5), certified
                        by _SUCCESS + _manifest/chain.json
 
-A record is reused only when its stamped config (input, bucket count,
-gate thresholds, seq_len, benchmark table path + content fingerprint)
-matches the requested run AND its _SUCCESS marker exists AND no earlier
-stage re-ran; anything else recomputes forward from the last valid
-level. All manifest I/O follows the output path's filesystem scheme
+A record is reused only when its stamped config matches the requested
+run AND its _SUCCESS marker exists AND no earlier stage re-ran;
+anything else recomputes forward from the last valid level. The
+survivors record is stamped with only the keys its contents depend on
+(input, bucket count, gate thresholds, benchmark table path + content
+fingerprint), the packed record with the full config — so changing the
+pack-only seq_len re-runs packing alone, never the expensive stages
+2-4. All manifest I/O follows the output path's filesystem scheme
 (local or Hadoop), so resume state lands next to the data on clusters.
 
 Stage shapes (the 100-TB audit):
@@ -70,6 +73,7 @@ from __future__ import annotations
 
 import json
 
+from pyspark.errors.exceptions.captured import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.types import IntegerType, StructField, StructType
 
@@ -136,13 +140,19 @@ def run_corpus_prep(spark: SparkSession, input_path: str, output_path: str,
         bench = (spark.read.parquet(bench_grams_path)
                  .select("gram").filter(F.col("gram").isNotNull())
                  .distinct())
-    config = {"input_path": input_path, "n_buckets": n_buckets,
-              "seq_len": seq_len, "bench_grams_path": bench_grams_path,
-              "bench_fingerprint": _bench_fingerprint(bench),
-              "gram_width": gram_width, "dedup_texts": dedup_texts,
-              "min_tokens": min_tokens,
-              "min_stopword_ratio": min_stopword_ratio,
-              "max_bigram_dup": max_bigram_dup}
+    # Two stamps (r9 review finding): seq_len is a PACK-only knob — a
+    # packing change must not invalidate the much more expensive
+    # gate/dedup/decontaminate level, so the survivors record is
+    # stamped with only the keys its contents depend on and the packed
+    # record with the full config.
+    surv_config = {"input_path": input_path, "n_buckets": n_buckets,
+                   "bench_grams_path": bench_grams_path,
+                   "bench_fingerprint": _bench_fingerprint(bench),
+                   "gram_width": gram_width, "dedup_texts": dedup_texts,
+                   "min_tokens": min_tokens,
+                   "min_stopword_ratio": min_stopword_ratio,
+                   "max_bigram_dup": max_bigram_dup}
+    config = dict(surv_config, seq_len=seq_len)
 
     mio = _ManifestIO(spark, out)
     metrics: dict = {"extract": ex}
@@ -150,10 +160,10 @@ def run_corpus_prep(spark: SparkSession, input_path: str, output_path: str,
     # ---- stages 2-4: gate + dedup election + decontamination flags ----
     srec = mio.read_named("survivors.json") if resume else None
     survivors_valid = (bool(ex.get("skipped")) and srec is not None
-                       and srec.get("config") == config
+                       and srec.get("config") == surv_config
                        and mio.out_exists("survivors/_SUCCESS"))
     if not survivors_valid:
-        flagged = _survivor_flags(spark, out, bench, config)
+        flagged = _survivor_flags(spark, out, bench, surv_config)
         (flagged.write.mode("overwrite").parquet(out + "/survivors"))
         stats = (spark.read.parquet(out + "/survivors")
                  .agg(F.count("*").alias("gate_rows"),
@@ -162,7 +172,7 @@ def run_corpus_prep(spark: SparkSession, input_path: str, output_path: str,
                       F.sum((F.col("is_keeper")
                              & ~F.col("contaminated")).cast("long"))
                       .alias("clean_rows")).collect()[0])
-        srec = {"config": config,
+        srec = {"config": surv_config,
                 "metrics": {"gate_rows": int(stats["gate_rows"]),
                             "dedup_rows": int(stats["dedup_rows"] or 0),
                             "clean_rows": int(stats["clean_rows"] or 0)}}
@@ -220,8 +230,15 @@ def _survivor_flags(spark: SparkSession, out: str, bench: DataFrame | None,
     try:
         extracted = (spark.read.schema(_extracted_schema())
                      .parquet(out + "/extracted"))
-    except Exception:
-        # an all-empty input writes manifests but no data files
+    except AnalysisException as e:
+        # ONLY the documented all-empty-input case (manifests written,
+        # no data files → no directory) may substitute an empty frame;
+        # any other read failure (corrupt files, transient FS errors)
+        # must FAIL the job — swallowing it would certify empty
+        # survivors/packed sinks that every resume then skips forward
+        # (r9 review finding)
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
         extracted = spark.createDataFrame([], _extracted_schema())
 
     toks = tokens_expr()

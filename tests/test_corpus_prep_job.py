@@ -125,26 +125,31 @@ def test_config_and_bench_content_invalidate_resume(spark, synth_dir,
     m1 = run_corpus_prep(spark, src, out, n_buckets=4,
                          bench_grams_path=bench_path)
 
-    # a changed seq_len must re-run stages 2-5, not silently skip
+    # a changed seq_len must re-run PACKING but not the expensive
+    # survivors level (pack-only knob, split config stamps)
     m2 = run_corpus_prep(spark, src, out, n_buckets=4, seq_len=64,
                          bench_grams_path=bench_path)
     assert m2.get("skipped") is None
     assert m2.get("packed_written")
+    assert "survivors_written" not in m2
     assert m2["n_sequences"] > m1["n_sequences"]  # shorter sequences
 
     # changed CONTENT at the same bench path must re-run decontamination
-    # (the config stamp fingerprints the table, not just its path)
+    # (the config stamp fingerprints the table, not just its path);
+    # try/finally so an assert failure can't poison the module-scoped
+    # fixture for later tests (r9 review finding)
     grams = [r["gram"] for r in spark.read.parquet(bench_path).collect()]
-    (spark.createDataFrame([(g,) for g in grams[:0]], "gram string")
-     .write.mode("overwrite").parquet(bench_path))
-    m3 = run_corpus_prep(spark, src, out, n_buckets=4, seq_len=64,
-                         bench_grams_path=bench_path)
-    assert m3.get("survivors_written")
-    # empty bench set -> nothing contaminated
-    assert m3["clean_rows"] == m3["dedup_rows"]
-    # restore for other tests (module-scoped fixture)
-    (spark.createDataFrame([(g,) for g in grams], "gram string")
-     .write.mode("overwrite").parquet(bench_path))
+    try:
+        (spark.createDataFrame([(g,) for g in grams[:0]], "gram string")
+         .write.mode("overwrite").parquet(bench_path))
+        m3 = run_corpus_prep(spark, src, out, n_buckets=4, seq_len=64,
+                             bench_grams_path=bench_path)
+        assert m3.get("survivors_written")
+        # empty bench set -> nothing contaminated
+        assert m3["clean_rows"] == m3["dedup_rows"]
+    finally:
+        (spark.createDataFrame([(g,) for g in grams], "gram string")
+         .write.mode("overwrite").parquet(bench_path))
 
 
 def test_no_bench_skips_decontamination(spark, synth_dir, tmp_path):

@@ -24,7 +24,34 @@ EDGE_CASES = [
     "<DIV CLASS='UP'>x</DIV>",                        # case folding
     "text &amp; entities &#65;&nbsp;end",             # charrefs
     "<script>if(a<b){x('</div>')}</script><p>y</p>",  # markup inside script
+    # r9 review findings: '<'/'</' + NON-ASCII letter is literal text /
+    # a bogus comment (html.parser's starttagopen/endtagopen are ASCII;
+    # a Unicode isalpha dispatch crashed the fast path into the silent
+    # double-parse fallback, resp. leaked the bogus end tag into text)
+    "<p>1<émission test</p>",
+    "<body>a</émission>b</body>",
+    "<p>a<éb>c</p>",
+    # ASCII-only case folding of the rawtext close tag: '</SCRIPT>'
+    # closes, U+017F 'ſ' must NOT (Unicode re.IGNORECASE would fold it)
+    "<body><script>var x;</SCRIPT>tail</body>",
+    "<body><script>s</ script >t</body>",
 ]
+
+
+def test_fast_feed_never_raises_on_non_ascii_markup():
+    """The three r9 non-ASCII cases must take fast-path branches, not
+    the exception fallback (which silently double-parses)."""
+    for case in ("<p>1<émission test</p>", "<body>a</émission>b</body>",
+                 "<body><script>x</ſcript>t</body>"):
+        tb = dom._TreeBuilder("")
+        dom._fast_feed(tb, case)  # must not raise
+
+
+def test_unicode_sharp_s_does_not_close_rawtext():
+    """U+017F must not terminate <script> (ASCII-only folding): the tail
+    stays rawtext exactly like the former lower()-based search."""
+    doc = dom.parse("<body><script>var x;</ſcript>tail</body>")
+    assert "tail" not in doc.text()
 
 
 def _both(html: str):
