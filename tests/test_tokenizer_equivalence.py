@@ -69,6 +69,36 @@ def test_edge_case_equivalence(case):
     assert fast == slow
 
 
+def test_random_composition_equivalence():
+    """Seeded differential fuzz (r9): random compositions of start/end
+    tags (mixed case, attrs), text with entities and bare '<', comments,
+    PIs, marked sections, bogus markup, and NON-ASCII letters after
+    '<'/'</' (the r9 review findings' class) — the fast tokenizer must
+    emit the stdlib parser's exact tree on every one. Rawtext snippets
+    are self-terminating (unterminated-rawtext tails are a documented
+    pre-existing divergence, exercised separately above)."""
+    import random
+    rng = random.Random(42)
+    tags = ["p", "div", "a", "b", "SCRIPT", "style", "em", "x1", "br"]
+    attrs = ["", ' class="a b"', " id=x", ' href="/y?a=1&amp;b=2"',
+             " data-x='q'", " DISABLED"]
+    bits = []
+    for t in tags:
+        for _ in range(3):
+            bits.append(f"<{t}{rng.choice(attrs)}>")
+        bits.append(f"</{t}>")
+    bits += ["hello", "a < b", "x &amp; y", "émission", "ſtraße",
+             "tail>", "&#65;bc", "< 5", "100% <",
+             "<!-- c -->", "<!doctype html>", "<?pi?>", "</ x>", "</>",
+             "<1x>", "<é>", "</émission>", "<![if !IE]>x<![endif]>",
+             "<br/>", "<a/>", "<p attr='<!-- -->'>",
+             "<script>var a='</div>';</script>"]
+    for _ in range(1500):
+        h = "".join(rng.choice(bits) for _ in range(rng.randint(1, 30)))
+        fast, slow = _both(h)
+        assert fast == slow, f"tokenizer divergence on {h!r}"
+
+
 def test_fixture_corpus_equivalence():
     checked = 0
     for d in DIRS:
