@@ -4,7 +4,11 @@
 and plan shape as an oracled query; this module is the entry point a real
 user actually submits — an input, an output, and a resume guarantee:
 
-    extract → quality gate → exact dedup → decontaminate → seq-pack
+    extract → quality gate → exact dedup [→ near-dedup] → decontaminate
+    → seq-pack
+
+(near-dedup is the optional MinHash/LSH + connected-components stage,
+--near-dedup-jaccard, in the Lee et al. 2022 order: exact, then near.)
 
 Launch (cluster deployment, the north-rule path)::
 
@@ -83,7 +87,7 @@ from .extract_job import (DEFAULT_N_BUCKETS, DEFAULT_SALT_SPAN, _ManifestIO,
                           build_session, run_extract)
 
 _SURVIVOR_COLS = ("role", "conv_id", "turn_idx", "text",
-                  "is_keeper", "contaminated")
+                  "is_keeper", "near_dup", "contaminated")
 
 
 def _extracted_schema() -> StructType:
@@ -115,6 +119,7 @@ def run_corpus_prep(spark: SparkSession, input_path: str, output_path: str,
                     bucket_batch: int | None = None,
                     files_per_bucket: int | None = None,
                     dedup_texts: bool = False,
+                    near_dedup_jaccard: float | None = None,
                     min_tokens: int = 30,
                     min_stopword_ratio: float = 0.01,
                     max_bigram_dup: float = 0.1) -> dict:
@@ -123,8 +128,13 @@ def run_corpus_prep(spark: SparkSession, input_path: str, output_path: str,
     `bench_grams_path` points at a parquet table with a string column
     ``gram`` (space-joined lowercase `gram_width`-token n-grams); rows
     sharing any such gram are dropped in stage 4. None/empty skips
-    decontamination. Remaining knobs mirror run_extract (stage 1) and
-    corpus_gate_pred (stage 2)."""
+    decontamination. `near_dedup_jaccard` (e.g. 0.6) adds stage 3b:
+    MinHash/LSH near-duplicate election among the exact-dedup keepers —
+    LSH-bucketed candidate pairs verified at shingle-Jaccard ≥ the
+    threshold, connected components, smallest (conv_id, turn_idx) kept
+    per cluster (the Lee et al. 2022 chain order: exact, then near).
+    None (default) skips it. Remaining knobs mirror run_extract
+    (stage 1) and corpus_gate_pred (stage 2)."""
     out = output_path.rstrip("/")
 
     # ---- stage 1: extraction (per-bucket manifest + anti-join resume) ----
@@ -149,6 +159,7 @@ def run_corpus_prep(spark: SparkSession, input_path: str, output_path: str,
                    "bench_grams_path": bench_grams_path,
                    "bench_fingerprint": _bench_fingerprint(bench),
                    "gram_width": gram_width, "dedup_texts": dedup_texts,
+                   "near_dedup_jaccard": near_dedup_jaccard,
                    "min_tokens": min_tokens,
                    "min_stopword_ratio": min_stopword_ratio,
                    "max_bigram_dup": max_bigram_dup}
@@ -169,12 +180,15 @@ def run_corpus_prep(spark: SparkSession, input_path: str, output_path: str,
                  .agg(F.count("*").alias("gate_rows"),
                       F.sum(F.col("is_keeper").cast("long"))
                       .alias("dedup_rows"),
-                      F.sum((F.col("is_keeper")
+                      F.sum((F.col("is_keeper") & ~F.col("near_dup"))
+                            .cast("long")).alias("near_rows"),
+                      F.sum((F.col("is_keeper") & ~F.col("near_dup")
                              & ~F.col("contaminated")).cast("long"))
                       .alias("clean_rows")).collect()[0])
         srec = {"config": surv_config,
                 "metrics": {"gate_rows": int(stats["gate_rows"]),
                             "dedup_rows": int(stats["dedup_rows"] or 0),
+                            "near_rows": int(stats["near_rows"] or 0),
                             "clean_rows": int(stats["clean_rows"] or 0)}}
         mio.write_named("survivors.json", srec)
         metrics["survivors_written"] = True
@@ -187,7 +201,8 @@ def run_corpus_prep(spark: SparkSession, input_path: str, output_path: str,
                     and mio.out_exists("packed/_SUCCESS"))
     if not packed_valid:
         clean = (spark.read.parquet(out + "/survivors")
-                 .filter(F.col("is_keeper") & ~F.col("contaminated")))
+                 .filter(F.col("is_keeper") & ~F.col("near_dup")
+                         & ~F.col("contaminated")))
         toks = tokens_expr()
         base = (clean.withColumn("toks", toks)
                 .withColumn("n", F.size("toks").cast("long"))
@@ -259,6 +274,44 @@ def _survivor_flags(spark: SparkSession, out: str, bench: DataFrame | None,
     flagged = gated.withColumn(
         "is_keeper", F.row_number().over(w_dup) == 1)
 
+    # stage 3b (optional): near-duplicate election among the exact
+    # keepers — MinHash/LSH bucketed candidate pairs (never all-pairs),
+    # exact shingle-Jaccard verification, connected components, keep
+    # the smallest (conv_id, turn_idx) per cluster. All three are the
+    # repo's proven dedup operators (textops; recall table in
+    # BENCH/minhash_recall.md). Rows get a deterministic int64 id via
+    # xxhash64(conv_id, turn_idx) — a collision (≈2^-64 per pair) could
+    # at worst merge two rows into one cluster, dropping a non-dup row:
+    # the conservative direction for dedup.
+    thr = config.get("near_dedup_jaccard")
+    if thr is not None:
+        from ..textops import (connected_components, jaccard_pairs,
+                               lsh_candidate_pairs)
+        keepers = (flagged.filter(F.col("is_keeper"))
+                   .select("conv_id", "turn_idx", "text")
+                   .withColumn("nd_id",
+                               F.xxhash64("conv_id", "turn_idx")))
+        pairs = (jaccard_pairs(keepers,
+                               lsh_candidate_pairs(keepers,
+                                                   id_col="nd_id"),
+                               id_col="nd_id")
+                 .filter(F.col("jaccard") >= thr))
+        comp = connected_components(pairs)
+        w_nd = (Window.partitionBy("component")
+                .orderBy("conv_id", "turn_idx"))
+        losers = (keepers.join(comp,
+                               keepers["nd_id"] == comp["doc_id"])
+                  .withColumn("_rn", F.row_number().over(w_nd))
+                  .filter(F.col("_rn") > 1)
+                  .select("conv_id", "turn_idx")
+                  .withColumn("_nd", F.lit(True)))
+        flagged = (flagged.join(losers, ["conv_id", "turn_idx"], "left")
+                   .withColumn("near_dup",
+                               F.coalesce(F.col("_nd"), F.lit(False)))
+                   .drop("_nd"))
+    else:
+        flagged = flagged.withColumn("near_dup", F.lit(False))
+
     # stage 4: production decontamination — exploded grams, broadcast
     # hash join, distinct hit keys, anti-ish left join back
     if bench is not None:
@@ -308,6 +361,10 @@ def main(argv=None) -> None:
     p.add_argument("--dedup-texts", action="store_true",
                    help="extract each distinct text once (result-cache "
                         "shape; worth it on high-duplicate corpora)")
+    p.add_argument("--near-dedup-jaccard", type=float, default=None,
+                   help="enable MinHash/LSH near-duplicate removal at "
+                        "this shingle-Jaccard threshold (e.g. 0.6); "
+                        "default off")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--min-tokens", type=int, default=30)
     p.add_argument("--min-stopword-ratio", type=float, default=0.01)
@@ -327,7 +384,9 @@ def main(argv=None) -> None:
         salt_span=args.salt_span, partitions=args.partitions,
         resume=not args.no_resume, bucket_batch=args.bucket_batch,
         files_per_bucket=args.files_per_bucket,
-        dedup_texts=args.dedup_texts, min_tokens=args.min_tokens,
+        dedup_texts=args.dedup_texts,
+        near_dedup_jaccard=args.near_dedup_jaccard,
+        min_tokens=args.min_tokens,
         min_stopword_ratio=args.min_stopword_ratio,
         max_bigram_dup=args.max_bigram_dup)
     print(json.dumps(metrics))

@@ -85,7 +85,7 @@ def test_job_equals_oracled_query_and_resumes(spark, synth_dir, bench_path,
     # the survivors sink is the auditable stage-2-4 lineage
     surv = spark.read.parquet(out + "/survivors")
     assert set(surv.columns) == {"role", "conv_id", "turn_idx", "text",
-                                 "is_keeper", "contaminated"}
+                                 "is_keeper", "near_dup", "contaminated"}
     assert surv.filter(F.col("contaminated") & F.col("is_keeper")).count() \
         == m1["dedup_rows"] - m1["clean_rows"]
 
@@ -186,3 +186,58 @@ def test_decontaminate_stage_is_a_broadcast_hash_join(spark, synth_dir,
     assert "LeftSemi" in executed
     assert "BroadcastNestedLoopJoin" not in executed
     assert "CartesianProduct" not in executed
+
+
+def test_near_dedup_stage(spark, tmp_path):
+    """Optional stage 3b: MinHash/LSH near-duplicate election. Two
+    paragraphs differing in 3 of ~40 words (shingle-Jaccard ~0.77) must
+    collapse to the smaller (conv_id, turn_idx) keeper at threshold
+    0.6, while an unrelated paragraph survives; with the stage off both
+    near-dups survive (they are not exact duplicates)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from snacktory_spark.pipeline.corpus_prep_job import run_corpus_prep
+    from snacktory_spark.schema import TRANSCRIPT_SCHEMA
+
+    words = ("the quick brown fox jumps over a lazy dog near the old "
+             "stone bridge and watches the calm river flow past green "
+             "fields in early morning light as small birds sing their "
+             "soft tunes above tall oak trees today").split()
+    assert len(words) >= 35
+    t1 = " ".join(words)
+    t2 = " ".join(words[:-3] + ["alpha", "beta", "gamma"])
+    t3 = ("seven ancient ships sailed across the wide southern ocean "
+          "carrying spices silk and rare metals toward distant ports "
+          "where eager merchants waited under bright banners to trade "
+          "stories maps and coins before the long winter arrived")
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [(f"c{i}", 0, "user",
+             f"<html><body><p>{t}</p></body></html>", None, ts)
+            for i, t in enumerate([t1, t2, t3])]
+    src = str(tmp_path / "tr.parquet")
+    spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).write.parquet(src)
+
+    off = str(tmp_path / "off")
+    m_off = run_corpus_prep(spark, src, off, n_buckets=2)
+    assert m_off["clean_rows"] == 3  # near-dups are NOT exact dups
+
+    on = str(tmp_path / "on")
+    m_on = run_corpus_prep(spark, src, on, n_buckets=2,
+                           near_dedup_jaccard=0.6)
+    assert m_on["dedup_rows"] == 3
+    assert m_on["near_rows"] == 2 == m_on["clean_rows"]
+    surv = spark.read.parquet(on + "/survivors")
+    dropped = [r["conv_id"] for r in
+               surv.filter(F.col("near_dup")).collect()]
+    assert dropped == ["c1"]  # the larger key of the near-dup pair
+    assert m_on["n_tokens_packed"] < m_off["n_tokens_packed"]
+
+    # the threshold is part of the survivors resume stamp
+    m_again = run_corpus_prep(spark, src, on, n_buckets=2,
+                              near_dedup_jaccard=0.6)
+    assert m_again.get("skipped") is True
+    m_changed = run_corpus_prep(spark, src, on, n_buckets=2,
+                                near_dedup_jaccard=0.95)
+    assert m_changed.get("survivors_written")
+    assert m_changed["near_rows"] == 3  # 0.77 pair survives at 0.95
