@@ -37,6 +37,7 @@ if _REPO_ROOT not in _sys.path:
 from snacktory_spark.pipeline.corpus_ops import (  # noqa: E402
     conf_true as _conf_true,
     corpus_gate_pred as _corpus_gate_pred,
+    exact_substr_spans,
     pack_sequences as _pack_sequences,
     seed_bench_grams as _seed_bench_grams,
     tokens_expr as _tokens_expr,
@@ -1399,51 +1400,11 @@ def q_doc_cross_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("cross_dup_frac")))
 
 
-def _win_at(k):
-    """(0-based pos, xxhash64-of-k-token-window) struct at position i,
-    as a HOF lambda. The gram STRING exists only inside this expression
-    — what leaves the projection (and therefore what transits the
-    explode, the occurrence hash-agg, and the duplicate-position
-    equi-join) is the 8-byte hash (VERDICT r8 #2: at production W≈50
-    BPE tokens a string gram is ~250 bytes, making that join the
-    pipeline's largest shuffle at 100 TB; the hash cuts it ~30×). A
-    64-bit collision merges two grams' occurrence counts — at 10^12
-    windows P(any collision affecting a unique window) is ~1e-7-grade;
-    Lee et al. 2022 likewise dedups on hashes. Closure factory per the
-    _gram_at note; the lambda body slices a real COLUMN ("toks"), never
-    an inline expression — see _zip_grams' O(n²) alias-substitution
-    warning."""
-    from pyspark.sql import functions as F
-
-    def g(i):
-        return F.struct(i.alias("pos"),
-                        F.xxhash64(F.concat_ws(" ", F.slice("toks", i + 1, k)))
-                         .alias("gram"))
-    return g
-
-
-def _span_str(x):
-    """'s-e' rendering of a span struct, as a HOF lambda."""
-    from pyspark.sql import functions as F
-    return F.concat_ws("-", x["s"].cast("string"), x["e"].cast("string"))
-
-
-def _pos_uncovered(spans_col):
-    """HOF lambda: position p is outside every (s, e) span. Closure
-    factory (nested higher-order lambdas; no default-arg captures)."""
-    from pyspark.sql import functions as F
-
-    def g(p):
-        def covers(sp):
-            return (p >= sp["s"]) & (p <= sp["e"])
-        return ~F.exists(spans_col, covers)
-    return g
-
-
-def _tok_at_pos(p):
-    """HOF lambda: the token at 0-based position p."""
-    from pyspark.sql import functions as F
-    return F.element_at("toks", (p + 1).cast("int"))
+# _win_at / _win_at_str / _span_str / _pos_uncovered / _tok_at_pos and
+# exact_substr_spans moved to snacktory_spark.pipeline.corpus_ops (r9:
+# the job's optional ExactSubstr cut stage and this module's oracled
+# query must execute the same code); exact_substr_spans is re-exported
+# in the alias import block at the top of this file.
 
 
 def q_doc_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1478,83 +1439,8 @@ def q_doc_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substr_spans(tok_docs, W=5)
 
 
-def exact_substr_spans(tok_docs: DataFrame, W: int = 50,
-                       hashed: bool = True) -> DataFrame:
-    """ExactSubstr span extraction over a pre-tokenized
-    (doc_id, toks:array<string>) frame — W is the window width in
-    TOKENS of whatever tokenizer produced `toks` (whitespace words in
-    the oracled demo, BPE-ish regex tokens at production settings, see
-    scripts/exact_substr_bench.py). hashed=False keeps the raw gram
-    string as the shuffle key (the pre-r9 shape) — retained ONLY for
-    the shuffle-bytes A/B; production always hashes."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
-    win = _win_at(W) if hashed else _win_at_str(W)
-    gram_t = "bigint" if hashed else "string"
-    wins = F.when(
-        F.size("toks") >= W,
-        F.transform(F.sequence(F.lit(0), F.size("toks") - W), win)
-    ).otherwise(F.array().cast(f"array<struct<pos:int,gram:{gram_t}>>"))
-    pos_df = (tok_docs.select("doc_id", F.explode(wins).alias("w"))
-              .select("doc_id", F.col("w.pos").alias("pos"),
-                      F.col("w.gram").alias("gram")))
-    occ = pos_df.groupBy("gram").agg(F.count("*").alias("occ"))
-    dup_pos = (pos_df.join(occ, "gram")
-               .filter(F.col("occ") >= 2).select("doc_id", "pos"))
-    by_doc = Window.partitionBy("doc_id").orderBy("pos")
-    islands = (dup_pos
-               .withColumn("new_span",
-                           F.when(F.col("pos") - F.lag("pos").over(by_doc)
-                                  <= W, F.lit(0)).otherwise(F.lit(1)))
-               .withColumn("island", F.sum("new_span").over(
-                   by_doc.rowsBetween(Window.unboundedPreceding, 0))))
-    spans = (islands.groupBy("doc_id", "island")
-             .agg(F.min("pos").alias("s"),
-                  (F.max("pos") + F.lit(W - 1)).alias("e")))
-    per_doc = (spans.groupBy("doc_id")
-               .agg(F.count("*").alias("n_dup_spans"),
-                    F.sum(F.col("e") - F.col("s") + 1)
-                     .alias("dup_span_tokens"),
-                    F.sort_array(F.collect_list(F.struct("s", "e")))
-                     .alias("_spans")))
-    # the APPLIED cut: normalized tokens outside every span, rejoined —
-    # the artifact a span-removal pass actually emits (O(n·n_spans)
-    # narrow per-row work; spans stay tiny per doc)
-    spans_or_empty = F.coalesce(
-        "_spans", F.array().cast("array<struct<s:int,e:int>>"))
-    kept = F.filter(F.sequence(F.lit(0), F.col("_nt") - 1),
-                    _pos_uncovered(spans_or_empty))
-    return (tok_docs.select("doc_id", "toks", F.size("toks").alias("_nt"))
-            .join(per_doc, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("n_dup_spans", F.lit(0)).cast("long")
-                     .alias("n_dup_spans"),
-                    F.coalesce("dup_span_tokens", F.lit(0)).cast("long")
-                     .alias("dup_span_tokens"),
-                    F.round(F.coalesce("dup_span_tokens", F.lit(0))
-                            / F.col("_nt"), 4).alias("dup_span_frac"),
-                    F.coalesce(
-                        F.array_join(F.transform("_spans", _span_str), ";"),
-                        F.lit("")).alias("dup_spans"),
-                    F.array_join(F.transform(kept, _tok_at_pos), " ")
-                     .alias("cut_text")))
-
-
-def _win_at_str(k):
-    """String-gram twin of _win_at (the pre-r9 shuffle key) — kept only
-    so scripts/exact_substr_bench.py can measure the shuffle-byte cost
-    the hashed key removes."""
-    from pyspark.sql import functions as F
-
-    def g(i):
-        return F.struct(i.alias("pos"),
-                        F.concat_ws(" ", F.slice("toks", i + 1, k))
-                         .alias("gram"))
-    return g
-
-
-# _conf_true moved to snacktory_spark.pipeline.corpus_ops.conf_true
-# (imported above).
+# exact_substr_spans / _conf_true moved to
+# snacktory_spark.pipeline.corpus_ops (imported above).
 
 
 def _chunk_at(k):

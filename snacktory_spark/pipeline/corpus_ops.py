@@ -172,3 +172,124 @@ def pack_sequences(spark: SparkSession, base: DataFrame, narrow: DataFrame,
             .agg(F.sum("cnt").cast("long").alias("n_tokens"),
                  F.min_by("lo_tok", "lo_gpos").alias("first_tok"),
                  F.max_by("hi_tok", "hi_gpos").alias("last_tok")))
+
+
+def _win_at(k: int):
+    """(0-based pos, xxhash64-of-k-token-window) struct at position i,
+    as a HOF lambda. The gram STRING exists only inside this expression
+    — what leaves the projection (and therefore what transits the
+    explode, the occurrence hash-agg, and the duplicate-position
+    equi-join) is the 8-byte hash (VERDICT r8 #2: at production W≈50
+    BPE tokens a string gram is ~250 bytes, making that join the
+    pipeline's largest shuffle at 100 TB; the hash cuts it ~30×). A
+    64-bit collision merges two grams' occurrence counts — at 10^12
+    windows P(any collision affecting a unique window) is ~1e-7-grade;
+    Lee et al. 2022 likewise dedups on hashes. Closure factory; the
+    lambda body slices a real COLUMN ("toks"), never an inline
+    expression — see zip_grams' O(n²) alias-substitution warning."""
+    def g(i):
+        return F.struct(i.alias("pos"),
+                        F.xxhash64(F.concat_ws(" ", F.slice("toks", i + 1, k)))
+                         .alias("gram"))
+    return g
+
+
+def _win_at_str(k: int):
+    """String-gram twin of _win_at (the pre-r9 shuffle key) — kept only
+    so scripts/exact_substr_bench.py can measure the shuffle-byte cost
+    the hashed key removes."""
+    def g(i):
+        return F.struct(i.alias("pos"),
+                        F.concat_ws(" ", F.slice("toks", i + 1, k))
+                         .alias("gram"))
+    return g
+
+
+def _span_str(x):
+    """'s-e' rendering of a span struct, as a HOF lambda."""
+    return F.concat_ws("-", x["s"].cast("string"), x["e"].cast("string"))
+
+
+def _pos_uncovered(spans_col):
+    """HOF lambda: position p is outside every (s, e) span. Closure
+    factory (nested higher-order lambdas; no default-arg captures)."""
+    def g(p):
+        def covers(sp):
+            return (p >= sp["s"]) & (p <= sp["e"])
+        return ~F.exists(spans_col, covers)
+    return g
+
+
+def _tok_at_pos(p):
+    """HOF lambda: the token at 0-based position p."""
+    return F.element_at("toks", (p + 1).cast("int"))
+
+
+def exact_substr_spans(tok_docs: DataFrame, W: int = 50,
+                       hashed: bool = True) -> DataFrame:
+    """ExactSubstr span extraction (Lee et al. 2022 §4.1) over a
+    pre-tokenized (doc_id, toks:array<string>) frame — W is the window
+    width in TOKENS of whatever tokenizer produced `toks` (whitespace
+    words in the oracled demo, BPE-ish regex tokens at production
+    settings, see scripts/exact_substr_bench.py). Returns per doc: span
+    count, covered-token count/fraction, the canonical "s-e;s-e" span
+    list, and `cut_text` — the tokens outside every span, rejoined (the
+    artifact a removal pass emits). hashed=False keeps the raw gram
+    string as the shuffle key (the pre-r9 shape) — retained ONLY for
+    the shuffle-bytes A/B; production always hashes.
+
+    Scale shape: window enumeration is a narrow map emitting xxhash64
+    grams (8-byte fixed shuffle keys); occurrence counting one
+    partial+final hash agg; duplicate positions a shuffle equi-join
+    (corpus-proportional sides never broadcast); span merging the
+    lag/cumsum islands window partitioned by doc_id. Every shuffle key
+    is high-cardinality and unskewed — survives 100× as-is."""
+    win = _win_at(W) if hashed else _win_at_str(W)
+    gram_t = "bigint" if hashed else "string"
+    wins = F.when(
+        F.size("toks") >= W,
+        F.transform(F.sequence(F.lit(0), F.size("toks") - W), win)
+    ).otherwise(F.array().cast(f"array<struct<pos:int,gram:{gram_t}>>"))
+    pos_df = (tok_docs.select("doc_id", F.explode(wins).alias("w"))
+              .select("doc_id", F.col("w.pos").alias("pos"),
+                      F.col("w.gram").alias("gram")))
+    occ = pos_df.groupBy("gram").agg(F.count("*").alias("occ"))
+    dup_pos = (pos_df.join(occ, "gram")
+               .filter(F.col("occ") >= 2).select("doc_id", "pos"))
+    by_doc = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (dup_pos
+               .withColumn("new_span",
+                           F.when(F.col("pos") - F.lag("pos").over(by_doc)
+                                  <= W, F.lit(0)).otherwise(F.lit(1)))
+               .withColumn("island", F.sum("new_span").over(
+                   by_doc.rowsBetween(Window.unboundedPreceding, 0))))
+    spans = (islands.groupBy("doc_id", "island")
+             .agg(F.min("pos").alias("s"),
+                  (F.max("pos") + F.lit(W - 1)).alias("e")))
+    per_doc = (spans.groupBy("doc_id")
+               .agg(F.count("*").alias("n_dup_spans"),
+                    F.sum(F.col("e") - F.col("s") + 1)
+                     .alias("dup_span_tokens"),
+                    F.sort_array(F.collect_list(F.struct("s", "e")))
+                     .alias("_spans")))
+    # the APPLIED cut: normalized tokens outside every span, rejoined —
+    # the artifact a span-removal pass actually emits (O(n·n_spans)
+    # narrow per-row work; spans stay tiny per doc)
+    spans_or_empty = F.coalesce(
+        "_spans", F.array().cast("array<struct<s:int,e:int>>"))
+    kept = F.filter(F.sequence(F.lit(0), F.col("_nt") - 1),
+                    _pos_uncovered(spans_or_empty))
+    return (tok_docs.select("doc_id", "toks", F.size("toks").alias("_nt"))
+            .join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_dup_spans", F.lit(0)).cast("long")
+                     .alias("n_dup_spans"),
+                    F.coalesce("dup_span_tokens", F.lit(0)).cast("long")
+                     .alias("dup_span_tokens"),
+                    F.round(F.coalesce("dup_span_tokens", F.lit(0))
+                            / F.col("_nt"), 4).alias("dup_span_frac"),
+                    F.coalesce(
+                        F.array_join(F.transform("_spans", _span_str), ";"),
+                        F.lit("")).alias("dup_spans"),
+                    F.array_join(F.transform(kept, _tok_at_pos), " ")
+                     .alias("cut_text")))

@@ -5,10 +5,12 @@ and plan shape as an oracled query; this module is the entry point a real
 user actually submits — an input, an output, and a resume guarantee:
 
     extract → quality gate → exact dedup [→ near-dedup] → decontaminate
-    → seq-pack
+    → [ExactSubstr span cut →] seq-pack
 
 (near-dedup is the optional MinHash/LSH + connected-components stage,
---near-dedup-jaccard, in the Lee et al. 2022 order: exact, then near.)
+--near-dedup-jaccard; the span cut is the optional ExactSubstr
+duplicate-substring removal, --exact-substr-window — together with
+exact dedup these are the three Lee et al. 2022 dedup modes.)
 
 Launch (cluster deployment, the north-rule path)::
 
@@ -82,7 +84,8 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.types import IntegerType, StructField, StructType
 
 from ..schema import EXTRACTED_SCHEMA
-from .corpus_ops import corpus_gate_pred, pack_sequences, tokens_expr, zip_grams
+from .corpus_ops import (corpus_gate_pred, exact_substr_spans,
+                         pack_sequences, tokens_expr, zip_grams)
 from .extract_job import (DEFAULT_N_BUCKETS, DEFAULT_SALT_SPAN, _ManifestIO,
                           build_session, run_extract)
 
@@ -120,6 +123,7 @@ def run_corpus_prep(spark: SparkSession, input_path: str, output_path: str,
                     files_per_bucket: int | None = None,
                     dedup_texts: bool = False,
                     near_dedup_jaccard: float | None = None,
+                    exact_substr_window: int | None = None,
                     min_tokens: int = 30,
                     min_stopword_ratio: float = 0.01,
                     max_bigram_dup: float = 0.1) -> dict:
@@ -133,8 +137,14 @@ def run_corpus_prep(spark: SparkSession, input_path: str, output_path: str,
     LSH-bucketed candidate pairs verified at shingle-Jaccard ≥ the
     threshold, connected components, smallest (conv_id, turn_idx) kept
     per cluster (the Lee et al. 2022 chain order: exact, then near).
-    None (default) skips it. Remaining knobs mirror run_extract
-    (stage 1) and corpus_gate_pred (stage 2)."""
+    None (default) skips it. `exact_substr_window` (e.g. 50) applies
+    the ExactSubstr duplicate-SPAN cut (Lee et al. 2022 §4.1) to the
+    clean set as part of the PACKING level: token positions whose
+    W-token window occurs ≥2 times anywhere in the clean corpus are
+    removed before sequences are cut (a pack-level knob — changing it
+    re-runs packing only, like seq_len). None (default) packs the full
+    texts. Remaining knobs mirror run_extract (stage 1) and
+    corpus_gate_pred (stage 2)."""
     out = output_path.rstrip("/")
 
     # ---- stage 1: extraction (per-bucket manifest + anti-join resume) ----
@@ -163,7 +173,8 @@ def run_corpus_prep(spark: SparkSession, input_path: str, output_path: str,
                    "min_tokens": min_tokens,
                    "min_stopword_ratio": min_stopword_ratio,
                    "max_bigram_dup": max_bigram_dup}
-    config = dict(surv_config, seq_len=seq_len)
+    config = dict(surv_config, seq_len=seq_len,
+                  exact_substr_window=exact_substr_window)
 
     mio = _ManifestIO(spark, out)
     metrics: dict = {"extract": ex}
@@ -204,6 +215,29 @@ def run_corpus_prep(spark: SparkSession, input_path: str, output_path: str,
                  .filter(F.col("is_keeper") & ~F.col("near_dup")
                          & ~F.col("contaminated")))
         toks = tokens_expr()
+        if exact_substr_window:
+            # pack-level ExactSubstr cut: spans of W-token windows that
+            # occur >=2 times in the CLEAN corpus are removed; the cut
+            # text (same whitespace tokenizer) feeds the prefix sum.
+            # Deterministic int64 row ids via xxhash64 (the near-dedup
+            # collision note applies; a collision merges two docs' span
+            # sets — conservative for dedup)
+            keyed = clean.withColumn("nd_id",
+                                     F.xxhash64("conv_id", "turn_idx"))
+            cut = exact_substr_spans(
+                keyed.select(F.col("nd_id").alias("doc_id"),
+                             toks.alias("toks")),
+                W=exact_substr_window)
+            clean = (keyed.join(
+                cut.select(F.col("doc_id").alias("nd_id"), "cut_text"),
+                "nd_id")
+                .select("role", "conv_id", "turn_idx",
+                        F.col("cut_text").alias("text"))
+                # a fully-covered doc cuts to "" — drop it, else
+                # split("") would pack one bogus empty token
+                .filter(F.length("text") > 0))
+            # cut_text is already normalized tokens rejoined with single
+            # spaces, so tokens_expr re-splits it losslessly
         base = (clean.withColumn("toks", toks)
                 .withColumn("n", F.size("toks").cast("long"))
                 .select("role", "conv_id", "turn_idx", "toks", "n"))
@@ -365,6 +399,10 @@ def main(argv=None) -> None:
                    help="enable MinHash/LSH near-duplicate removal at "
                         "this shingle-Jaccard threshold (e.g. 0.6); "
                         "default off")
+    p.add_argument("--exact-substr-window", type=int, default=None,
+                   help="apply the ExactSubstr duplicate-span cut at "
+                        "this token-window width (e.g. 50) before "
+                        "packing; default off")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--min-tokens", type=int, default=30)
     p.add_argument("--min-stopword-ratio", type=float, default=0.01)
@@ -386,6 +424,7 @@ def main(argv=None) -> None:
         files_per_bucket=args.files_per_bucket,
         dedup_texts=args.dedup_texts,
         near_dedup_jaccard=args.near_dedup_jaccard,
+        exact_substr_window=args.exact_substr_window,
         min_tokens=args.min_tokens,
         min_stopword_ratio=args.min_stopword_ratio,
         max_bigram_dup=args.max_bigram_dup)

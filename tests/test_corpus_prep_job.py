@@ -241,3 +241,43 @@ def test_near_dedup_stage(spark, tmp_path):
                                 near_dedup_jaccard=0.95)
     assert m_changed.get("survivors_written")
     assert m_changed["near_rows"] == 3  # 0.77 pair survives at 0.95
+
+
+def test_exact_substr_cut_stage(spark, tmp_path):
+    """Optional pack-level ExactSubstr cut: a 12-token run shared by two
+    otherwise-distinct paragraphs is removed from BOTH before packing
+    (its W=8 windows occur >=2 times corpus-wide); the knob is
+    pack-level, so toggling it re-runs packing without rebuilding the
+    survivors."""
+    import datetime
+
+    from snacktory_spark.pipeline.corpus_prep_job import run_corpus_prep
+    from snacktory_spark.schema import TRANSCRIPT_SCHEMA
+
+    common = ("please review the terms and conditions of this service "
+              "agreement very carefully").split()
+    assert len(common) == 12
+    a = ("bright lanterns floated over the quiet harbor while sailors "
+         "mended their worn nets and told old tales").split()
+    b = ("deep canyon walls echoed with distant thunder as hikers "
+         "crossed the narrow bridge toward a hidden valley").split()
+    t1 = " ".join(a + common + ["first", "ending", "words", "here"])
+    t2 = " ".join(b + common + ["second", "closing", "phrase", "now"])
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [(f"c{i}", 0, "user",
+             f"<html><body><p>{t}</p></body></html>", None, ts)
+            for i, t in enumerate([t1, t2])]
+    src = str(tmp_path / "tr.parquet")
+    spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).write.parquet(src)
+
+    out = str(tmp_path / "prep")
+    m_off = run_corpus_prep(spark, src, out, n_buckets=2)
+    assert m_off["clean_rows"] == 2
+
+    # toggling the pack-level knob re-packs WITHOUT rebuilding survivors
+    m_cut = run_corpus_prep(spark, src, out, n_buckets=2,
+                            exact_substr_window=8)
+    assert "survivors_written" not in m_cut and m_cut.get("packed_written")
+    # both copies of the 12-token common run are cut: 24 fewer tokens
+    assert m_off["n_tokens_packed"] - m_cut["n_tokens_packed"] == 24
+    assert m_cut["clean_rows"] == 2  # survivors metrics unchanged
