@@ -73,9 +73,32 @@ def minhash_signature(text_col="text", n_hashes: int = N_MINHASH,
     Tune n_hashes/n_bands per target Jaccard: candidate probability for a
     pair with Jaccard j is 1-(1-j^r)^b with r = n_hashes/n_bands rows per
     band. The defaults (8 hashes, 4 bands of 2) suit demonstration scale;
-    production near-dup at j≈0.7 wants e.g. 128 hashes / 32 bands."""
+    production near-dup at j≈0.7 wants e.g. 128 hashes / 32 bands.
+
+    The shingle array is evaluated ONCE per row via the
+    transform-over-singleton let-binding (r9): writing the n salted mins
+    directly over the shingle expression evaluates it n times per row —
+    at production n_hashes=128 that is 128 shingle-array builds per
+    document (catalyst inlines the shared subexpression into every
+    transform input; projection materialization doesn't stop
+    CollapseProject from re-inlining it)."""
     sh = shingles_col(text_col, k)
-    return F.array(*[_salted_min(sh, f"s{i}:") for i in range(n_hashes)])
+
+    def sig(s):
+        # s is the bound shingle-array lambda variable — each salted min
+        # reads it as a cheap variable reference
+        return F.array(*[F.array_min(
+            F.transform(s, _salted_hash(f"s{i}:")))
+            for i in range(n_hashes)])
+
+    return F.element_at(F.transform(F.array(sh), sig), 1)
+
+
+def _salted_hash(salt: str):
+    """md5(salt||x) as a HOF lambda; closure factory per the arity note."""
+    def g(x):
+        return F.md5(F.concat(F.lit(salt), x))
+    return g
 
 
 def minhash_df(docs: DataFrame, id_col="doc_id", text_col="text",
