@@ -97,6 +97,50 @@ def _synth(sf_dir: str) -> str:
     return ensure_synth(sf_dir, SYNTH_ROOT, include_extraction=False)
 
 
+def _split_scan(spark: SparkSession, path: str, key: str | None = None) -> DataFrame:
+    """Parquet scan with an adaptive fix for UNDER-SPLIT inputs (guide
+    §2.5 "input skew … repartition immediately after the read", §6).
+
+    Parquet scan parallelism is bounded by ROW-GROUP count, not split
+    tuning: the bench sf tables are written as 1-2 row groups, so every
+    narrow map downstream of the scan (gram enumeration, per-row HOF
+    aggregates, map-side join+sort) runs on 1-2 tasks while the other 30
+    cores idle (measured: the sf1.0 top_orders map stage ran 7 tasks of
+    which 2 carried all rows; decontaminate's 2.4M-window enumeration ran
+    on ONE). When the input is provably cheap to redistribute (local file
+    smaller than defaultParallelism × maxPartitionBytes) and genuinely
+    under-split (fewer row groups than cores), shuffle it once to P
+    partitions — hash-keyed when `key` is given, so a downstream
+    aggregation on the same key reuses the clustering and needs no second
+    exchange. Large inputs are naturally split and pass through
+    untouched, so the rule is scale-adaptive: at 100 TB this is a no-op.
+    """
+    df = spark.read.parquet(path)
+    try:
+        if not _os.path.exists(path):      # remote/scheme'd path: untouched
+            return df
+        p = spark.sparkContext.defaultParallelism
+        max_bytes = int(spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                       "134217728").rstrip("b"))
+        size = _os.path.getsize(path) if _os.path.isfile(path) else sum(
+            _os.path.getsize(_os.path.join(path, f))
+            for f in _os.listdir(path) if f.endswith(".parquet"))
+        if size >= p * max_bytes:
+            return df
+        import pyarrow.parquet as _pq
+        if _os.path.isfile(path):
+            groups = _pq.ParquetFile(path).num_row_groups
+        else:
+            groups = sum(_pq.ParquetFile(_os.path.join(path, f)).num_row_groups
+                         for f in _os.listdir(path) if f.endswith(".parquet"))
+        if groups >= p:
+            return df
+        from pyspark.sql import functions as F
+        return df.repartition(p, F.col(key)) if key else df.repartition(p)
+    except Exception:
+        return df
+
+
 def _oracle_projection(out: "DataFrame"):
     """The 23-column oracle-comparable projection of an extracted frame —
     shared by the plain and dedup extraction queries so their serialization
@@ -269,9 +313,12 @@ def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Windowed top-k: 3 biggest orders per market segment."""
+    """Windowed top-k: 3 biggest orders per market segment. r10: the
+    orders scan is _split_scan-parallelized — the map side (broadcast
+    probe + local sort + partial WindowGroupLimit) previously ran on the
+    file's 2 row groups, serializing 2.7s of task time onto 2 cores."""
     from pyspark.sql import Window, functions as F
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = _split_scan(spark, f"{sf_dir}/orders.parquet", "o_orderkey")
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
     j = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
     w = (Window.partitionBy("c_mktsegment")
@@ -320,7 +367,9 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + stopword-ratio quality scoring over documents."""
+    """Token counting + stopword-ratio quality scoring over documents.
+    (r10: measured _split_scan here — the narrow work is too cheap for
+    the extra exchange to pay, 0.26s → 0.39s at sf1.0 — left as-is.)"""
     from pyspark.sql import functions as F
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = F.split(F.trim(F.col("text")), r"\s+")
@@ -367,7 +416,10 @@ def q_doc_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 ANN baseline over the embedding column,
-    JVM-side only (F.aggregate/F.zip_with — no Python in the hot path)."""
+    JVM-side only (F.aggregate/F.zip_with — no Python in the hot path).
+    (r10: measured _split_scan here in both placements — the 20k-row dot
+    product pass is too cheap for an extra exchange, 0.45s baseline vs
+    0.5-0.9s with it — left as-is.)"""
     from pyspark.sql import functions as F
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -1324,20 +1376,32 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     one hash probe per doc gram, vs the old crossJoin+contains broadcast
     nested-loop that ran k full-text substring scans per document. Bench
     entries shorter than 8 tokens can never match (standard decontam:
-    short grams are skipped, not substring-matched)."""
+    short grams are skipped, not substring-matched).
+
+    r10: both join sides key on xxhash64 of the 8-token window (hashed
+    directly from the token slice — the gram STRING is never built), the
+    same 8-byte-key design the ExactSubstr op ships (corpus_ops._win_at,
+    VERDICT r8 #2; Lee et al. 2022 likewise dedup on hashes). At sf1.0
+    this cut the per-window enumeration from ~2.9s to ~2.1s (string
+    concat allocation gone) and shrinks the exploded rows from ~50-byte
+    strings to 8-byte longs; a 64-bit collision against one of the ≤3
+    bench hashes is ~1e-12-grade (oracle hash-verified green). The scan
+    is _split_scan-parallelized keyed on doc_id, so the final per-doc
+    agg reuses the clustering instead of adding a second exchange."""
     from pyspark.sql import functions as F
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _split_scan(spark, f"{sf_dir}/documents.parquet", "doc_id")
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     bench = (docs.filter(F.col("doc_id").isin(1, 2, 3))
-             .select(F.concat_ws(" ", F.slice(toks, 1, 8)).alias("gram"))
+             .filter(F.size(toks) >= 8)
+             .select(F.xxhash64(F.slice(toks, 1, 8)).alias("gram"))
              .distinct()
              .withColumn("hit", F.lit(True)))
     tok_docs = docs.select("doc_id", toks.alias("toks"))
     grams = F.when(
         F.size("toks") >= 8,
         F.transform(F.sequence(F.lit(1), F.size("toks") - 7),
-                    _gram_at(8))
-    ).otherwise(F.array().cast("array<string>"))
+                    _hash_gram_at(8))
+    ).otherwise(F.array().cast("array<bigint>"))
     exploded = tok_docs.select(
         "doc_id", F.explode_outer(grams).alias("gram"))
     flagged = (exploded
@@ -1356,6 +1420,18 @@ def _gram_at(k):
 
     def g(i):
         return F.concat_ws(" ", F.slice("toks", i, k))
+    return g
+
+
+def _hash_gram_at(k):
+    """xxhash64 of the k-token window at 1-based index i — the 8-byte
+    gram key (string never materialized). xxhash64 over an ARRAY chains
+    element hashes exactly like the multi-arg form, so both join sides
+    may hash a slice. Closure factory (see _gram_at)."""
+    from pyspark.sql import functions as F
+
+    def g(i):
+        return F.xxhash64(F.slice("toks", i, k))
     return g
 
 
@@ -1522,27 +1598,68 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-2-gram fraction (1 - distinct/total) and the top-2-gram
     fraction (most frequent 2-gram's share) — the standard signals for
     dropping looping/boilerplate generations from a training corpus.
-    Shape: JVM-side gram arrays -> explode -> two partial+final hash aggs
-    (per-gram counts, then per-doc moments). Scales: both aggs combine
-    map-side."""
+    Shape (r10 rewrite, guide §2.3/§2.4 "remove shuffles outright"): the
+    statistics are PER-DOCUMENT functions of that document's bigram
+    multiset alone, so nothing needs to cross a shuffle — each row sorts
+    its own bigram array and computes (distinct count, max run length) in
+    one JVM HOF pass. The pre-r10 shape exploded every bigram as a string
+    row through TWO hash aggs ((doc, gram) counts, then per-doc moments)
+    — at sf1.0 that shuffled ~2.7M gram strings and took 3.0s vs 0.35s
+    for this zero-exchange form (identical output, oracle hash-verified).
+    Bigrams are compared as (a, b) token STRUCTS — tokens contain no
+    whitespace, so struct equality is exactly string-gram equality with
+    no concat allocation. Scales: narrow map, the only cost is O(n log n)
+    per row."""
+    return _doc_repetition_over(
+        _split_scan(spark, f"{sf_dir}/documents.parquet", "doc_id"))
+
+
+def _doc_repetition_over(docs: DataFrame) -> DataFrame:
+    """doc_repetition body over an arbitrary (doc_id, text) frame —
+    shared with the r10 equivalence tests."""
     from pyspark.sql import functions as F
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     base = (docs.select("doc_id", toks.alias("toks"))
             .filter(F.size("toks") >= 2))
-    grams = F.transform(F.sequence(F.lit(1), F.size("toks") - 1),
-                        _gram_at(2))
-    g = base.select("doc_id", F.explode(grams).alias("gram"))
-    counts = g.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
-    return (counts.groupBy("doc_id")
-            .agg(F.sum("c").alias("n_grams"),
-                 F.count("*").alias("n_distinct"),
-                 F.max("c").alias("top_c"))
-            .select("doc_id", F.col("n_grams").cast("long").alias("n_grams"),
-                    F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_grams"),
-                            4).alias("dup_gram_frac"),
-                    F.round(F.col("top_c") / F.col("n_grams"), 4)
-                    .alias("top_gram_frac")))
+    grams = F.transform(F.sequence(F.lit(1), F.size("toks") - 1), _bigram_at)
+    # two SINGLE-USE expressions (a multi-use struct would be duplicated
+    # per referencing field by CollapseProject — HOFs get no codegen CSE):
+    # distinct count via one hash-set pass, top run length via one
+    # run-length pass over the sorted array
+    ndist = F.size(F.array_distinct(grams))
+    zero = F.lit(0).cast("int")
+    init = F.struct(
+        F.lit(None).cast("struct<a:string,b:string>").alias("prev"),
+        zero.alias("run"), zero.alias("maxrun"))
+    top_c = F.aggregate(F.array_sort(grams), init, _runlen_merge)["maxrun"]
+    ng = (F.size("toks") - 1).cast("long")
+    return base.select(
+        "doc_id", ng.alias("n_grams"),
+        F.round(F.lit(1.0) - ndist / ng, 4).alias("dup_gram_frac"),
+        F.round(top_c / ng, 4).alias("top_gram_frac"))
+
+
+def _bigram_at(i):
+    """(token i, token i+1) struct at 1-based index i — struct bigrams
+    group identically to the concat_ws(' ') string grams (tokens carry no
+    whitespace) without per-gram string allocation. HOF lambda as a
+    module function (no default-arg captures)."""
+    from pyspark.sql import functions as F
+    return F.struct(F.element_at("toks", i.cast("int")).alias("a"),
+                    F.element_at("toks", (i + 1).cast("int")).alias("b"))
+
+
+def _runlen_merge(acc, x):
+    """aggregate() merge step over a SORTED gram array: tracks current
+    and max run length. Equal grams are adjacent after array_sort, so
+    one pass yields the same top_c as the exploded groupBy it
+    replaced."""
+    from pyspark.sql import functions as F
+    same = acc["prev"].isNotNull() & (x == acc["prev"])
+    run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("int"))
+    return F.struct(
+        x.alias("prev"), run.alias("run"),
+        F.greatest(acc["maxrun"], run).alias("maxrun"))
 
 
 
@@ -1603,7 +1720,9 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ordered by doc_id then position), and reassemble documents from
     their surviving chunks. One shuffle for the first-occurrence window
     (hash-partitioned by chunk — uniform), one for the per-doc
-    reassembly. The standard shape for line-dedup over a web corpus."""
+    reassembly. The standard shape for line-dedup over a web corpus.
+    (r10: measured _split_scan here — 0.36s → 0.46s at sf1.0, the added
+    exchange outweighs parallelizing the cheap chunk build — left as-is.)"""
     from pyspark.sql import Window, functions as F
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")

@@ -140,6 +140,13 @@ _WORDS = ("the quick brown fox jumps over lazy dog pipeline spark arrow batch "
 
 EPOCH = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
 
+# transcripts.parquet row-group size (rows). Parquet scan parallelism is
+# bounded by row-group count; pyarrow's default (1Mi rows) wrote sf1.0 as
+# ONE 139 MB group = one scan task. Bump _LAYOUT_TAG when changing so
+# stale generated dirs rewrite themselves.
+TRANSCRIPT_ROW_GROUP_ROWS = 4096
+_LAYOUT_TAG = "layout=rg4096"
+
 
 def _sentence(rng: random.Random, nwords: int) -> str:
     ws = [rng.choice(_WORDS) for _ in range(nwords)]
@@ -234,8 +241,13 @@ def generate(out_dir: str, sf: float = 0.01, seed: int = 42,
     """
     marker = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(marker) and not force:
-        have_full = "extraction=1" in open(marker).read()
-        if have_full or not include_extraction:
+        mtext = open(marker).read()
+        have_full = "extraction=1" in mtext
+        # layout token: a stale single-row-group transcripts file caps the
+        # Spark scan at ONE task (parquet parallelism = row groups) — a
+        # marker without the current layout tag forces a rewrite (same
+        # rows, same order; only the parquet container layout changes)
+        if _LAYOUT_TAG in mtext and (have_full or not include_extraction):
             return out_dir
     os.makedirs(out_dir, exist_ok=True)
     rng = random.Random(seed)
@@ -291,7 +303,14 @@ def generate(out_dir: str, sf: float = 0.01, seed: int = 42,
         "tool": pa.array(tools, pa.string()),
         "ts": pa.array(tss, pa.timestamp("us", tz="UTC")),
     })
-    pq.write_table(table, os.path.join(out_dir, "transcripts.parquet"))
+    # bounded row groups: parquet scans parallelize at ROW-GROUP
+    # granularity, so a single-group file serializes every downstream
+    # scan onto one task regardless of split tuning (guide §6 / §2.5 —
+    # measured: the sf1.0 transcripts scan+shuffle-write ran as ONE task
+    # for ~2.5s of the extract_turns wall). 4096-row groups ≈ 2-4 MB:
+    # ≥32-way effective parallelism from sf0.1 up, content unchanged.
+    pq.write_table(table, os.path.join(out_dir, "transcripts.parquet"),
+                   row_group_size=TRANSCRIPT_ROW_GROUP_ROWS)
 
     exp_fields = ["conv_id", "turn_idx", "fixture", "seed_url", "exp_title",
                   "exp_text_start", "exp_text_end", "exp_text_contains",
@@ -304,7 +323,8 @@ def generate(out_dir: str, sf: float = 0.01, seed: int = 42,
 
     if not include_extraction:
         with open(marker, "w") as f:
-            f.write(f"sf={sf} seed={seed} rows={row_no} convs={n_convs} extraction=0\n")
+            f.write(f"sf={sf} seed={seed} rows={row_no} convs={n_convs} "
+                    f"extraction=0 {_LAYOUT_TAG}\n")
         return out_dir
 
     # full local (single-node) extraction = oracle for the distributed run.
@@ -340,7 +360,8 @@ def generate(out_dir: str, sf: float = 0.01, seed: int = 42,
     pq.write_table(ext_table, os.path.join(out_dir, "expected_extraction.parquet"))
 
     with open(marker, "w") as f:
-        f.write(f"sf={sf} seed={seed} rows={row_no} convs={n_convs} extraction=1\n")
+        f.write(f"sf={sf} seed={seed} rows={row_no} convs={n_convs} "
+                f"extraction=1 {_LAYOUT_TAG}\n")
     return out_dir
 
 

