@@ -76,7 +76,17 @@ def corpus_gate_pred(stopwords=DEFAULT_STOPWORDS, min_tokens: int = 30,
         sw = F.round(
             F.size(F.filter(t, lambda x: F.array_contains(stop, x)))
             / n, 4)
-        bigrams = zip_grams(t, 2, F.greatest(n - 1, F.lit(0)).cast("int"))
+        # bigrams as (a, b) STRUCTS, not concat_ws strings (r10): only
+        # the distinct COUNT matters here, and tokens contain no
+        # whitespace, so struct-pair distinctness equals string-gram
+        # distinctness — without allocating ~n gram strings per row
+        # (the measured dominant cost of the gate at sf1.0). Same
+        # zip-of-shifted-slices construction as zip_grams (the
+        # transform-over-sequence O(n²) warning there applies).
+        m = F.greatest(n - 1, F.lit(0)).cast("int")
+        bigrams = F.zip_with(F.slice(t, 1, m), F.slice(t, 2, m),
+                             lambda a, b: F.struct(a.alias("a"),
+                                                   b.alias("b")))
         dupf = F.when(
             n >= 2,
             F.round(1.0 - F.size(F.array_distinct(bigrams))
