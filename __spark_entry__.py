@@ -1604,12 +1604,13 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     its own bigram array and computes (distinct count, max run length) in
     one JVM HOF pass. The pre-r10 shape exploded every bigram as a string
     row through TWO hash aggs ((doc, gram) counts, then per-doc moments)
-    — at sf1.0 that shuffled ~2.7M gram strings and took 3.0s vs 0.35s
-    for this zero-exchange form (identical output, oracle hash-verified).
-    Bigrams are compared as (a, b) token STRUCTS — tokens contain no
-    whitespace, so struct equality is exactly string-gram equality with
-    no concat allocation. Scales: narrow map, the only cost is O(n log n)
-    per row."""
+    — at sf1.0 that shuffled ~2.7M gram strings and took 3.0s vs ~1.1s
+    full materialization (and ~0.65s under the bench's count(), which
+    prunes the per-row projections) for this zero-exchange form
+    (identical output, oracle hash-verified). Bigrams are keyed as
+    xxhash64(tok_i, tok_i+1) longs — see _bigram_at for the measured
+    string/struct/long ladder and the collision argument. Scales: narrow
+    map, the only cost is O(n log n) per row."""
     return _doc_repetition_over(
         _split_scan(spark, f"{sf_dir}/documents.parquet", "doc_id"))
 
@@ -1629,7 +1630,7 @@ def _doc_repetition_over(docs: DataFrame) -> DataFrame:
     ndist = F.size(F.array_distinct(grams))
     zero = F.lit(0).cast("int")
     init = F.struct(
-        F.lit(None).cast("struct<a:string,b:string>").alias("prev"),
+        F.lit(None).cast("bigint").alias("prev"),
         zero.alias("run"), zero.alias("maxrun"))
     top_c = F.aggregate(F.array_sort(grams), init, _runlen_merge)["maxrun"]
     ng = (F.size("toks") - 1).cast("long")
@@ -1640,13 +1641,19 @@ def _doc_repetition_over(docs: DataFrame) -> DataFrame:
 
 
 def _bigram_at(i):
-    """(token i, token i+1) struct at 1-based index i — struct bigrams
-    group identically to the concat_ws(' ') string grams (tokens carry no
-    whitespace) without per-gram string allocation. HOF lambda as a
+    """xxhash64(token i, token i+1) at 1-based index i — an 8-byte
+    bigram key: two element_at reads, no string/struct allocation, and
+    array_distinct/array_sort take their fast atomic-type paths.
+    Measured at sf1.0 (full materialization, interleaved): string grams
+    3.0s, (a,b) structs 1.7s, hashed longs 1.10s. Grouping equals
+    string-gram grouping up to a 64-bit within-doc collision
+    (P≈n²·2⁻⁶⁴ per doc ≈ 1e-16 — the decontaminate/ExactSubstr
+    hashed-key design; oracle-hash-verified, plus the string-reference
+    equivalence tests in tests/test_r10_rewrites.py). HOF lambda as a
     module function (no default-arg captures)."""
     from pyspark.sql import functions as F
-    return F.struct(F.element_at("toks", i.cast("int")).alias("a"),
-                    F.element_at("toks", (i + 1).cast("int")).alias("b"))
+    return F.xxhash64(F.element_at("toks", i.cast("int")),
+                      F.element_at("toks", (i + 1).cast("int")))
 
 
 def _runlen_merge(acc, x):
