@@ -431,9 +431,20 @@ class Document(Element):
             id_idx: dict[str, list] = {}
             attr_idx: dict[str, list] = {}
             all_els = []
-            for i, el in enumerate(self.iter_descendants()):
+            # inlined pre-order walk (not iter_descendants): the rebuild
+            # touches every element and the generator protocol was
+            # measurable at 4k-doc scale (r10)
+            stack = [self]
+            pop = stack.pop
+            i = 0
+            while stack:
+                el = pop()
                 el._ord = i
+                i += 1
                 all_els.append(el)
+                kids = el.children
+                if kids:
+                    stack.extend(reversed(kids))
                 tag_idx.setdefault(el.tag, []).append(el)
                 attrs = el.attrs
                 if attrs:
@@ -1388,37 +1399,67 @@ def select(query: str, root: Element, first_only: bool = False) -> Elements:
         if first_only and len(out) > 1:
             return Elements(out[:1])
         return out
+    # subtree scans: the pre-order walk is inlined as a stack loop in
+    # each branch instead of going through the iter_descendants
+    # generator — subtree selects run ~1M descendant visits per 4k docs
+    # and the generator resumption protocol was ~10% of extraction
+    # (r10; measured via cProfile, semantics identical: self first,
+    # document order)
     out = Elements()
     if tagset is not None:
-        for el in root.iter_descendants():
+        stack = [root]
+        pop = stack.pop
+        while stack:
+            el = pop()
             if el.tag in tagset:
                 out.append(el)
                 if first_only:
                     return out
+            kids = el.children
+            if kids:
+                stack.extend(reversed(kids))
         return out
     if len(chains) == 1:
         chain = chains[0]
         if len(chain) == 1:
             m = chain[0].matches
-            for el in root.iter_descendants():
+            stack = [root]
+            pop = stack.pop
+            while stack:
+                el = pop()
                 if m(el):
                     out.append(el)
                     if first_only:
                         return out
+                kids = el.children
+                if kids:
+                    stack.extend(reversed(kids))
             return out
-        for el in root.iter_descendants():
+        stack = [root]
+        pop = stack.pop
+        while stack:
+            el = pop()
             if _match_chain(chain, el, root):
                 out.append(el)
                 if first_only:
                     return out
+            kids = el.children
+            if kids:
+                stack.extend(reversed(kids))
         return out
-    for el in root.iter_descendants():
+    stack = [root]
+    pop = stack.pop
+    while stack:
+        el = pop()
         for chain in chains:
             if _match_chain(chain, el, root):
                 out.append(el)
                 if first_only:
                     return out
                 break
+        kids = el.children
+        if kids:
+            stack.extend(reversed(kids))
     return out
 
 

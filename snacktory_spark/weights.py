@@ -236,11 +236,19 @@ def get_nodes(doc: Document) -> list[Element]:
     nodes: list[Element] = []
     score = 100
     for body in doc.select("body"):
-        for el in body.iter_descendants():
+        # inlined pre-order walk (r10): same order as iter_descendants,
+        # without the generator resumption per element
+        stack = [body]
+        pop = stack.pop
+        while stack:
+            el = pop()
             if C.NODES.fullmatch(el.tag):
                 nodes.append(el)
                 set_score(el, score)
                 score = score // 2
+            kids = el.children
+            if kids:
+                stack.extend(reversed(kids))
     return nodes
 
 
@@ -270,7 +278,19 @@ def strip_unlikely_candidates(doc: Document,
     """ArticleTextExtractor.stripUnlikelyCandidates (:3132-3148)."""
     h = heur or _DEFAULT_HEURISTICS
     for body in doc.select("body"):
-        for child in list(body.iter_descendants()):
+        # snapshot via an inlined pre-order walk (r10; the former
+        # list(iter_descendants()) — the list is REQUIRED: removal
+        # mutates the tree mid-iteration)
+        snapshot: list[Element] = []
+        stack = [body]
+        pop = stack.pop
+        while stack:
+            el = pop()
+            snapshot.append(el)
+            kids = el.children
+            if kids:
+                stack.extend(reversed(kids))
+        for child in snapshot:
             attrs = child.attrs
             class_name = attrs.get("class")
             ident = attrs.get("id")
