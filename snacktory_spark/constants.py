@@ -15,6 +15,10 @@ import re
 
 # Interesting candidate nodes (full tag-name match) — ArticleTextExtractor.java:37
 NODES = re.compile(r"p|div|td|h1|h2|article|section")
+# fullmatch of that alternation of literal tag names ≡ set membership; the
+# hot get_nodes walk tests every element against it, and a frozenset probe
+# is ~4x cheaper than Pattern.fullmatch (r10). A test pins the equivalence.
+NODES_SET = frozenset(("p", "div", "td", "h1", "h2", "article", "section"))
 
 # Sanity "still contains html" gate — :45 (note: the bracket expression is a
 # character class in the original too; replicated verbatim, full-match, no DOTALL)

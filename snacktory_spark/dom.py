@@ -115,7 +115,8 @@ class TextNode:
 class Element:
     __slots__ = ("tag", "attrs", "child_nodes", "parent", "_doc", "_ord",
                  "_kids", "_kids_ver", "_otext", "_otext_ver",
-                 "_text_c", "_text_cver")
+                 "_text_c", "_text_cver", "_low_src", "_low",
+                 "_cls_src", "_cls_list")
 
     def __init__(self, tag: str, attrs: dict | None = None, parent=None, doc=None):
         self.tag = tag
@@ -130,6 +131,38 @@ class Element:
         self._otext_ver = -1
         self._text_c = None
         self._text_cver = -1
+        self._low_src = None
+        self._low = None
+        self._cls_src = None
+        self._cls_list = None
+
+    def _class_tokens(self) -> list:
+        """Identity-keyed split() memo of the class attribute for the
+        selector engine (r10): ancestor-walk matches() re-split the same
+        attribute string once per chain test. set_attr installs a new
+        string object on change, so identity keying is exact."""
+        s = self.attrs.get("class", "")
+        if self._cls_src is s:
+            return self._cls_list
+        v = s.split()
+        self._cls_src = s
+        self._cls_list = v
+        return v
+
+    def _lowered(self, s: str) -> str:
+        """Identity-keyed lowercase memo for the :contains/:containsOwn
+        pseudos (r10): a multi-alternative group tests every candidate
+        against each alternative, and each test lowered the SAME cached
+        own_text()/text() string again. Keying on the source string's
+        identity is exact — own_text/text return their version-keyed
+        cached object while valid, and detached elements (which return a
+        fresh string each call) simply miss and recompute, as before."""
+        if self._low_src is s:
+            return self._low
+        low = s.lower()
+        self._low_src = s
+        self._low = low
+        return low
 
     def _bump(self) -> None:
         d = self._doc
@@ -321,7 +354,23 @@ class Element:
 
     def get_elements_by_tag(self, tag: str) -> "Elements":
         tag = tag.lower()
-        return Elements(el for el in self.iter_descendants() if el.tag == tag)
+        d = self._doc
+        if d is self and d._idx_ver == d.version:
+            # doc-rooted with a FRESH index: the tag list IS the answer.
+            # Never force a rebuild here — a stale index falls through to
+            # the walk (cheaper than rebuilding between removals, r10)
+            return Elements(d._idx_tag.get(tag, ()))
+        out = Elements()
+        stack = [self]
+        pop = stack.pop
+        while stack:
+            el = pop()
+            if el.tag == tag:
+                out.append(el)
+            kids = el.children
+            if kids:
+                stack.extend(reversed(kids))
+        return out
 
     def select(self, query: str) -> "Elements":
         return select(query, self)
@@ -408,12 +457,14 @@ def _escape_text(v: str) -> str:
 
 class Document(Element):
     __slots__ = ("base_uri_str", "version", "internal_writes", "_idx_ver",
-                 "_idx_tag", "_idx_class", "_idx_id", "_idx_attr", "_idx_all")
+                 "_idx_tag", "_idx_class", "_idx_id", "_idx_attr", "_idx_all",
+                 "body_ref")
 
     def __init__(self, base_uri: str = ""):
         super().__init__("#root")
         self.base_uri_str = base_uri or ""
         self._doc = self
+        self.body_ref = None
         self.version = 0
         self.internal_writes = 0
         self._idx_ver = -1
@@ -469,13 +520,33 @@ class Document(Element):
         return self
 
     def title(self) -> str:
-        for el in self.iter_descendants():
-            if el.tag == "title":
-                return java_trim(el.text())
-        return ""
+        # first <title> in document order via the indexed select path —
+        # the metadata cascade's ~100 selects build/reuse the same index
+        el = self.select_first("title")
+        return java_trim(el.text()) if el is not None else ""
 
     def head(self):
         return self.select_first("head")
+
+    def bodies(self) -> list:
+        """All <body> elements in document order, without touching the doc
+        index. The tree builder scaffolds exactly ONE body and routes every
+        parsed <body> tag into it, so the stored ref IS the answer — this
+        lets the two body-rooted walks that run right after tree mutations
+        (strip_unlikely_candidates, get_nodes) avoid forcing a full index
+        rebuild each (r10: big docs rebuilt 3x per extraction, ~5 ms each).
+        A body stripped by its own to_remove class (remove() clears parent)
+        yields []; documents not produced by the builder fall back to a
+        select."""
+        b = self.body_ref
+        if b is None:
+            return self.select("body")
+        p = b
+        while p is not None:
+            if p is self:
+                return [b]
+            p = p.parent
+        return []
 
     def body(self):
         return self.select_first("body")
@@ -568,6 +639,7 @@ class _TreeBuilder(HTMLParser):
         self.html_el = Element("html", {}, self.doc, self.doc)
         self.head_el = Element("head", {}, self.html_el, self.doc)
         self.body_el = Element("body", {}, self.html_el, self.doc)
+        self.doc.body_ref = self.body_el
         self.doc.child_nodes.append(self.html_el)
         self.html_el.child_nodes.extend([self.head_el, self.body_el])
         self.state = "head"  # head | afterhead | body
@@ -1080,7 +1152,7 @@ class _Simple:
                 if eid != i:
                     return False
         if self.classes:
-            cls = eattrs.get("class", "").split()
+            cls = el._class_tokens()
             for c in self.classes:
                 if c not in cls:
                     return False
@@ -1109,10 +1181,10 @@ class _Simple:
                         return False
         for name, arg in self.pseudos:
             if name == "contains":
-                if arg not in el.text().lower():
+                if arg not in el._lowered(el.text()):
                     return False
             elif name == "containsown":
-                if arg not in el.own_text().lower():
+                if arg not in el._lowered(el.own_text()):
                     return False
             elif name == "has":
                 found = False
@@ -1298,6 +1370,34 @@ def _match_chain(chain: list, el: Element, root: Element) -> bool:
     return match_rest(i, el)
 
 
+def _chain_possible(chain: list, doc: "Document") -> bool:
+    """Necessary-condition prune for multi-simple chains (r10): every
+    simple in a chain — whatever the combinator — must be matched by SOME
+    element, so if any simple's id/class/tag has an empty doc-index list
+    the whole chain can't match and the candidate scan is skipped.
+    Cascade rules rarely match a given page; without this, a rule like
+    `div .rare-class a` walks every <a> with root-bound ancestor chains.
+    Only exact index keys are consulted (id/class-token/tag/attr-key,
+    each a dict get); internal scratchpad attr keys are skipped — they
+    bypass index invalidation (same rule as _candidates_for)."""
+    for part in chain:
+        if part.__class__ is str:
+            continue
+        if part.ids:
+            if not doc._idx_id.get(part.ids[0]):
+                return False
+        if part.classes:
+            if not doc._idx_class.get(part.classes[0]):
+                return False
+        if part.tag is not None:
+            if not doc._idx_tag.get(part.tag):
+                return False
+        for k, _op, _v in part.attrs:
+            if k not in _INTERNAL_ATTRS and not doc._idx_attr.get(k):
+                return False
+    return True
+
+
 def _candidates_for(simple: _Simple, doc: "Document"):
     """Pick the narrowest doc index for the rightmost compound selector."""
     if simple.ids:
@@ -1348,6 +1448,8 @@ def select(query: str, root: Element, first_only: bool = False) -> Elements:
             # results need no dedup/sort and first_only can stop at one hit
             chain = chains[0]
             last = chain[-1]
+            if len(chain) > 1 and not _chain_possible(chain, doc):
+                return Elements()
             cands = _candidates_for(last, doc)
             if len(chain) == 1:
                 if last.pure is not None:
@@ -1392,6 +1494,8 @@ def select(query: str, root: Element, first_only: bool = False) -> Elements:
             return out
         hits: dict[int, Element] = {}
         for chain in chains:
+            if len(chain) > 1 and not _chain_possible(chain, doc):
+                continue
             for el in _candidates_for(chain[-1], doc):
                 if el._ord not in hits and _match_chain(chain, el, root):
                     hits[el._ord] = el

@@ -116,20 +116,24 @@ def _extract_retrying(res: dict, doc: Document, html: str, extract_images: bool,
     result = _extract_content(res, doc, extract_images, max_content_size, True,
                               formatter, heuristics)
     if len(result["text"]) == 0:
+        # When the first pass left the document PRISTINE the whole retry
+        # pass is provably a no-op and is skipped outright (r10,
+        # extending the earlier metadata-only skip): _extract_content is
+        # a deterministic function of (doc, url, params); the only
+        # parameter that differs on the retry is clean_scripts=False,
+        # and a pristine doc proves pass 1's script removal removed
+        # nothing (removal bumps `version`); get_nodes() writes a
+        # gravityscore per candidate (internal_writes), so pristine also
+        # proves ZERO candidates existed — the retry would re-run every
+        # cascade on the identical tree into the identical `res` values
+        # and still elect nothing. Non-pristine docs re-parse and re-run
+        # everything, exactly as before.
         pristine = (doc.version == v0 and doc.internal_writes == w0)
-        retry_doc = doc if pristine else dom_parse(html, res["url"])
-        # On the pristine-document retry the metadata cascade (title /
-        # description / canonical / author / date — everything computed
-        # BEFORE the first mutation point in _extract_content) re-reads
-        # the SAME unmutated tree with the same url, so its results are
-        # bit-identical to pass 1's, which `res` already holds — skip
-        # recomputing them (r10; the cascades are ~60% of a no-candidate
-        # document's pass). A re-parsed retry_doc recomputes everything,
-        # exactly as before.
-        result = _extract_content(res, retry_doc,
-                                  extract_images, max_content_size, False,
-                                  formatter, heuristics,
-                                  reuse_metadata=pristine)
+        if not pristine:
+            retry_doc = dom_parse(html, res["url"])
+            result = _extract_content(res, retry_doc,
+                                      extract_images, max_content_size, False,
+                                      formatter, heuristics)
     if not result["text"].strip():
         result["text"] = result["description"]
     return result
@@ -138,31 +142,26 @@ def _extract_retrying(res: dict, doc: Document, html: str, extract_images: bool,
 def _extract_content(res: dict, doc: Document, extract_images: bool,
                      max_content_size: int, clean_scripts: bool,
                      formatter: OutputFormatter | None = None,
-                     heuristics=None, reuse_metadata: bool = False) -> dict:
-    """Main workhorse (:438-563).
-
-    reuse_metadata=True (pristine-doc retry only, see _extract_retrying)
-    keeps the metadata fields already in `res` instead of recomputing
-    them from the identical unmutated document."""
+                     heuristics=None) -> dict:
+    """Main workhorse (:438-563)."""
     url = res["url"]
 
-    if not reuse_metadata:
-        res["title"] = extract_title(doc)
-        res["description"] = extract_description(doc)
-        res["canonical_url"] = extract_canonical_url(url, doc, False) or ""
-        res["domain"] = extract_domain(url) or ""
-        res["top_private_domain"] = extract_top_private_domain(url) or ""
+    res["title"] = extract_title(doc)
+    res["description"] = extract_description(doc)
+    res["canonical_url"] = extract_canonical_url(url, doc, False) or ""
+    res["domain"] = extract_domain(url) or ""
+    res["top_private_domain"] = extract_top_private_domain(url) or ""
 
-        res["type"] = extract_type(doc)
-        res["sitename"] = extract_sitename(doc)
-        res["language"] = extract_language(doc)
+    res["type"] = extract_type(doc)
+    res["sitename"] = extract_sitename(doc)
+    res["language"] = extract_language(doc)
 
-        res["raw_author_name"] = extract_author_name(doc, heuristics)
-        res["author_name"] = author_cleanup(res["raw_author_name"])
-        res["author_description"] = extract_author_description(
-            doc, res["author_name"], heuristics)
+    res["raw_author_name"] = extract_author_name(doc, heuristics)
+    res["author_name"] = author_cleanup(res["raw_author_name"])
+    res["author_description"] = extract_author_description(
+        doc, res["author_name"], heuristics)
 
-        res["date"] = extract_date_from_document(doc, url)
+    res["date"] = extract_date_from_document(doc, url)
 
     if clean_scripts:
         remove_scripts_and_styles(doc, res["domain"])

@@ -235,14 +235,14 @@ def get_nodes(doc: Document) -> list[Element]:
     interesting tag; seeds gravityScore 100,50,25,... halving."""
     nodes: list[Element] = []
     score = 100
-    for body in doc.select("body"):
+    for body in doc.bodies():
         # inlined pre-order walk (r10): same order as iter_descendants,
         # without the generator resumption per element
         stack = [body]
         pop = stack.pop
         while stack:
             el = pop()
-            if C.NODES.fullmatch(el.tag):
+            if el.tag in C.NODES_SET:
                 nodes.append(el)
                 set_score(el, score)
                 score = score // 2
@@ -277,7 +277,7 @@ def strip_unlikely_candidates(doc: Document,
                               heur: Heuristics | None = None) -> None:
     """ArticleTextExtractor.stripUnlikelyCandidates (:3132-3148)."""
     h = heur or _DEFAULT_HEURISTICS
-    for body in doc.select("body"):
+    for body in doc.bodies():
         # snapshot via an inlined pre-order walk (r10; the former
         # list(iter_descendants()) — the list is REQUIRED: removal
         # mutates the tree mid-iteration)

@@ -353,3 +353,52 @@ def test_select_fastpaths_match_naive_scan(html, queries, rnd):
         other.remove()
         for q in queries:
             assert list(doc.select(q)) == _naive_select(q, doc), q
+
+
+def test_nodes_set_matches_nodes_regex():
+    # weights.get_nodes now probes C.NODES_SET; it must stay equivalent
+    # to fullmatch of the reference's NODES alternation on any tag name
+    from snacktory_spark import constants as C
+    vocab = set(C.NODES_SET) | {
+        "pre", "ptag", "xdiv", "divx", "tdi", "h11", "h3", "art", "articles",
+        "sections", "span", "a", "body", "p", "td", "article", "section",
+        "h1", "h2", "div", "", "P", "DIV"}
+    for tag in vocab:
+        assert (tag in C.NODES_SET) == bool(C.NODES.fullmatch(tag)), tag
+
+
+def test_bodies_ref_and_stripped_body():
+    from snacktory_spark.dom import parse
+    doc = parse("<body class='x'><p>hi</p></body>")
+    assert doc.bodies() == doc.select("body")
+    assert len(doc.bodies()) == 1
+    # a removed body yields [] from both paths
+    doc.bodies()[0].remove()
+    assert doc.bodies() == []
+    assert list(doc.select("body")) == []
+    # a manually built Document (no builder scaffold) falls back to select
+    from snacktory_spark.dom import Document, Element
+    d = Document()
+    b = Element("body", {}, d, d)
+    d.child_nodes.append(b)
+    d._bump()
+    assert list(d.bodies()) == [b]
+
+
+def test_get_elements_by_tag_fresh_and_stale_index():
+    from snacktory_spark.dom import parse
+    doc = parse("<body><script>a</script><p>x</p><script>b</script>"
+                "<div><script>c</script></div></body>")
+    # stale index (no select yet): walk path
+    walked = doc.get_elements_by_tag("script")
+    assert [e.html() for e in walked] == ["a", "b", "c"]
+    # fresh index: index path must agree, in doc order
+    doc.select("p")
+    indexed = doc.get_elements_by_tag("script")
+    assert list(indexed) == list(walked)
+    # after a removal (stale again) the walk path reflects the mutation
+    walked[0].remove()
+    assert [e.html() for e in doc.get_elements_by_tag("script")] == ["b", "c"]
+    # element-rooted call always walks the subtree only
+    div = doc.select("div")[0]
+    assert [e.html() for e in div.get_elements_by_tag("script")] == ["c"]
