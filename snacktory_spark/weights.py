@@ -52,8 +52,11 @@ def _hit(pattern, s: str) -> bool:
 # --- gravityScore attribute scratchpad (ArticleTextExtractor.java:2945-2961) --
 
 def get_score(el: Element) -> int:
+    # direct attrs read: the key is a lowercase literal, so this is
+    # exactly el.attr("gravityscore") minus the per-call key lowering
+    # (hot: every add_score reads before it writes)
     try:
-        return int(el.attr("gravityscore"))
+        return int(el.attrs.get("gravityscore", ""))
     except (TypeError, ValueError):
         return 0
 
