@@ -111,21 +111,33 @@ def seed_bench_grams(tr: DataFrame, gram_width: int = 8,
     by construction (two driver collects of ≤ n_seeds rows; the
     conv_id/turn_idx filters push to the parquet scan before the UDF
     stage). Production jobs pass a real benchmark-gram table instead
-    (run_corpus_prep's bench_grams_path)."""
-    from .extract_job import extracted_df
+    (run_corpus_prep's bench_grams_path).
 
+    The ≤ n_seeds seed rows are extracted ON THE DRIVER with the same
+    `extract_row` the UDF stage runs (r10: a full mapInPandas job for 3
+    rows cost ~0.4s of pure stage/worker overhead per corpus_prep call;
+    the driver call is ~1 ms and bounded by the same ≤ n_seeds collect
+    this seed already does). The gram itself still evaluates through the
+    SHARED JVM `tokens_expr` on a local 1-stage DataFrame — a Python
+    re-tokenization here could drift from the chain's tokenizer."""
     ids = [r[0] for r in (tr.filter(F.col("turn_idx") == 0)
                           .select("conv_id").distinct()
                           .orderBy("conv_id").limit(n_seeds).collect())]
+    seed_rows = (tr.filter((F.col("turn_idx") == 0)
+                           & F.col("conv_id").isin(ids))
+                 .select("text").collect())
+    from ..udf import extract_row
+    extracted = [extract_row(r["text"], "") for r in seed_rows]
+    texts = [e["text"] for e in extracted if e["extract_ok"] and e["text"]]
+    if not texts:
+        return []
     btoks = tokens_expr()
-    rows = (extracted_df(
-        tr.filter((F.col("turn_idx") == 0) & F.col("conv_id").isin(ids)),
-        partitions=1)  # ≤ n_seeds rows — don't spin up 2×CPUs UDF tasks
-        .filter(F.col("extract_ok") & (F.length("text") > 0))
-        .select(F.when(F.size(btoks) >= gram_width,
-                       F.concat_ws(" ", F.slice(btoks, 1, gram_width)))
-                .alias("gram"))
-        .filter(F.col("gram").isNotNull()).collect())
+    loc = tr.sparkSession.createDataFrame([(t,) for t in texts],
+                                          "text string")
+    rows = (loc.select(F.when(F.size(btoks) >= gram_width,
+                              F.concat_ws(" ", F.slice(btoks, 1, gram_width)))
+                       .alias("gram"))
+            .filter(F.col("gram").isNotNull()).collect())
     return sorted({r["gram"] for r in rows})
 
 
