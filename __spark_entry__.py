@@ -169,7 +169,11 @@ def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     sdir = _synth(sf_dir)
     df = read_transcripts(spark, f"{sdir}/transcripts.parquet")
-    return _oracle_projection(extracted_df(df))
+    # lineage=False: the oracle projection keeps none of the lineage
+    # columns, and mapInPandas is opaque to pruning — without the flag a
+    # per-row input_file path string is materialized and shipped through
+    # the salt exchange and the Arrow boundary for nothing (r10)
+    return _oracle_projection(extracted_df(df, lineage=False))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1910,7 +1914,7 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count, stopword ratio, bigram repetition — narrow JVM HOFs via
     # the shared corpus_ops.corpus_gate_pred; the forall(array(·))
     # wrapper is a let-binding so the tokenization runs ONCE per row)
-    gated = (extracted_df(tr)
+    gated = (extracted_df(tr, lineage=False)
              .filter(F.col("extract_ok") & (F.length("text") > 0))
              .select("role", "conv_id", "turn_idx", "text")
              .filter(F.forall(F.array(toks), _corpus_gate_pred())))

@@ -343,17 +343,27 @@ def load_manifest(output_path: str, spark: SparkSession | None = None,
 
 def extracted_df(df: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS,
                  salt_span: int = DEFAULT_SALT_SPAN,
-                 partitions: int | None = None) -> DataFrame:
-    """transcripts DataFrame → extracted DataFrame (lazy, no write)."""
+                 partitions: int | None = None,
+                 lineage: bool = True) -> DataFrame:
+    """transcripts DataFrame → extracted DataFrame (lazy, no write).
+
+    `lineage=False` drops the per-row `input_file` capture (the UDF then
+    emits NULL for that column): mapInPandas is opaque to column pruning,
+    so a query that discards lineage — the oracled q_corpus_prep /
+    extract oracles project it away — would otherwise materialize a
+    ~60-byte path string per row and carry it through the salt exchange
+    and the Arrow boundary both ways. The WRITE path (run_extract) keeps
+    the default: manifests derive their source-file stats from it."""
     ensure_py_files(df.sparkSession)
     gated = (df
              .select("conv_id", "turn_idx", "role", "tool", "ts", "text")
-             .filter(F.col("text").isNotNull() & (F.length("text") > 0))
-             # input_file is captured at the scan stage but attached AFTER
-             # the filter: a projection containing input_file_name() (marked
-             # nondeterministic) blocks predicate pushdown, and the
-             # IsNotNull(text) gate must reach the parquet scan
-             .withColumn("input_file", F.input_file_name()))
+             .filter(F.col("text").isNotNull() & (F.length("text") > 0)))
+    if lineage:
+        # input_file is captured at the scan stage but attached AFTER
+        # the filter: a projection containing input_file_name() (marked
+        # nondeterministic) blocks predicate pushdown, and the
+        # IsNotNull(text) gate must reach the parquet scan
+        gated = gated.withColumn("input_file", F.input_file_name())
     salt = F.xxhash64(F.col("conv_id"),
                       (F.col("turn_idx") / F.lit(salt_span)).cast("long"))
     if not partitions:
