@@ -256,11 +256,20 @@ def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
     sdir = _synth(sf_dir)
     df = spark.read.parquet(f"{sdir}/transcripts.parquet")
+    # project length(text) BEFORE the conv_id exchange (guide §2.3): the
+    # agg only needs the per-turn char count, but expressions are not
+    # rewritten below a Window by the optimizer, so without this the
+    # full text strings transit the shuffle and the window sort (~14×
+    # the bytes; plan diff in plans/r10/conv_stats_narrow_*.txt).
+    # sum(length(text)) over pre-computed lengths is value-identical,
+    # nulls included (length(NULL) is NULL either way).
+    pre = df.select("conv_id", "turn_idx", "role",
+                    F.length("text").alias("text_chars"))
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    turns = df.withColumn("prev_role", F.lag("role").over(w))
+    turns = pre.withColumn("prev_role", F.lag("role").over(w))
     return (turns.groupBy("conv_id")
             .agg(F.count("*").alias("n_turns"),
-                 F.sum(F.length("text")).alias("total_chars"),
+                 F.sum("text_chars").alias("total_chars"),
                  F.max("turn_idx").alias("max_turn_idx"),
                  F.count(F.when(F.col("role") == "tool", 1)).alias("tool_turns"),
                  F.min_by("role", "turn_idx").alias("first_role"),
