@@ -203,7 +203,10 @@ def q_extract_turns_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     sdir = _synth(sf_dir)
     df = read_transcripts(spark, f"{sdir}/transcripts.parquet")
-    return _oracle_projection(extracted_dedup_df(df))
+    # lineage=False: same rationale as q_extract_turns — the oracle
+    # projection keeps no lineage column, so capturing a per-row path
+    # string and carrying it through the h-join would be pure overhead
+    return _oracle_projection(extracted_dedup_df(df, lineage=False))
 
 
 def q_golden_equality(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -377,7 +377,8 @@ def extracted_df(df: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS,
 
 
 def extracted_dedup_df(df: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS,
-                       partitions: int | None = None) -> DataFrame:
+                       partitions: int | None = None,
+                       lineage: bool = True) -> DataFrame:
     """The reference's result cache (S6, SCache.java) re-expressed at
     scale: extract each DISTINCT text exactly once, then join the result
     back to every row by content hash.
@@ -387,16 +388,19 @@ def extracted_dedup_df(df: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS,
     while the added cost is one dropDuplicates shuffle of (hash, text) and
     one hash-join on a 32-char key. Output schema and content match
     extracted_df row for row (per-row input_file/input_bytes lineage is
-    preserved from the original scan); work distribution is by content
-    hash — uniform by construction, so no conversation-length skew."""
+    preserved from the original scan; `lineage=False` skips the
+    input_file capture and emits NULL, mirroring extracted_df's flag);
+    work distribution is by content hash — uniform by construction, so
+    no conversation-length skew."""
     from ..udf import extract_distinct_map_in_pandas
     from ..schema import EXTRACT_SCHEMA
 
     ensure_py_files(df.sparkSession)
     gated = (df
              .select("conv_id", "turn_idx", "role", "tool", "ts", "text")
-             .filter(F.col("text").isNotNull() & (F.length("text") > 0))
-             .withColumn("input_file", F.input_file_name()))
+             .filter(F.col("text").isNotNull() & (F.length("text") > 0)))
+    if lineage:
+        gated = gated.withColumn("input_file", F.input_file_name())
     hashed = (gated
               # sha256, not md5: the hash is a content-EQUALITY key here
               # (md5 chosen-prefix collisions are practical, and a collision
@@ -418,7 +422,11 @@ def extracted_dedup_df(df: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS,
     out = joined.select(
         "conv_id", "turn_idx", "role", "tool", "ts",
         *[f.name for f in EXTRACT_SCHEMA.fields],
-        "input_bytes", "output_bytes", "input_file")
+        "input_bytes", "output_bytes",
+        # schema parity with extracted_df(lineage=False): column present,
+        # NULL values — nothing was captured, so nothing transits the join
+        *([F.col("input_file")] if lineage
+          else [F.lit(None).cast("string").alias("input_file")]))
     return out.withColumn(
         "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int"))
 
